@@ -1,0 +1,44 @@
+"""Text normalization column expressions (reference O4-O6).
+
+Reference semantics (/root/reference/src/main.cpp:121-133): each
+whitespace-delimited token is lowercased byte-wise and every
+non-``isalpha`` byte deleted in place, so ``gable-ended`` -> ``gableended``,
+``don't`` -> ``dont``, ``1832`` -> `` `` (dropped by the reducer's empty
+check at main.cpp:175-177). Note the reference README says
+"non-alphanumeric" but the code uses ``isalpha`` — digits are removed
+too (SURVEY.md §4.3); the code is ground truth.
+
+Everything here is a built-in column expression — JVM-side, inside
+whole-stage codegen. No Python UDFs in this hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WHITESPACE_RE = r"\s+"
+NON_ALPHA_RE = "[^a-z]"
+
+
+def normalize_token(col: Column) -> Column:
+    """lower + strip non-[a-z] — the reference's O4+O5 fused."""
+    return F.regexp_replace(F.lower(col), NON_ALPHA_RE, "")
+
+
+def tokenize(col: Column) -> Column:
+    """Split a text column into raw whitespace-delimited tokens."""
+    return F.split(col, WHITESPACE_RE)
+
+
+def tokens_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Explode documents into normalized non-empty (doc_id, word) rows.
+
+    This is the reference's map phase (O2+O4-O7): one narrow chain —
+    no shuffle — that Catalyst fuses into a single codegen stage.
+    """
+    return (
+        docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
+        .select(F.col(id_col), normalize_token(F.col("tok")).alias("word"))
+        .where(F.col("word") != "")
+    )

@@ -1,0 +1,168 @@
+"""Inverted-index build + query operators (reference O7-O14 and Phase 2).
+
+Build side re-expresses /root/reference/src/main.cpp:152-237 (reduce +
+sort phases) as one wide aggregation:
+
+    tokens -> groupBy(word) -> collect_set(doc_id) -> sort_array
+           -> df = size(postings) -> letter = substring(word,1,1)
+           -> rank = row_number over (letter, df desc, word asc)
+
+One shuffle total for the build (the groupBy); the reference's 26 letter
+mutexes (src/tema1.h:54, main.cpp:180-202) become hash partitioning on
+the group key, and its two pthread barriers (main.cpp:143,155,207)
+become Spark stage boundaries. The per-letter composite sort
+(main.cpp:225-231: df desc, then byte-wise word asc) is a window
+row_number — exposed as an explicit ``rank`` column because downstream
+comparison is order-insensitive.
+
+Scale notes (100 TB): collect_set per word is bounded by document
+frequency; stop words produce postings lists the size of the corpus.
+For genuinely huge corpora the flat (word, doc_id, tf) form — also
+provided — is the scalable representation (bucketed by word on write);
+the array form is the reference-parity view. df is computed from the
+already-deduplicated set, so no second shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_df
+
+
+def postings_flat(docs: DataFrame, one_based: bool = False) -> DataFrame:
+    """Distinct (word, doc_id) pairs — reference O8's dedup-on-insert
+    (main.cpp:183-200) as a distinct aggregation."""
+    t = tokens_df(docs)
+    if one_based:
+        t = t.withColumn("doc_id", F.col("doc_id") + F.lit(1))
+    return t.distinct()
+
+
+def term_frequencies(docs: DataFrame) -> DataFrame:
+    """(word, doc_id, tf) — occurrence counts before dedup; the tf
+    extension SURVEY.md §7 Phase 2 names (reference never computes it)."""
+    return tokens_df(docs).groupBy("word", "doc_id").agg(F.count("*").alias("tf"))
+
+
+def build_index(docs: DataFrame, one_based: bool = False) -> DataFrame:
+    """Full index: (letter, word, df, postings, rank).
+
+    ``one_based=True`` reproduces the reference's printed ids
+    (main.cpp:312 prints file_id + 1).
+    """
+    t = tokens_df(docs)
+    if one_based:
+        t = t.withColumn("doc_id", F.col("doc_id") + F.lit(1))
+    # collect_set dedups AND partially aggregates map-side, so the build
+    # is ONE shuffle (vs distinct() + groupBy = two).
+    idx = t.groupBy("word").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("postings")
+    )
+    idx = (
+        idx.withColumn("df", F.size("postings").cast("long"))
+        .withColumn("letter", F.substring("word", 1, 1))
+    )
+    w = Window.partitionBy("letter").orderBy(F.desc("df"), F.asc("word"))
+    return idx.select(
+        "letter",
+        "word",
+        "df",
+        "postings",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def document_frequency(docs: DataFrame) -> DataFrame:
+    """(word, df) without materializing postings arrays — the scalable
+    path when only df is needed (countDistinct folds map-side)."""
+    return tokens_df(docs).groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+
+
+def format_index_lines(index: DataFrame) -> DataFrame:
+    """Reference O15 (main.cpp:310-317): ``word:[id1 id2 ...]`` lines,
+    keyed by letter and rank so the sink can order them."""
+    return index.select(
+        "letter",
+        "rank",
+        F.concat(
+            F.col("word"),
+            F.lit(":["),
+            F.array_join(F.col("postings"), " "),
+            F.lit("]"),
+        ).alias("line"),
+    )
+
+
+def term_lookup(index: DataFrame, terms: list[str]) -> DataFrame:
+    """Point lookup on the index. Predicate pushes down to the scan when
+    the index is stored (parquet sorted/bucketed by word)."""
+    return index.where(F.col("word").isin(terms))
+
+
+def boolean_and(index: DataFrame, t1: str, t2: str) -> DataFrame:
+    """Posting-list intersection (boolean AND search) via array_intersect.
+
+    The reference builds the index but never queries it (SURVEY.md §2.1);
+    this closes the loop. Self-join of two single-row lookups — both
+    sides broadcast."""
+    a = index.where(F.col("word") == t1).select(F.col("postings").alias("p1"))
+    b = index.where(F.col("word") == t2).select(F.col("postings").alias("p2"))
+    return a.crossJoin(F.broadcast(b)).select(
+        F.lit(t1).alias("term1"),
+        F.lit(t2).alias("term2"),
+        F.sort_array(F.array_intersect("p1", "p2")).alias("doc_ids"),
+    )
+
+
+def boolean_or(index: DataFrame, t1: str, t2: str) -> DataFrame:
+    a = index.where(F.col("word") == t1).select(F.col("postings").alias("p1"))
+    b = index.where(F.col("word") == t2).select(F.col("postings").alias("p2"))
+    return a.crossJoin(F.broadcast(b)).select(
+        F.lit(t1).alias("term1"),
+        F.lit(t2).alias("term2"),
+        F.sort_array(F.array_union("p1", "p2")).alias("doc_ids"),
+    )
+
+
+def boolean_not(index: DataFrame, t1: str, t2: str) -> DataFrame:
+    """Docs containing t1 but not t2 (array_except)."""
+    a = index.where(F.col("word") == t1).select(F.col("postings").alias("p1"))
+    b = index.where(F.col("word") == t2).select(F.col("postings").alias("p2"))
+    return a.crossJoin(F.broadcast(b)).select(
+        F.lit(t1).alias("term1"),
+        F.lit(t2).alias("term2"),
+        F.sort_array(F.array_except("p1", "p2")).alias("doc_ids"),
+    )
+
+
+def topk_terms_per_letter(index: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k terms by document frequency within each letter bucket —
+    the windowed-rank view of reference O13 (main.cpp:225-231)."""
+    return index.where(F.col("rank") <= k).select("letter", "word", "df", "rank")
+
+
+def tf_idf(docs: DataFrame, round_to: int = 6) -> DataFrame:
+    """tf-idf per (word, doc): tf * ln(N / df).
+
+    N is a broadcast scalar (count over the docs dim), NOT a cross join —
+    the 100 TB note in SURVEY.md §7. Rounded so the value is stable
+    across engines for the oracle hash."""
+    n_docs = docs.count()  # scalar to the driver; broadcast into the plan
+    tf = term_frequencies(docs)
+    w = Window.partitionBy("word")
+    # df via a window over the already-grouped tf rows: one shuffle reused
+    # for both tf and df instead of a second groupBy + join.
+    scored = tf.withColumn("df", F.count("*").over(w).cast("long"))
+    return scored.select(
+        "word",
+        "doc_id",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), round_to
+        ).alias("tfidf"),
+    )

@@ -1,0 +1,222 @@
+"""Inverted-index query specs (reference parity: SURVEY.md §2 O1-O16,
+plus the Phase-2 query surface the index exists to serve).
+
+All run over the ``documents`` table of an sf_dir. The shared tokenizer
+CTE in the oracles mirrors functions/text.py exactly:
+split on \\s+, lower, strip [^a-z], drop empties
+(/root/reference/src/main.cpp:107-133,175-177).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import index as ix
+from ..sources.tables import load_table
+from .registry import register
+
+# Shared DuckDB tokenizer CTE — semantics identical to tokens_df().
+TOKS_CTE = r"""
+toks AS (
+    SELECT doc_id,
+           regexp_replace(lower(tok), '[^a-z]', '', 'g') AS word
+    FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents
+    )
+    WHERE regexp_replace(lower(tok), '[^a-z]', '', 'g') <> ''
+)
+"""
+
+INDEX_CTE = (
+    TOKS_CTE
+    + r""",
+idx AS (
+    SELECT word,
+           list_sort(list(DISTINCT doc_id)) AS postings,
+           count(DISTINCT doc_id) AS df
+    FROM toks
+    GROUP BY word
+)
+"""
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "inverted_index",
+    oracle="WITH "
+    + INDEX_CTE
+    + r"""
+SELECT substr(word, 1, 1) AS letter, word, df, postings,
+       row_number() OVER (
+           PARTITION BY substr(word, 1, 1)
+           ORDER BY df DESC, word ASC
+       ) AS "rank"
+FROM idx
+""",
+    tags=("index", "flagship"),
+    bench=True,
+    doc="Full reference pipeline O2,O4-O13: (letter, word, df, postings, rank).",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ix.build_index(_docs(spark, sf_dir))
+
+
+@register(
+    "postings_flat",
+    oracle="WITH " + TOKS_CTE + "SELECT DISTINCT word, doc_id FROM toks",
+    tags=("index",),
+    doc="Reference O8: distinct (word, doc_id) pairs — the scalable flat index form.",
+)
+def q_postings_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ix.postings_flat(_docs(spark, sf_dir))
+
+
+@register(
+    "document_frequency",
+    oracle="WITH "
+    + TOKS_CTE
+    + "SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word",
+    tags=("index",),
+    doc="Reference O10 as a standalone distinct-count aggregation.",
+)
+def q_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ix.document_frequency(_docs(spark, sf_dir))
+
+
+@register(
+    "term_frequency",
+    oracle="WITH "
+    + TOKS_CTE
+    + "SELECT word, doc_id, count(*) AS tf FROM toks GROUP BY word, doc_id",
+    tags=("index",),
+    doc="tf extension (SURVEY.md §7 Phase 2): occurrences before dedup.",
+)
+def q_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ix.term_frequencies(_docs(spark, sf_dir))
+
+
+@register(
+    "term_lookup",
+    oracle="WITH "
+    + INDEX_CTE
+    + r"""
+SELECT word, df, postings FROM idx WHERE word IN ('spark', 'query')
+""",
+    tags=("index", "search"),
+    doc="Point lookup on the index (filter pushes to the stored-index scan).",
+)
+def q_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ix.build_index(_docs(spark, sf_dir))
+    return ix.term_lookup(idx, ["spark", "query"]).select("word", "df", "postings")
+
+
+@register(
+    "boolean_and",
+    oracle="WITH "
+    + INDEX_CTE
+    + r""",
+a AS (SELECT postings AS p1 FROM idx WHERE word = 'spark'),
+b AS (SELECT postings AS p2 FROM idx WHERE word = 'query')
+SELECT 'spark' AS term1, 'query' AS term2,
+       list_sort(list_intersect(p1, p2)) AS doc_ids
+FROM a, b
+""",
+    tags=("index", "search"),
+    doc="Boolean AND search: posting-list intersection (array_intersect).",
+)
+def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ix.build_index(_docs(spark, sf_dir))
+    return ix.boolean_and(idx, "spark", "query")
+
+
+@register(
+    "boolean_or",
+    oracle="WITH "
+    + INDEX_CTE
+    + r""",
+a AS (SELECT postings AS p1 FROM idx WHERE word = 'spark'),
+b AS (SELECT postings AS p2 FROM idx WHERE word = 'query')
+SELECT 'spark' AS term1, 'query' AS term2,
+       list_sort(list_distinct(list_concat(p1, p2))) AS doc_ids
+FROM a, b
+""",
+    tags=("index", "search"),
+    doc="Boolean OR search: posting-list union (array_union).",
+)
+def q_boolean_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ix.build_index(_docs(spark, sf_dir))
+    return ix.boolean_or(idx, "spark", "query")
+
+
+@register(
+    "boolean_not",
+    oracle="WITH "
+    + INDEX_CTE
+    + r""",
+a AS (SELECT postings AS p1 FROM idx WHERE word = 'spark'),
+b AS (SELECT postings AS p2 FROM idx WHERE word = 'query')
+SELECT 'spark' AS term1, 'query' AS term2,
+       list_sort(list_filter(p1, x -> NOT list_contains(p2, x))) AS doc_ids
+FROM a, b
+""",
+    tags=("index", "search"),
+    doc="Boolean NOT search: posting-list difference (array_except).",
+)
+def q_boolean_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ix.build_index(_docs(spark, sf_dir))
+    return ix.boolean_not(idx, "spark", "query")
+
+
+@register(
+    "topk_terms_per_letter",
+    oracle="WITH "
+    + INDEX_CTE
+    + r""",
+ranked AS (
+    SELECT substr(word, 1, 1) AS letter, word, df,
+           row_number() OVER (
+               PARTITION BY substr(word, 1, 1)
+               ORDER BY df DESC, word ASC
+           ) AS "rank"
+    FROM idx
+)
+SELECT letter, word, df, "rank" FROM ranked WHERE "rank" <= 3
+""",
+    tags=("index", "window"),
+    doc="Reference O13 as windowed top-k: df desc, word asc within letter.",
+)
+def q_topk_terms_per_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ix.build_index(_docs(spark, sf_dir))
+    return ix.topk_terms_per_letter(idx, k=3)
+
+
+@register(
+    "tf_idf",
+    oracle="WITH "
+    + TOKS_CTE
+    + r""",
+tf AS (
+    SELECT word, doc_id, count(*) AS tf
+    FROM toks GROUP BY word, doc_id
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT word, doc_id, tf,
+       count(*) OVER (PARTITION BY word) AS df,
+       round(
+           tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE)
+                   / count(*) OVER (PARTITION BY word)),
+           6
+       ) AS tfidf
+FROM tf
+""",
+    tags=("index", "text"),
+    doc="tf-idf with N as a broadcast scalar (no cross join) — SURVEY.md §7 Phase 4.",
+)
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ix.tf_idf(_docs(spark, sf_dir))

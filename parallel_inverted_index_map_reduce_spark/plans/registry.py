@@ -1,0 +1,92 @@
+"""Query registry: one named entry per implemented operator.
+
+Each :class:`QuerySpec` pairs a Spark DataFrame program with the
+ANSI-SQL oracle DuckDB runs on the same parquet tables (driver contract
+in /root/repo/__spark_entry__.py). Specs whose semantics SQL cannot
+express (streaming, stateful) carry ``oracle=None`` and get the weaker
+rows-only check.
+
+Conventions that keep the oracle hash stable across engines:
+- every computed column is aliased identically on both sides;
+- floating aggregates are summed as ``decimal(38,10)`` then cast back to
+  double (associative, so partition order cannot change the result) or
+  rounded at a fixed scale on BOTH sides;
+- counts/ranks cast to long to match DuckDB's BIGINT;
+- results are order-insensitive — ordering requirements are expressed as
+  explicit rank columns.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES = (
+    "queries_index",
+    "queries_relational",
+    "queries_dedup",
+    "queries_text",
+    "queries_similarity",
+    "queries_streaming",
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    tags: tuple[str, ...] = ()
+    bench: bool = False  # include in bench.py's headline set
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+_LOADED = False
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+    doc: str = "",
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query spec: {name}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, tuple(tags), bench, doc)
+        return fn
+
+    return deco
+
+
+def _load() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    for mod in _MODULES:
+        importlib.import_module(f"{__package__}.{mod}")
+    _LOADED = True
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in all_specs().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in all_specs().items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,81 @@
+"""Manifest + text-file corpus sources (reference O1-O3).
+
+The reference reads a manifest whose first token is a file count followed
+by one relative path per line (/root/reference/src/main.cpp:49-83), then
+assigns each file a deterministic 0-based id in manifest order via a
+FIFO queue + guarded counter (/root/reference/src/main.cpp:96-105) and
+prints ids 1-based (/root/reference/src/main.cpp:312).
+
+Spark re-expression: ids derive from the manifest itself (driver-side
+enumerate → small DataFrame), NOT ``monotonically_increasing_id()`` —
+that function is not stable across partitionings, which is exactly the
+trap SURVEY.md §7 calls out. The manifest is tiny metadata (one row per
+file); at 100 TB the file *contents* are the big side and are read by
+executors via ``spark.read.text``, while the manifest stays a broadcast
+dimension.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),  # 1-based, manifest order
+        StructField("path", StringType(), False),
+    ]
+)
+
+
+def read_manifest(spark: SparkSession, manifest_path: str, base_dir: str | None = None) -> DataFrame:
+    """Parse the reference manifest format: ``<count>\n<path>\n...``.
+
+    Returns (doc_id, path) with doc_id 1-based in manifest order — the
+    id the reference prints (main.cpp:312 does ``file_id + 1``).
+    Paths resolve relative to ``base_dir`` (defaults to the manifest's
+    directory, mirroring the reference's ``../checker/`` convention
+    without hardcoding it).
+    """
+    if base_dir is None:
+        base_dir = os.path.dirname(os.path.abspath(manifest_path))
+    with open(manifest_path, encoding="utf-8", errors="replace") as fh:
+        tokens = fh.read().split()
+    count = int(tokens[0])
+    paths = tokens[1 : 1 + count]
+    rows = [(i + 1, os.path.join(base_dir, p)) for i, p in enumerate(paths)]
+    return spark.createDataFrame(rows, MANIFEST_SCHEMA)
+
+
+def read_manifest_corpus(
+    spark: SparkSession, manifest_path: str, base_dir: str | None = None
+) -> DataFrame:
+    """Load a manifest's files as a ``(doc_id, text)`` documents DataFrame.
+
+    Executors read the text files in parallel (``spark.read.text`` with
+    the full path list); the doc_id comes from joining ``input_file_name``
+    back to the tiny manifest dimension, which Spark auto-broadcasts.
+    One row per line is fine — tokenization explodes on whitespace anyway,
+    and keeping lines (not whole files) as rows bounds row size at scale.
+    """
+    manifest = read_manifest(spark, manifest_path, base_dir)
+    paths = [r.path for r in manifest.collect()]  # tiny: one entry per file
+    lines = spark.read.text(paths).select(
+        F.input_file_name().alias("file_uri"), F.col("value").alias("text")
+    )
+    # input_file_name returns a URI (file:///...); normalize to the path.
+    lines = lines.withColumn("norm_path", F.regexp_replace("file_uri", "^file:(//)?", ""))
+    manifest_n = manifest.withColumn("norm_path", F.col("path"))
+    return (
+        lines.join(F.broadcast(manifest_n), "norm_path", "inner")
+        .select("doc_id", "text")
+    )
+
+
+def manifest_documents(spark: SparkSession, manifest_path: str, base_dir: str | None = None) -> DataFrame:
+    """Whole-file variant: one row per document ``(doc_id, text)``."""
+    corpus = read_manifest_corpus(spark, manifest_path, base_dir)
+    return corpus.groupBy("doc_id").agg(F.concat_ws(" ", F.collect_list("text")).alias("text"))

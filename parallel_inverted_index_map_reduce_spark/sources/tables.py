@@ -1,0 +1,46 @@
+"""Parquet table sources for the driver-generated TPC-H-ish schema.
+
+Tables (see /root/repo/TESTDATA.md): region nation customer supplier part
+orders lineitem events documents embeddings — one parquet file per table
+under an ``sf_dir``.
+
+Scale notes: these are plain ``spark.read.parquet`` scans so Catalyst's
+predicate pushdown / column pruning / partition pruning apply untouched.
+At 100 TB the same call reads a partitioned parquet lake; nothing here
+assumes single-file layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view so ``spark.sql`` plans work."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
