@@ -1,0 +1,77 @@
+"""Per-letter partitioned text sink — reference O15/O16 parity.
+
+The reference's main thread writes 26 files ``a.txt .. z.txt``
+sequentially, one ``word:[id1 id2 ...]`` line per word, letters with no
+words still getting an empty file (/root/reference/src/main.cpp:298-320;
+empty-file evidence: checker/test_out_small/z.txt). Sequential writing
+was its concurrency workaround (README.md:131-133) — Spark's committer
+makes parallel per-partition writes safe, so here the *parallel* path is
+``df.write.partitionBy('letter').text(...)``.
+
+For byte-parity with the reference (single file per letter, exact file
+names, empty files for absent letters, rank order within file) a thin
+driver-side finisher renames/creates files after the parallel write.
+SURVEY.md §7 deliberately keeps that fidelity shim out of the engine
+core: at 100 TB you would never funnel a bucket through one file; the
+partitioned parallel write is the real sink and the renamer is a
+presentation step over its output.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import string
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.index import format_index_lines
+
+LETTERS = tuple(string.ascii_lowercase)
+
+
+def write_index_text(index: DataFrame, out_dir: str) -> None:
+    """Write the index as 26 files ``<out_dir>/<letter>.txt``.
+
+    Parallel write partitioned by letter (each letter sorted by rank via
+    a per-partition sort — no global shuffle), then a driver-side rename
+    pass for reference-identical file names + empty-letter files.
+    """
+    lines = format_index_lines(index)
+    staged = os.path.join(out_dir, "_staged")
+    (
+        lines.repartition("letter")
+        .sortWithinPartitions("letter", "rank")
+        .select("letter", "line")  # text source allows one value column
+        .write.mode("overwrite")
+        .partitionBy("letter")
+        .text(staged)
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for letter in LETTERS:
+        target = os.path.join(out_dir, f"{letter}.txt")
+        parts = sorted(glob.glob(os.path.join(staged, f"letter={letter}", "part-*")))
+        with open(target, "wb") as out:
+            for p in parts:
+                with open(p, "rb") as fh:
+                    shutil.copyfileobj(fh, out)
+    shutil.rmtree(staged)
+
+
+def index_lines_per_letter(index: DataFrame) -> dict[str, list[str]]:
+    """Collect the formatted index as {letter: [line, ...]} in rank order.
+
+    Driver-side convenience for small corpora / tests; the scalable path
+    is :func:`write_index_text`.
+    """
+    rows = (
+        format_index_lines(index)
+        .orderBy("letter", "rank")
+        .collect()
+    )
+    out: dict[str, list[str]] = {letter: [] for letter in LETTERS}
+    for r in rows:
+        out[r["letter"]].append(r["line"])
+    return out
