@@ -33,6 +33,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw
+        # int64 nanos and truncate to microseconds — the same floor
+        # DuckDB applies when reading the file (verified:
+        # ...165275999 ns -> ...165275 us). Set here, not only in
+        # session.py, so it also holds under a driver-owned session.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
