@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language identification (stopword-marker heuristic),
+and position-weighted document fingerprints.
+
+All pure column expressions (JVM-side, whole-stage codegen); divisions
+are cast to double explicitly and rounded at fixed scales so the DuckDB
+oracle reproduces every value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash32
+from .dedup import token_positions
+
+# Marker stopwords per language for the heuristic language guesser.
+EN_MARKERS = ("the", "a", "of", "and", "to", "in", "is")
+ES_MARKERS = ("el", "la", "de", "los", "y", "en", "es")
+
+STOPWORDS = EN_MARKERS
+
+FP_MOD = 1_000_003
+FP_PRIME = 1_000_000_007
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens)."""
+    toks = token_positions(docs)
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length/stopword/diversity-based quality score in [0, 1].
+
+    score = 0.4 * stopword_ratio
+          + 0.3 * min(avg_token_len / 10, 1)
+          + 0.3 * min(n_tokens / 100, 1)
+    """
+    toks = token_positions(docs)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.length("tok")).alias("sum_len"),
+        F.sum(F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0)).alias("n_stop"),
+    )
+    avg_len = F.col("sum_len").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    score = (
+        0.4 * stop_ratio
+        + 0.3 * F.least(avg_len / 10.0, F.lit(1.0))
+        + 0.3 * F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+    )
+    # Ratios of small ints land on exact decimal ties (e.g. x/32 =
+    # 0.2569375) where Spark (shortest-string half-up) and DuckDB
+    # (exact-binary) round(…, 6) disagree. Casting through a
+    # high-scale decimal first absorbs the binary error so both
+    # engines then round the same decimal half-up.
+    def _stable6(c):
+        return F.round(c.cast("decimal(28,12)"), 6).cast("decimal(18,6)")
+
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        _stable6(avg_len).alias("avg_token_len"),
+        _stable6(stop_ratio).alias("stopword_ratio"),
+        _stable6(score).alias("quality_score"),
+    )
+
+
+def language_guess(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language ID: count en/es marker hits per doc,
+    guess the majority language, report agreement with the labeled
+    ``lang`` column. (A real pipeline would use character n-gram
+    profiles; the plumbing — tokenize, score, argmax — is identical.)"""
+    toks = token_positions(docs)
+    hits = toks.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("tok").isin(*EN_MARKERS), 1).otherwise(0)).alias("en_hits"),
+        F.sum(F.when(F.col("tok").isin(*ES_MARKERS), 1).otherwise(0)).alias("es_hits"),
+    )
+    guess = (
+        F.when(F.col("en_hits") > F.col("es_hits"), "en")
+        .when(F.col("es_hits") > F.col("en_hits"), "es")
+        .otherwise("und")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(hits, "doc_id", "left")
+        .na.fill({"en_hits": 0, "es_hits": 0})
+        .select(
+            "doc_id",
+            "lang",
+            "en_hits",
+            "es_hits",
+            guess.alias("lang_guess"),
+            (guess == F.col("lang")).alias("agrees"),
+        )
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """Position-weighted rolling-hash fingerprint:
+
+        fp = sum((pos + 1) * (hash32(tok) % 1000003)) % 1000000007
+
+    Order-sensitive (swapping two tokens changes fp) yet expressible as
+    a plain aggregate — the scalable alternative to driver-side hashing.
+    """
+    toks = token_positions(docs)
+    term = (F.col("pos") + 1) * (stable_hash32(F.col("tok")) % F.lit(FP_MOD))
+    return toks.groupBy("doc_id").agg(
+        (F.sum(term) % F.lit(FP_PRIME)).alias("fingerprint")
+    )

@@ -1,1 +1,267 @@
-"""Placeholder — filled in as coverage widens."""
+"""Dedup query specs (exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Every hash bottoms out in md5 (identical across engines), so even the
+MinHash-LSH pipeline has an exact SQL oracle. Shared CTE text mirrors
+operators/dedup.py stage for stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    LSH_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+)
+from ..operators import dedup as dd
+from ..sources.tables import load_table
+from .registry import register
+
+# (doc_id, pos, tok): 0-based positions, empties filtered after
+# position assignment — mirrors dedup.token_positions.
+TOKS_POS_CTE = r"""
+tokpos AS (
+    SELECT doc_id, tok, pos
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(range(0, len(string_split(text, ' ')))) AS pos
+        FROM documents
+    )
+    WHERE tok <> ''
+)
+"""
+
+SHINGLES_CTE = (
+    TOKS_POS_CTE
+    + r""",
+sh_raw AS (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle,
+           lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2
+    FROM tokpos
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS shingle_hash
+    FROM sh_raw WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+)
+"""
+)
+
+_PERM_ROWS = ", ".join(
+    f"({i}, {MINHASH_A[i]}, {MINHASH_B[i]})" for i in range(len(MINHASH_A))
+)
+
+MINHASH_CTE = (
+    SHINGLES_CTE
+    + f""",
+perms(perm_id, a, b) AS (VALUES {_PERM_ROWS}),
+sigs AS (
+    SELECT s.doc_id, p.perm_id,
+           min((p.a * s.shingle_hash + p.b) % {MINHASH_P}) AS minhash
+    FROM shingles s CROSS JOIN perms p
+    GROUP BY s.doc_id, p.perm_id
+),
+bands AS (
+    SELECT doc_id, CAST(floor(perm_id / {LSH_ROWS}) AS INT) AS band_id,
+           string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm_id) AS band_sig
+    FROM sigs
+    GROUP BY doc_id, 2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+     AND a.doc_id < b.doc_id
+)
+"""
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+    tags=("dedup",),
+    doc="Exact dedup: hash-groupBy on text, canonical = min doc_id.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle="WITH "
+    + MINHASH_CTE
+    + """
+SELECT doc_a, doc_b FROM cand
+""",
+    tags=("dedup", "lsh"),
+    bench=True,
+    doc="MinHash(16 perms) + LSH(8 bands x 2 rows) candidate pairs.",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dd.minhash_signatures(_docs(spark, sf_dir))
+    return dd.lsh_candidate_pairs(sigs)
+
+
+@register(
+    "minhash_near_dups",
+    oracle="WITH "
+    + MINHASH_CTE
+    + """,
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle_hash = sa.shingle_hash
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(round(CAST(COALESCE(i.n_common, 0) * 1.0
+             / (za.n_sh + zb.n_sh - COALESCE(i.n_common, 0)) AS DECIMAL(28,12)), 6)
+            AS DECIMAL(18,6)) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes za ON za.doc_id = c.doc_a
+JOIN sizes zb ON zb.doc_id = c.doc_b
+""",
+    tags=("dedup", "lsh"),
+    doc="LSH candidates verified with exact shingle-set Jaccard.",
+)
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = dd.shingles(docs)
+    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(docs))
+    return dd.jaccard_verify(pairs, sh)
+
+
+@register(
+    "simhash_fingerprints",
+    oracle="WITH "
+    + TOKS_POS_CTE
+    + """,
+tok_h AS (
+    SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+    FROM tokpos
+),
+bits AS (
+    SELECT doc_id, j,
+           CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+    FROM tok_h, unnest(range(0, 32)) AS t(j)
+),
+per_bit AS (
+    SELECT doc_id, j, sum(contrib) AS s FROM bits GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit GROUP BY doc_id
+""",
+    tags=("dedup", "simhash"),
+    doc="32-bit SimHash fingerprints (sign-aggregated token hashes).",
+)
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+@register(
+    "simhash_near_dups",
+    oracle="WITH "
+    + TOKS_POS_CTE
+    + """,
+tok_h AS (
+    SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+    FROM tokpos
+),
+bits AS (
+    SELECT doc_id, j,
+           CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+    FROM tok_h, unnest(range(0, 32)) AS t(j)
+),
+per_bit AS (
+    SELECT doc_id, j, sum(contrib) AS s FROM bits GROUP BY doc_id, j
+),
+fp AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+    FROM per_bit GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+""",
+    tags=("dedup", "simhash"),
+    doc="SimHash near-dup pairs: Hamming distance <= 6 over 32 bits.",
+)
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = dd.simhash_fingerprints(_docs(spark, sf_dir))
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= 6)
+    )
+
+
+@register(
+    "ngram_jaccard_block",
+    oracle="WITH "
+    + SHINGLES_CTE
+    + """,
+blocked AS (SELECT * FROM shingles WHERE doc_id < 60),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM blocked GROUP BY doc_id),
+inter AS (
+    SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_common
+    FROM blocked sa JOIN blocked sb
+      ON sa.shingle_hash = sb.shingle_hash AND sa.doc_id < sb.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(round(CAST(i.n_common * 1.0 / (za.n_sh + zb.n_sh - i.n_common) AS DECIMAL(28,12)), 6)
+            AS DECIMAL(18,6)) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE i.n_common * 1.0 / (za.n_sh + zb.n_sh - i.n_common) >= 0.02
+""",
+    tags=("dedup",),
+    doc="Blocked all-pairs n-gram Jaccard (shingle-join, no explicit cross).",
+)
+def q_ngram_jaccard_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dd.shingles(_docs(spark, sf_dir)).where(F.col("doc_id") < 60)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle_hash")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle_hash").alias("hb"))
+    inter = (
+        sa.join(sb, (F.col("shingle_hash") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .where(jac >= 0.02)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac.cast("decimal(28,12)"), 6)
+            .cast("decimal(18,6)")
+            .alias("jaccard"),
+        )
+    )

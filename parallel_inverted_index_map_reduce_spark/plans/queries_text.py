@@ -1,1 +1,125 @@
-"""Placeholder — filled in as coverage widens."""
+"""Text-analysis + multimodal query specs (SURVEY.md §7 Phase 4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as mm
+from ..operators import textstats as ts
+from ..sources.tables import load_table
+from .queries_dedup import TOKS_POS_CTE
+from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "token_counts",
+    oracle="WITH "
+    + TOKS_POS_CTE
+    + """
+SELECT doc_id, count(*) AS n_tokens,
+       count(DISTINCT tok) AS n_distinct_tokens
+FROM tokpos GROUP BY doc_id
+""",
+    tags=("text",),
+    doc="Whitespace token counting per document.",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.token_counts(_docs(spark, sf_dir))
+
+
+@register(
+    "quality_scores",
+    oracle="WITH "
+    + TOKS_POS_CTE
+    + """
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(round(CAST(sum(length(tok)) * 1.0 / count(*) AS DECIMAL(28,12)), 6)
+            AS DECIMAL(18,6)) AS avg_token_len,
+       CAST(round(CAST(sum(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+                 THEN 1 ELSE 0 END) * 1.0 / count(*) AS DECIMAL(28,12)), 6)
+            AS DECIMAL(18,6)) AS stopword_ratio,
+       CAST(round(CAST(0.4 * (sum(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+                        THEN 1 ELSE 0 END) * 1.0 / count(*))
+           + 0.3 * least(sum(length(tok)) * 1.0 / count(*) / 10.0, 1.0)
+           + 0.3 * least(count(*) * 1.0 / 100.0, 1.0) AS DECIMAL(28,12)), 6)
+            AS DECIMAL(18,6)) AS quality_score
+FROM tokpos GROUP BY doc_id
+""",
+    tags=("text",),
+    doc="Heuristic quality score: stopword ratio + length signals.",
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.quality_scores(_docs(spark, sf_dir))
+
+
+@register(
+    "language_guess",
+    oracle="WITH "
+    + TOKS_POS_CTE
+    + """,
+hits AS (
+    SELECT doc_id,
+           sum(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+               THEN 1 ELSE 0 END) AS en_hits,
+           sum(CASE WHEN tok IN ('el','la','de','los','y','en','es')
+               THEN 1 ELSE 0 END) AS es_hits
+    FROM tokpos GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       COALESCE(h.en_hits, 0) AS en_hits,
+       COALESCE(h.es_hits, 0) AS es_hits,
+       CASE WHEN COALESCE(h.en_hits, 0) > COALESCE(h.es_hits, 0) THEN 'en'
+            WHEN COALESCE(h.es_hits, 0) > COALESCE(h.en_hits, 0) THEN 'es'
+            ELSE 'und' END AS lang_guess,
+       (CASE WHEN COALESCE(h.en_hits, 0) > COALESCE(h.es_hits, 0) THEN 'en'
+             WHEN COALESCE(h.es_hits, 0) > COALESCE(h.en_hits, 0) THEN 'es'
+             ELSE 'und' END) = d.lang AS agrees
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+""",
+    tags=("text",),
+    doc="Stopword-marker language ID vs the labeled lang column.",
+)
+def q_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.language_guess(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_fingerprints",
+    oracle="WITH "
+    + TOKS_POS_CTE
+    + """
+SELECT doc_id,
+       CAST(sum((pos + 1) * (CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                             % 1000003)) % 1000000007 AS BIGINT) AS fingerprint
+FROM tokpos GROUP BY doc_id
+""",
+    tags=("text",),
+    doc="Position-weighted rolling-hash document fingerprint.",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.doc_fingerprints(_docs(spark, sf_dir))
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS BIGINT) AS first_byte,
+       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, length(text), 1)) ELSE -1 END AS BIGINT) AS last_byte,
+       CAST(list_aggregate(list_transform(range(1, length(text) + 1),
+                           i -> ascii(substr(text, i, 1))), 'sum') AS BIGINT) AS byte_sum
+FROM documents
+""",
+    tags=("multimodal",),
+    doc="Arrow-batched (mapInPandas) byte features over a binary payload "
+    "column — the multimodal decode/extract execution path with a "
+    "deterministic fake payload (docs are ASCII, so SQL can mirror it).",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.binary_features(_docs(spark, sf_dir))

@@ -1,0 +1,49 @@
+"""Cross-validation for the non-oracle similarity paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parallel_inverted_index_map_reduce_spark.operators import similarity as sim
+from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+from .conftest import SF_ORACLE
+
+
+def test_fast_topk_matches_exact(spark):
+    """The JVM array-fold path must rank the same neighbors as the
+    decimal oracle path (cosines agree to ~1e-6, ranks exactly)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {
+        (r.vec_a, r.rank): (r.vec_b, r.cosine)
+        for r in sim.ann_topk(emb, k=3, n_queries=5).collect()
+    }
+    fast = {
+        (r.vec_a, r.rank): (r.vec_b, r.cosine)
+        for r in sim.ann_topk_fast(emb, k=3, n_queries=5).collect()
+    }
+    assert set(exact) == set(fast)
+    for key, (vb, cos) in exact.items():
+        fvb, fcos = fast[key]
+        assert fvb == vb, f"{key}: neighbor {fvb} != {vb}"
+        assert abs(fcos - cos) < 1e-5, f"{key}: cosine {fcos} vs {cos}"
+
+
+def test_lsh_neighbors_are_true_neighbors(spark):
+    """Bucketed LSH results must be a subset of real pairs with sane
+    cosines, and bucket-local top-1 should usually agree with global
+    top-1 when both vectors share a bucket."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    lsh = sim.lsh_bucketed_neighbors(emb, n_planes=8, k=3)
+    rows = lsh.collect()
+    assert len(rows) > 0
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+    # buckets must be 8-bit sign strings
+    assert all(len(r.bucket) == 8 and set(r.bucket) <= {"0", "1"} for r in rows)
+
+
+def test_embedding_pairs_symmetric_bound(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    cos = sim.pairwise_cosine(emb, max_query_id=3)
+    rows = cos.collect()
+    assert all(-1.000001 <= r.cosine <= 1.000001 for r in rows)
