@@ -1,0 +1,53 @@
+"""Bucketed-table helpers: the shuffle-elimination story at 100 TB.
+
+A fact-fact join (orders-lineitem) shuffles both sides on the join key
+every query. Writing both tables bucketed by that key co-locates rows
+once at write time; subsequent joins read bucket-aligned scans with NO
+exchange — the plan shows SortMergeJoin over two FileScans and zero
+Exchange nodes (asserted in tests/test_bucketing.py).
+
+At cluster scale the same calls target a metastore-backed table format;
+bucket counts should be sized so bucket × file-size ≈ 128-256 MB.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a DataFrame as a bucketed (+optionally sorted) managed
+    parquet table, replacing any previous version."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # the in-memory catalog forgets tables between sessions but leaves
+    # their files; clear the managed location so re-creation succeeds
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table)
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
+    writer = df.write.format("parquet").mode("overwrite").bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key_left: str, key_right: str
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket keys — Catalyst
+    plans this without any Exchange when bucket specs line up."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, left[key_left] == right[key_right])

@@ -29,6 +29,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = (
     "queries_index",
     "queries_relational",
+    "queries_relational2",
     "queries_dedup",
     "queries_text",
     "queries_similarity",

@@ -47,3 +47,41 @@ def test_streaming_dedup_keeps_all_unique_ids(spark):
     n_stream = got.count()
     n_batch = load_table(spark, SF_ORACLE, "events").select("event_id").distinct().count()
     assert n_stream == n_batch
+
+
+def test_stateful_running_totals(spark):
+    """Custom applyInPandasWithState operator: cumulative per-type
+    totals must equal the batch aggregate after draining the stream."""
+    from pyspark.sql import functions as F
+
+    from parallel_inverted_index_map_reduce_spark.streaming import stateful
+
+    stream = stateful.running_totals_per_type(
+        sev.read_events_stream(spark, SF_ORACLE)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per key per batch; cumulative state means
+    # the max n_events row per key is the final answer
+    got = {}
+    for r in spark.sql("SELECT * FROM t_stateful").collect():
+        cur = got.get(r.event_type)
+        if cur is None or r.n_events > cur[0]:
+            got[r.event_type] = (r.n_events, round(r.sum_value, 6))
+    batch = {
+        r.event_type: (r.n, round(r.s, 6))
+        for r in load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for k in batch:
+        assert got[k][0] == batch[k][0], k
+        assert abs(got[k][1] - batch[k][1]) < 1e-4, k
