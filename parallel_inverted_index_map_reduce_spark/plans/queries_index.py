@@ -220,3 +220,35 @@ FROM tf
 )
 def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.tf_idf(_docs(spark, sf_dir))
+
+
+@register(
+    "index_lines",
+    oracle="WITH "
+    + TOKS_CTE
+    + r""",
+idx1 AS (
+    SELECT word,
+           list_sort(list(DISTINCT doc_id + 1)) AS postings,
+           count(DISTINCT doc_id) AS df
+    FROM toks
+    GROUP BY word
+)
+SELECT substr(word, 1, 1) AS letter,
+       row_number() OVER (
+           PARTITION BY substr(word, 1, 1)
+           ORDER BY df DESC, word ASC
+       ) AS "rank",
+       word || ':[' || array_to_string(postings, ' ') || ']' AS line
+FROM idx1
+""",
+    tags=("index", "sink"),
+    doc="Reference O14+O15: 1-based ids formatted as the exact "
+    "``word:[id1 id2 ...]`` output lines (src/main.cpp:310-317), keyed "
+    "by (letter, rank) for the per-letter sink (O16).",
+)
+def q_index_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.index import format_index_lines
+
+    idx = ix.build_index(_docs(spark, sf_dir), one_based=True)
+    return format_index_lines(idx)

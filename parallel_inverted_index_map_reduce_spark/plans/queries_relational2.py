@@ -121,3 +121,28 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_quantiles"
         ),
     )
+
+
+@register(
+    "skew_salted_sum",
+    oracle="""
+SELECT l_returnflag,
+       SUM(CAST(round(l_quantity, 6) AS DECIMAL(38,8))) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("relational", "agg", "skew"),
+    doc="Two-phase salted aggregation (operators/skew.py): hot keys fan "
+    "out over 16 salted reducers, partials merge per key — result "
+    "identical to the plain plan, proven through the oracle.",
+)
+def q_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_sum
+
+    l = _t(spark, sf_dir, "lineitem")
+    return salted_sum(
+        l,
+        "l_returnflag",
+        F.round("l_quantity", 6).cast("decimal(38,8)"),
+        "sum_qty",
+    )

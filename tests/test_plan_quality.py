@@ -1,0 +1,65 @@
+"""Physical-plan regression guards: the properties that make these
+queries scale must stay visible in the optimized plan — losing one is a
+performance bug even while results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from parallel_inverted_index_map_reduce_spark.plans.registry import all_specs
+
+from .conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _spec_plan(spark, name):
+    return _plan(all_specs()[name].fn(spark, SF_ORACLE))
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _spec_plan(spark, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reached the scan
+    assert "l_orderkey" not in plan.split("ReadSchema:")[1].split("\n")[0]  # pruned
+
+
+def test_shipping_priority_broadcasts_dims(spark):
+    plan = _spec_plan(spark, "shipping_priority")
+    assert "BroadcastExchange" in plan  # customer side broadcast
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter pushed
+
+
+def test_local_supplier_volume_broadcasts(spark):
+    plan = _spec_plan(spark, "local_supplier_volume")
+    assert plan.count("BroadcastExchange") >= 3  # region/nation/cust/supp dims
+
+
+def test_inverted_index_single_agg_shuffle(spark):
+    import re
+
+    plan = _spec_plan(spark, "inverted_index")
+    # formatted output lists each node in tree + detail sections; count
+    # the numbered detail entries only
+    n_shuffles = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    # one Exchange for groupBy(word) + one for the letter window — no more
+    assert n_shuffles <= 2, plan
+
+
+def test_ann_fast_no_component_explode(spark):
+    plan = _spec_plan(spark, "ann_topk_fast")
+    assert "Generate" not in plan  # no posexplode in the fast path
+    assert "BroadcastExchange" in plan  # query side broadcast
+
+
+def test_term_lookup_filter_pushed(spark):
+    plan = _spec_plan(spark, "term_lookup")
+    # the word IN (...) predicate must sit before the aggregation input scan
+    assert "spark" in plan and "query" in plan
