@@ -146,3 +146,87 @@ def q_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_quantity", 6).cast("decimal(38,8)"),
         "sum_qty",
     )
+
+
+@register(
+    "props_map_explode",
+    oracle="""
+SELECT event_id, 'k' AS map_key,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS map_value
+FROM events
+WHERE props IS NOT NULL
+""",
+    tags=("relational", "functions", "map"),
+    doc="Map family: parse the JSON props into map<string,long> and "
+    "explode entries (generic on the Spark side; the oracle exploits "
+    "the fixture's single known key).",
+)
+def q_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(F.col("props").isNotNull())
+        .select(
+            "event_id",
+            F.explode(F.from_json("props", "map<string,bigint>")).alias(
+                "map_key", "map_value"
+            ),
+        )
+    )
+
+
+@register(
+    "datetime_format_functions",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m') AS ym,
+       CAST(extract(dow FROM o_orderdate) + 1 AS BIGINT) AS dow,
+       CAST(extract(week FROM o_orderdate) AS BIGINT) AS iso_week,
+       CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
+FROM orders
+WHERE o_orderkey % 100 = 0
+""",
+    tags=("relational", "functions", "date"),
+    doc="Datetime formatting family: pattern format, day-of-week, ISO "
+    "week, quarter, epoch seconds.",
+)
+def q_datetime_format_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            F.dayofweek("o_orderdate").cast("long").alias("dow"),
+            F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.unix_timestamp("o_orderdate").alias("epoch_sec"),
+        )
+    )
+
+
+@register(
+    "regexp_functions",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\\w+) (\\w+)$', 1) AS adjective,
+       regexp_extract(p_name, '^(\\w+) (\\w+)$', 2) AS noun,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+FROM part
+WHERE regexp_matches(p_name, 'widget|gizmo')
+""",
+    tags=("relational", "functions", "regexp"),
+    doc="Regexp family: group extraction, global replace, pattern filter.",
+)
+def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    pat = r"^(\w+) (\w+)$"
+    return (
+        p.where(F.col("p_name").rlike("widget|gizmo"))
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", pat, 1).alias("adjective"),
+            F.regexp_extract("p_name", pat, 2).alias("noun"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        )
+    )
