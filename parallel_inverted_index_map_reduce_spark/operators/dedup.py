@@ -20,14 +20,16 @@ results exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
+    LSH_BANDS,
     LSH_ROWS,
     MINHASH_A,
     MINHASH_B,
-    minhash_expr,
+    MINHASH_P,
+    NUM_PERM,
     stable_hash32,
 )
 
@@ -53,67 +55,108 @@ def token_positions(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle_hash): distinct hashed n-gram token shingles."""
-    toks = token_positions(docs)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = toks.select(
+    """(doc_id, shingle_hash): distinct hashed n-gram token shingles.
+
+    Built as an array ``transform`` over the token array instead of a
+    ``lead`` window: the window version shuffles + sorts every token by
+    doc_id first, while this is a narrow per-row expression — zero
+    shuffles before the distinct. Output is identical (the SQL oracle
+    still uses the windowed formulation, proving equivalence).
+    """
+    assert n == 3, "shingle width fixed at 3 to keep the codegen expression flat"
+    sh = docs.select(
         "doc_id",
-        F.concat_ws(
-            " ", "tok", *[F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)]
+        F.expr(
+            "filter(split(text, ' '), t -> t != '')"
+        ).alias("tks"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tks) < 3 THEN cast(array() AS array<string>) "
+                "ELSE transform(sequence(0, size(tks) - 3), "
+                "i -> concat_ws(' ', tks[i], tks[i + 1], tks[i + 2])) END"
+            )
         ).alias("shingle"),
-        *[F.lead("tok", i).over(w).alias(f"_t{i}") for i in range(1, n)],
     )
-    for i in range(1, n):
-        sh = sh.where(F.col(f"_t{i}").isNotNull())
     return (
         sh.select("doc_id", stable_hash32(F.col("shingle")).alias("shingle_hash"))
         .distinct()
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, perm_id, minhash): one row per doc per permutation.
+def minhash_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh15): the whole signature in ONE aggregation.
 
-    The permutation table is a 16-row literal — the cross join is a
-    broadcast nested loop over a tiny side, then one groupBy(doc, perm).
+    Each permutation is its own ``min`` aggregate over the shingle
+    hashes, so the 16-way signature costs a single groupBy(doc_id) with
+    map-side partial mins — no permutation explode (16x row blow-up),
+    no second aggregation. This is the shape that scales: shuffle
+    volume is one row per (doc, distinct shingle), reduced map-side.
     """
     sh = shingles(docs)
-    spark = docs.sparkSession
-    perms = spark.createDataFrame(
-        [(i, MINHASH_A[i], MINHASH_B[i]) for i in range(len(MINHASH_A))],
-        "perm_id INT, a LONG, b LONG",
-    )
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm_id")
-        .agg(
-            F.min(
-                (F.col("a") * F.col("shingle_hash") + F.col("b"))
-                % F.lit(4_294_967_311)
-            ).alias("minhash")
-        )
-    )
+    p = F.lit(MINHASH_P)
+    aggs = [
+        F.min(
+            (F.lit(MINHASH_A[i]) * F.col("shingle_hash") + F.lit(MINHASH_B[i])) % p
+        ).alias(f"mh{i}")
+        for i in range(NUM_PERM)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Band the signatures and emit distinct candidate (doc_a, doc_b)
-    pairs that collide in at least one band."""
-    banded = signatures.withColumn(
-        "band_id", F.floor(F.col("perm_id") / F.lit(LSH_ROWS)).cast("int")
-    )
-    sigs = (
-        banded.groupBy("doc_id", "band_id")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("perm_id", "minhash"))
-                    ),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-            ).alias("band_sig")
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, perm_id, minhash): the long-form signature view,
+    unpivoted from :func:`minhash_table` (kept for API symmetry with
+    the reference literature; the engine's own pipeline stays wide)."""
+    mh = minhash_table(docs)
+    kv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("perm_id"), F.col(f"mh{i}").alias("minhash")
+                )
+                for i in range(NUM_PERM)
+            ]
         )
+    ).alias("kv")
+    return mh.select("doc_id", kv).select("doc_id", "kv.perm_id", "kv.minhash")
+
+
+def lsh_candidate_pairs(docs_or_table: DataFrame) -> DataFrame:
+    """Distinct candidate (doc_a, doc_b) pairs colliding in >= 1 band.
+
+    Accepts either the documents table or a precomputed
+    :func:`minhash_table` output (detected by column names). Band
+    signatures are plain column concats of the wide signature — built
+    without any aggregation — and the only shuffle is the band-sig
+    equi-join itself.
+    """
+    if "mh0" in docs_or_table.columns:
+        mh = docs_or_table
+    elif "text" in docs_or_table.columns:
+        mh = minhash_table(docs_or_table)
+    else:
+        raise ValueError("expected documents or minhash_table output")
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * LSH_ROWS + r}").cast("string")
+                            for r in range(LSH_ROWS)
+                        ],
+                    ).alias("band_sig"),
+                )
+                for b in range(LSH_BANDS)
+            ]
+        )
+    ).alias("bs")
+    sigs = mh.select("doc_id", bands).select(
+        "doc_id", "bs.band_id", "bs.band_sig"
     )
     a = sigs.alias("a")
     b = sigs.alias("b")

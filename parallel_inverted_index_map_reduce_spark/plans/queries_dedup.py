@@ -112,8 +112,7 @@ SELECT doc_a, doc_b FROM cand
     doc="MinHash(16 perms) + LSH(8 bands x 2 rows) candidate pairs.",
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = dd.minhash_signatures(_docs(spark, sf_dir))
-    return dd.lsh_candidate_pairs(sigs)
+    return dd.lsh_candidate_pairs(_docs(spark, sf_dir))
 
 
 @register(
@@ -144,7 +143,7 @@ JOIN sizes zb ON zb.doc_id = c.doc_b
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sh = dd.shingles(docs)
-    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(docs))
+    pairs = dd.lsh_candidate_pairs(docs)
     return dd.jaccard_verify(pairs, sh)
 
 
