@@ -230,3 +230,36 @@ def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
         )
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, round(value, 6) AS value
+FROM (
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax
+    FROM lineitem WHERE l_linenumber = 1
+)
+""",
+    tags=("relational", "reshape"),
+    doc="Unpivot/melt: wide measure columns to long (measure, value) rows.",
+)
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_replace("measure", "^l_", "").alias("measure"),
+        F.round("value", 6).alias("value"),
+    )
