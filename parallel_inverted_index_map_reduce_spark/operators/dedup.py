@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.exprs import stable_round6
 from ..functions.hashing import (
     LSH_BANDS,
     LSH_ROWS,
@@ -198,15 +199,10 @@ def jaccard_verify(pairs: DataFrame, doc_shingles: DataFrame) -> DataFrame:
             "doc_b",
             # decimal round-trip: integer ratios can land on exact
             # decimal ties where double round(…,6) differs per engine
-            F.round(
-                (
-                    F.col("n_common")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-                ).cast("decimal(28,12)"),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("jaccard"),
+            stable_round6(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
         )
     )
 

@@ -54,13 +54,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         + 0.3 * F.least(avg_len / 10.0, F.lit(1.0))
         + 0.3 * F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
     )
-    # Ratios of small ints land on exact decimal ties (e.g. x/32 =
-    # 0.2569375) where Spark (shortest-string half-up) and DuckDB
-    # (exact-binary) round(…, 6) disagree. Casting through a
-    # high-scale decimal first absorbs the binary error so both
-    # engines then round the same decimal half-up.
-    def _stable6(c):
-        return F.round(c.cast("decimal(28,12)"), 6).cast("decimal(18,6)")
+    from ..plans.exprs import stable_round6 as _stable6
 
     return per_doc.select(
         "doc_id",

@@ -51,3 +51,19 @@ def sql_davg(expr: str, alias: str) -> str:
         f"CAST(round(SUM(CAST(round({expr}, 6) AS DECIMAL(38,8)))"
         f" / COUNT({expr}), 6) AS DECIMAL(18,6)) AS {alias}"
     )
+
+
+def stable_round6(col: Column) -> Column:
+    """Cross-engine round-to-6 for ratio-valued doubles.
+
+    Ratios of small integers land on exact decimal ties (e.g. x/32 =
+    0.2569375) where Spark (shortest-string half-up) and DuckDB
+    (exact-binary) round(…, 6) disagree; casting through a high-scale
+    decimal first absorbs the binary error so both engines round the
+    same decimal half-up.
+    """
+    return F.round(col.cast("decimal(28,12)"), 6).cast("decimal(18,6)")
+
+
+def sql_stable_round6(expr: str) -> str:
+    return f"CAST(round(CAST({expr} AS DECIMAL(28,12)), 6) AS DECIMAL(18,6))"

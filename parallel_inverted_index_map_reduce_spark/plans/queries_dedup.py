@@ -17,6 +17,7 @@ from ..functions.hashing import (
     MINHASH_P,
 )
 from ..operators import dedup as dd
+from .exprs import stable_round6
 from ..sources.tables import load_table
 from .registry import register
 
@@ -256,11 +257,5 @@ def q_ngram_jaccard_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
         .where(jac >= 0.02)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(jac.cast("decimal(28,12)"), 6)
-            .cast("decimal(18,6)")
-            .alias("jaccard"),
-        )
+        .select("doc_a", "doc_b", stable_round6(jac).alias("jaccard"))
     )

@@ -263,3 +263,45 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("measure", "^l_", "").alias("measure"),
         F.round("value", 6).alias("value"),
     )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS last_order,
+       nth_value(o_orderkey, 2) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_order,
+       CAST(round(CAST(percent_rank() OVER w AS DECIMAL(28,12)), 6)
+            AS DECIMAL(18,6)) AS pct_rank,
+       CAST(round(CAST(cume_dist() OVER w AS DECIMAL(28,12)), 6)
+            AS DECIMAL(18,6)) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("relational", "window"),
+    doc="Window value/distribution family: first/last/nth value, "
+    "percent_rank, cume_dist over deterministic ordering.",
+)
+def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    from .exprs import stable_round6 as _stable6
+
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+        _stable6(F.percent_rank().over(w)).alias("pct_rank"),
+        _stable6(F.cume_dist().over(w)).alias("cume"),
+    )
