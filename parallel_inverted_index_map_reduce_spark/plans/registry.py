@@ -30,6 +30,7 @@ _MODULES = (
     "queries_index",
     "queries_relational",
     "queries_relational2",
+    "queries_events",
     "queries_dedup",
     "queries_text",
     "queries_similarity",
