@@ -15,7 +15,11 @@ to whole-document dedup at training-pipeline scale:
             small Hamming distance (bit_count(xor)).
 
 All hashing uses functions/hashing.py so the DuckDB oracle reproduces
-results exactly.
+results exactly. The LSH-prune-then-verify shape follows the MapReduce
+similarity-join literature (PAPERS.md: "Parallel Top-K Similarity Join
+Algorithms Using MapReduce", ICDE 2012; "PHiDJ: Parallel similarity
+self-join for high-dimensional vector data with MapReduce", ICDE 2014 —
+patterns only, no code reuse).
 """
 
 from __future__ import annotations

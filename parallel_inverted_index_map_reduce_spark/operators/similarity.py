@@ -11,6 +11,10 @@ Two paths, per SURVEY.md §7 Phase 4:
   shape you'd run at 100 TB, combined with bucketing: the LSH variant
   prunes candidates by random-hyperplane sign buckets so the join is
   bucket-local instead of full cross.
+
+PHiDJ (ICDE 2014, PAPERS.md) motivates the bucketed self-join shape for
+high-dimensional vectors; the hyperplane-bucket variant below is that
+idea with sign-LSH partitioning (patterns only, no code reuse).
 """
 
 from __future__ import annotations
