@@ -211,6 +211,79 @@ def jaccard_verify(pairs: DataFrame, doc_shingles: DataFrame) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 6
+
+
+def simhash_blocks(max_hamming: int = SIMHASH_MAX_HAMMING) -> list[tuple[int, int]]:
+    """(offset, width) per pigeonhole block: ``max_hamming + 1`` disjoint
+    bit blocks of the 32-bit fingerprint. If two fingerprints differ in
+    at most ``max_hamming`` bits, at least one block is bit-identical —
+    so an equi-join on any equal block finds every qualifying pair."""
+    n_blocks = max_hamming + 1
+    base, rem = divmod(SIMHASH_BITS, n_blocks)
+    blocks, off = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < rem else 0)
+        blocks.append((off, width))
+        off += width
+    return blocks
+
+
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs with Hamming(simhash) <= max_hamming.
+
+    Scale shape: NOT an all-pairs join. Each fingerprint explodes into
+    ``max_hamming + 1`` (block_id, block_val) keys (pigeonhole banding,
+    same prune-then-verify shape as the MinHash LSH band join above);
+    candidates come from the (block_id, block_val) equi-join and only
+    those are verified with bit_count(xor). Shuffle volume is
+    O(docs * n_blocks), never O(docs^2).
+    """
+    fp = simhash_fingerprints(docs)
+    blocks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("block_id"),
+                    F.shiftright(F.col("simhash"), off)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("block_val"),
+                )
+                for i, (off, width) in enumerate(simhash_blocks(max_hamming))
+            ]
+        )
+    ).alias("blk")
+    keyed = fp.select("doc_id", "simhash", blocks).select(
+        "doc_id", "simhash", "blk.block_id", "blk.block_val"
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sa"),
+        "block_id",
+        "block_val",
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sb"),
+        "block_id",
+        "block_val",
+    )
+    cand = (
+        a.join(b, ["block_id", "block_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 32-bit sign-aggregated token-hash fingerprint."""
     toks = token_positions(docs).select(

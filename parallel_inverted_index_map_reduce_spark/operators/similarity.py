@@ -141,20 +141,16 @@ def ann_topk_fast(emb: DataFrame, k: int = 3, n_queries: int = 5) -> DataFrame:
     )
 
 
-def lsh_bucketed_neighbors(
-    emb: DataFrame, n_planes: int = 8, k: int = 3
-) -> DataFrame:
-    """Random-hyperplane LSH: bucket = sign-bit string of projections
-    onto ``n_planes`` pseudo-random planes (deterministic, derived from
-    component-index hashes); candidate pairs are bucket-local.
+def hyperplane_buckets(emb: DataFrame, n_planes: int = 8) -> DataFrame:
+    """(vec_id, bucket): random-hyperplane sign-LSH bucket assignment.
 
-    At 100 TB this replaces the full cross join: buckets partition the
-    corpus, the pair join is per-bucket, and recall is tuned by
-    (n_planes, multi-probe). Returns bucket-local top-k per vector.
+    Plane weights w[p][i] in {-1, +1} come from a hash of (p, i) —
+    shared-nothing, reproducible anywhere (including the SQL oracle).
+    Projections sum as decimals so the sign is partition-order
+    independent: a double sum could flip sign near zero between two
+    runs (or two engines), silently moving a vector across buckets.
     """
     comp = components(emb)
-    # plane weights w[p][i] in {-1, +1} from a hash of (p, i) — shared
-    # nothing, reproducible anywhere.
     planes = comp.select("vec_id", "i", "x").crossJoin(
         F.broadcast(
             emb.sparkSession.range(n_planes).select(F.col("id").cast("int").alias("p"))
@@ -163,14 +159,17 @@ def lsh_bucketed_neighbors(
     signs = planes.select(
         "vec_id",
         "p",
-        (
+        F.round(
             F.col("x")
             * F.when(
                 stable_hash32(F.concat_ws("_", F.col("p"), F.col("i"))) % 2 == 0, 1.0
-            ).otherwise(-1.0)
-        ).alias("proj"),
+            ).otherwise(-1.0),
+            7,
+        )
+        .cast(DEC)
+        .alias("proj"),
     )
-    buckets = (
+    return (
         signs.groupBy("vec_id", "p")
         .agg(F.sum("proj").alias("s"))
         .groupBy("vec_id")
@@ -184,7 +183,71 @@ def lsh_bucketed_neighbors(
             ).alias("bucket")
         )
     )
-    withb = emb.join(buckets, "vec_id")
+
+
+def bucketed_near_dups(
+    emb: DataFrame, n_planes: int = 4, threshold: float = 0.35
+) -> DataFrame:
+    """(vec_a, vec_b, cosine): same-bucket pairs with exact decimal
+    cosine >= threshold.
+
+    The 100 TB shape for embedding near-dup mining: hyperplane buckets
+    prune the candidate space (the pair join is an equi-join on the
+    bucket string — never a full cross product), and the exact
+    cross-engine decimal cosine runs only on in-bucket pairs. Recall
+    is tuned by n_planes (fewer planes = bigger buckets = higher
+    recall); multi-probe or plane-rotation repeats recover the rest.
+    """
+    buckets = hyperplane_buckets(emb, n_planes)
+    a = buckets.select(F.col("vec_id").alias("vec_a"), "bucket")
+    b = buckets.select(F.col("vec_id").alias("vec_b"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
+    comp = components(emb)
+    ca = comp.withColumnsRenamed({"vec_id": "vec_a", "x": "xa"})
+    cb = comp.withColumnsRenamed({"vec_id": "vec_b", "x": "xb"})
+    dots = (
+        pairs.join(ca, "vec_a")
+        .join(cb, ["vec_b", "i"])
+        .groupBy("vec_a", "vec_b")
+        .agg(_decimal_dot(F.col("xa"), F.col("xb")).alias("dot"))
+    )
+    nrm = norms(emb)
+    na = nrm.select(F.col("vec_id").alias("vec_a"), F.col("norm_sq").alias("na"))
+    nb = nrm.select(F.col("vec_id").alias("vec_b"), F.col("norm_sq").alias("nb"))
+    cos = (
+        dots.join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return cos.where(F.col("cosine") >= threshold)
+
+
+def lsh_bucketed_neighbors(
+    emb: DataFrame, n_planes: int = 8, k: int = 3
+) -> DataFrame:
+    """Random-hyperplane LSH bucketed top-k: candidate pairs are
+    bucket-local (see :func:`hyperplane_buckets`).
+
+    At 100 TB this replaces the full cross join: buckets partition the
+    corpus, the pair join is per-bucket, and recall is tuned by
+    (n_planes, multi-probe). Returns bucket-local top-k per vector.
+    """
+    withb = emb.join(hyperplane_buckets(emb, n_planes), "vec_id")
     a = withb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"), "bucket"
     )

@@ -40,10 +40,15 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     score = 0.4 * stopword_ratio
           + 0.3 * min(avg_token_len / 10, 1)
           + 0.3 * min(n_tokens / 100, 1)
+
+    ONE aggregation also carries the token counts (n_tokens,
+    n_distinct_tokens): counting and scoring share the tokenize +
+    groupBy(doc_id) shuffle instead of paying it twice.
     """
     toks = token_positions(docs)
     per_doc = toks.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
         F.sum(F.length("tok")).alias("sum_len"),
         F.sum(F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0)).alias("n_stop"),
     )
@@ -59,6 +64,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     return per_doc.select(
         "doc_id",
         "n_tokens",
+        "n_distinct_tokens",
         _stable6(avg_len).alias("avg_token_len"),
         _stable6(stop_ratio).alias("stopword_ratio"),
         _stable6(score).alias("quality_score"),

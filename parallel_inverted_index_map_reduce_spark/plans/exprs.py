@@ -5,19 +5,27 @@ in the last ulps between Spark (partition-parallel reduction) and any
 other engine — and between two Spark runs with different partitioning.
 Summing as decimal makes the reduction exact and order-independent.
 
-Two measured cross-engine pitfalls shape the pattern (verified row-by-row
-on sf0.1, 600k rows):
+Three measured cross-engine pitfalls shape the pattern (verified
+row-by-row on sf0.1, 600k rows):
 - Spark's double->decimal cast goes through the double's shortest decimal
   representation (java BigDecimal.valueOf) while DuckDB converts the
   exact binary value. Pre-rounding the double at 6 decimals makes the
   per-row decimals bit-identical in both engines.
 - DuckDB's decimal->double cast is NOT correctly rounded (int128/10^k in
   float arithmetic, observed 1 ulp off), while Spark's is. So the stable
-  aggregate keeps the DECIMAL as the result type instead of casting back.
+  aggregate never casts back to double.
+- The two engines materialize DECIMAL differently client-side (Spark
+  toPandas -> decimal.Decimal objects; DuckDB -> float64), so equal
+  values hash differently in a pandas-level comparison. The final
+  output column is therefore the decimal rendered as a STRING — both
+  engines print fixed-scale decimals identically ("1.50000000",
+  "-2.25000000", "0.00000000"; verified value-by-value including
+  negative-zero rounding), so the client sees the same object either
+  way.
 
-The result column is decimal(38,8) for sums and decimal(18,6) for
-averages — exact, deterministic under any partitioning, and identical
-in Spark and DuckDB.
+Internally the math stays decimal(38,8) for sums and decimal(18,6) for
+averages — exact, deterministic under any partitioning; only the final
+projection is a string.
 """
 
 from __future__ import annotations
@@ -28,42 +36,64 @@ from pyspark.sql import functions as F
 DEC = "decimal(38,8)"
 
 
+def dsum_dec(col: Column) -> Column:
+    """The internal decimal sum (exact, order-independent). Use this when
+    the result feeds further computation (HAVING, ratios); render with
+    ``as_str`` in the final projection."""
+    return F.sum(F.round(col, 6).cast(DEC))
+
+
+def as_str(col: Column) -> Column:
+    """Render a decimal result as its fixed-scale string (the only
+    client-visible type that materializes identically in both engines)."""
+    return col.cast("string")
+
+
 def dsum(col: Column, alias: str) -> Column:
     """Order-stable, cross-engine-stable sum of a double expression."""
-    return F.sum(F.round(col, 6).cast(DEC)).alias(alias)
+    return dsum_dec(col).cast("string").alias(alias)
 
 
 def davg(col: Column, alias: str) -> Column:
     """Order-stable average: exact decimal sum / non-null count, rounded."""
     return (
-        F.round(F.sum(F.round(col, 6).cast(DEC)) / F.count(col), 6)
+        F.round(dsum_dec(col) / F.count(col), 6)
         .cast("decimal(18,6)")
+        .cast("string")
         .alias(alias)
     )
 
 
+def sql_dsum_dec(expr: str) -> str:
+    return f"SUM(CAST(round({expr}, 6) AS DECIMAL(38,8)))"
+
+
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"SUM(CAST(round({expr}, 6) AS DECIMAL(38,8))) AS {alias}"
+    return f"CAST({sql_dsum_dec(expr)} AS VARCHAR) AS {alias}"
 
 
 def sql_davg(expr: str, alias: str) -> str:
     return (
-        f"CAST(round(SUM(CAST(round({expr}, 6) AS DECIMAL(38,8)))"
-        f" / COUNT({expr}), 6) AS DECIMAL(18,6)) AS {alias}"
+        f"CAST(CAST(round({sql_dsum_dec(expr)}"
+        f" / COUNT({expr}), 6) AS DECIMAL(18,6)) AS VARCHAR) AS {alias}"
     )
 
 
 def stable_round6(col: Column) -> Column:
-    """Cross-engine round-to-6 for ratio-valued doubles.
+    """Cross-engine round-to-6 for ratio-valued doubles, as a string.
 
     Ratios of small integers land on exact decimal ties (e.g. x/32 =
     0.2569375) where Spark (shortest-string half-up) and DuckDB
     (exact-binary) round(…, 6) disagree; casting through a high-scale
     decimal first absorbs the binary error so both engines round the
-    same decimal half-up.
+    same decimal half-up. The final string cast keeps the client-side
+    representation identical too (see module docstring).
     """
-    return F.round(col.cast("decimal(28,12)"), 6).cast("decimal(18,6)")
+    return F.round(col.cast("decimal(28,12)"), 6).cast("decimal(18,6)").cast("string")
 
 
 def sql_stable_round6(expr: str) -> str:
-    return f"CAST(round(CAST({expr} AS DECIMAL(28,12)), 6) AS DECIMAL(18,6))"
+    return (
+        f"CAST(CAST(round(CAST({expr} AS DECIMAL(28,12)), 6)"
+        " AS DECIMAL(18,6)) AS VARCHAR)"
+    )

@@ -130,9 +130,9 @@ inter AS (
     GROUP BY c.doc_a, c.doc_b
 )
 SELECT c.doc_a, c.doc_b,
-       CAST(round(CAST(COALESCE(i.n_common, 0) * 1.0
+       CAST(CAST(round(CAST(COALESCE(i.n_common, 0) * 1.0
              / (za.n_sh + zb.n_sh - COALESCE(i.n_common, 0)) AS DECIMAL(28,12)), 6)
-            AS DECIMAL(18,6)) AS jaccard
+            AS DECIMAL(18,6)) AS VARCHAR) AS jaccard
 FROM cand c
 LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes za ON za.doc_id = c.doc_a
@@ -204,18 +204,13 @@ FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 """,
     tags=("dedup", "simhash"),
-    doc="SimHash near-dup pairs: Hamming distance <= 6 over 32 bits.",
+    doc="SimHash near-dup pairs: Hamming distance <= 6 over 32 bits. The "
+    "engine uses pigeonhole banding (7 bit-blocks, equi-join on any "
+    "equal block, verify bit_count(xor)) — the oracle stays the naive "
+    "all-pairs formulation, proving the banding drops no pair.",
 )
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = dd.simhash_fingerprints(_docs(spark, sf_dir))
-    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
-    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .where(F.col("hamming") <= 6)
-    )
+    return dd.simhash_near_dups(_docs(spark, sf_dir), max_hamming=6)
 
 
 @register(
@@ -232,8 +227,8 @@ inter AS (
     GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,
-       CAST(round(CAST(i.n_common * 1.0 / (za.n_sh + zb.n_sh - i.n_common) AS DECIMAL(28,12)), 6)
-            AS DECIMAL(18,6)) AS jaccard
+       CAST(CAST(round(CAST(i.n_common * 1.0 / (za.n_sh + zb.n_sh - i.n_common) AS DECIMAL(28,12)), 6)
+            AS DECIMAL(18,6)) AS VARCHAR) AS jaccard
 FROM inter i
 JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b

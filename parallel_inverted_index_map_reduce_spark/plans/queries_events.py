@@ -59,59 +59,47 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "daily_active_users",
-    oracle="""
-SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-       count(DISTINCT user_id) AS dau,
-       count(*) AS n_events
-FROM events GROUP BY 1
-""",
-    tags=("events", "agg"),
-    doc="Daily active users: distinct-count per calendar day.",
-)
-def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
-    return e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.countDistinct("user_id").alias("dau"),
-        F.count("*").alias("n_events"),
-    )
-
-
-@register(
-    "next_day_retention",
+    "dau_retention",
     oracle="""
 WITH du AS (
     SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
     FROM events
+),
+dau AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(DISTINCT user_id) AS dau,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+),
+ret AS (
+    SELECT a.day, count(b.user_id) AS retained_next_day
+    FROM du a
+    LEFT JOIN du b
+      ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+    GROUP BY a.day
 )
-SELECT a.day, count(*) AS active_users, count(b.user_id) AS retained_next_day
-FROM du a
-LEFT JOIN du b
-  ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
-GROUP BY a.day
+SELECT d.day, d.dau, d.n_events, r.retained_next_day
+FROM dau d JOIN ret r ON r.day = d.day
 """,
-    tags=("events", "join"),
-    doc="Day-over-day cohort retention: self-join of per-day distinct "
-    "users on (user, day+1).",
+    tags=("events", "agg", "join"),
+    doc="Daily active users + day-over-day cohort retention in one "
+    "day-keyed result: distinct-count per calendar day joined with the "
+    "(user, day+1) self-join of per-day distinct users.",
 )
-def q_next_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dau_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
-    du = e.select(
-        F.date_trunc("day", "ts").alias("day"), "user_id"
-    ).distinct()
+    dau = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count("*").alias("n_events"),
+    )
+    du = e.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
     b = du.select(
         (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day"),
         F.col("user_id").alias("user_b"),
     )
-    return (
-        du.join(
-            b,
-            (du.user_id == b.user_b) & (du.day == b.day),
-            "left",
-        )
+    ret = (
+        du.join(b, (du.user_id == b.user_b) & (du.day == b.day), "left")
         .groupBy(du.day.alias("day"))
-        .agg(
-            F.count("*").alias("active_users"),
-            F.count("user_b").alias("retained_next_day"),
-        )
+        .agg(F.count("user_b").alias("retained_next_day"))
     )
+    return dau.join(ret, "day")

@@ -52,7 +52,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH "
     + INDEX_CTE
     + r"""
-SELECT substr(word, 1, 1) AS letter, word, df, postings,
+SELECT substr(word, 1, 1) AS letter, word, df,
+       array_to_string(postings, ' ') AS postings,
        row_number() OVER (
            PARTITION BY substr(word, 1, 1)
            ORDER BY df DESC, word ASC
@@ -61,20 +62,29 @@ FROM idx
 """,
     tags=("index", "flagship"),
     bench=True,
-    doc="Full reference pipeline O2,O4-O13: (letter, word, df, postings, rank).",
+    doc="Full reference pipeline O2,O4-O13: (letter, word, df, postings, "
+    "rank). Postings render as a space-joined string: the sorted-array "
+    "serialization is part of the sink contract (O15) and keeps the "
+    "result scalar-typed for any client.",
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ix.build_index(_docs(spark, sf_dir))
+    idx = ix.build_index(_docs(spark, sf_dir))
+    return idx.withColumn("postings", F.array_join("postings", " "))
 
 
 @register(
     "postings_flat",
-    oracle="WITH " + TOKS_CTE + "SELECT DISTINCT word, doc_id FROM toks",
+    oracle="WITH "
+    + TOKS_CTE
+    + "SELECT word, doc_id, count(*) AS tf FROM toks GROUP BY word, doc_id",
     tags=("index",),
-    doc="Reference O8: distinct (word, doc_id) pairs — the scalable flat index form.",
+    doc="Reference O8 + the tf extension in one pass: the row set IS the "
+    "distinct (word, doc_id) pairs (main.cpp:183-200's dedup-on-insert), "
+    "and tf carries the occurrence count the reference discards "
+    "(SURVEY.md §7 Phase 2) — the scalable flat index form.",
 )
 def q_postings_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ix.postings_flat(_docs(spark, sf_dir))
+    return ix.term_frequencies(_docs(spark, sf_dir))
 
 
 @register(
@@ -90,87 +100,59 @@ def q_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "term_frequency",
-    oracle="WITH "
-    + TOKS_CTE
-    + "SELECT word, doc_id, count(*) AS tf FROM toks GROUP BY word, doc_id",
-    tags=("index",),
-    doc="tf extension (SURVEY.md §7 Phase 2): occurrences before dedup.",
-)
-def q_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ix.term_frequencies(_docs(spark, sf_dir))
-
-
-@register(
     "term_lookup",
     oracle="WITH "
     + INDEX_CTE
     + r"""
-SELECT word, df, postings FROM idx WHERE word IN ('spark', 'query')
+SELECT word, df, array_to_string(postings, ' ') AS postings
+FROM idx WHERE word IN ('spark', 'query')
 """,
     tags=("index", "search"),
     doc="Point lookup on the index (filter pushes to the stored-index scan).",
 )
 def q_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ix.build_index(_docs(spark, sf_dir))
-    return ix.term_lookup(idx, ["spark", "query"]).select("word", "df", "postings")
+    return ix.term_lookup(idx, ["spark", "query"]).select(
+        "word", "df", F.array_join("postings", " ").alias("postings")
+    )
 
 
 @register(
-    "boolean_and",
+    "boolean_search",
     oracle="WITH "
     + INDEX_CTE
     + r""",
 a AS (SELECT postings AS p1 FROM idx WHERE word = 'spark'),
 b AS (SELECT postings AS p2 FROM idx WHERE word = 'query')
-SELECT 'spark' AS term1, 'query' AS term2,
-       list_sort(list_intersect(p1, p2)) AS doc_ids
+SELECT 'and' AS op, 'spark' AS term1, 'query' AS term2,
+       array_to_string(list_sort(list_intersect(p1, p2)), ' ') AS doc_ids
+FROM a, b
+UNION ALL
+SELECT 'or', 'spark', 'query',
+       array_to_string(list_sort(list_distinct(list_concat(p1, p2))), ' ')
+FROM a, b
+UNION ALL
+SELECT 'not', 'spark', 'query',
+       array_to_string(list_sort(list_filter(p1, x -> NOT list_contains(p2, x))), ' ')
 FROM a, b
 """,
     tags=("index", "search"),
-    doc="Boolean AND search: posting-list intersection (array_intersect).",
+    doc="Boolean search over posting lists: AND (array_intersect), OR "
+    "(array_union), NOT (array_except) in one labeled result.",
 )
-def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ix.build_index(_docs(spark, sf_dir))
-    return ix.boolean_and(idx, "spark", "query")
-
-
-@register(
-    "boolean_or",
-    oracle="WITH "
-    + INDEX_CTE
-    + r""",
-a AS (SELECT postings AS p1 FROM idx WHERE word = 'spark'),
-b AS (SELECT postings AS p2 FROM idx WHERE word = 'query')
-SELECT 'spark' AS term1, 'query' AS term2,
-       list_sort(list_distinct(list_concat(p1, p2))) AS doc_ids
-FROM a, b
-""",
-    tags=("index", "search"),
-    doc="Boolean OR search: posting-list union (array_union).",
-)
-def q_boolean_or(spark: SparkSession, sf_dir: str) -> DataFrame:
-    idx = ix.build_index(_docs(spark, sf_dir))
-    return ix.boolean_or(idx, "spark", "query")
-
-
-@register(
-    "boolean_not",
-    oracle="WITH "
-    + INDEX_CTE
-    + r""",
-a AS (SELECT postings AS p1 FROM idx WHERE word = 'spark'),
-b AS (SELECT postings AS p2 FROM idx WHERE word = 'query')
-SELECT 'spark' AS term1, 'query' AS term2,
-       list_sort(list_filter(p1, x -> NOT list_contains(p2, x))) AS doc_ids
-FROM a, b
-""",
-    tags=("index", "search"),
-    doc="Boolean NOT search: posting-list difference (array_except).",
-)
-def q_boolean_not(spark: SparkSession, sf_dir: str) -> DataFrame:
-    idx = ix.build_index(_docs(spark, sf_dir))
-    return ix.boolean_not(idx, "spark", "query")
+    parts = [
+        ix.boolean_and(idx, "spark", "query").withColumn("op", F.lit("and")),
+        ix.boolean_or(idx, "spark", "query").withColumn("op", F.lit("or")),
+        ix.boolean_not(idx, "spark", "query").withColumn("op", F.lit("not")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "op", "term1", "term2", F.array_join("doc_ids", " ").alias("doc_ids")
+    )
 
 
 @register(

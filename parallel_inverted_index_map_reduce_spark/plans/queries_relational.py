@@ -73,97 +73,83 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rollup_orders",
+    "grouping_analytics",
     oracle="""
-SELECT o_orderstatus, o_orderpriority,
-       count(*) AS n_orders,
-       SUM(CAST(round(o_totalprice, 6) AS DECIMAL(38,8))) AS total_price,
-       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
-       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+SELECT 'orders_rollup' AS source,
+       o_orderstatus AS key1, o_orderpriority AS key2,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice, 6) AS DECIMAL(38,8))) AS VARCHAR) AS sum_measure,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS g1,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g2
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-""",
-    tags=("relational", "agg"),
-    doc="Hierarchical subtotals via ROLLUP with grouping indicators.",
-)
-def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        dsum(F.col("o_totalprice"), "total_price"),
-        F.grouping("o_orderstatus").cast("long").alias("g_status"),
-        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
-    )
-
-
-@register(
-    "cube_lineitem",
-    oracle="""
-SELECT l_returnflag, l_linestatus,
-       count(*) AS n_items,
-       SUM(CAST(round(l_quantity, 6) AS DECIMAL(38,8))) AS sum_qty,
-       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
-       CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+UNION ALL
+SELECT 'lineitem_cube',
+       l_returnflag, l_linestatus,
+       count(*),
+       CAST(SUM(CAST(round(l_quantity, 6) AS DECIMAL(38,8))) AS VARCHAR),
+       CAST(grouping(l_returnflag) AS BIGINT),
+       CAST(grouping(l_linestatus) AS BIGINT)
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
-""",
-    tags=("relational", "agg"),
-    doc="All grouping combinations via CUBE.",
-)
-def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
-    return l.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n_items"),
-        dsum(F.col("l_quantity"), "sum_qty"),
-        F.grouping("l_returnflag").cast("long").alias("g_flag"),
-        F.grouping("l_linestatus").cast("long").alias("g_status"),
-    )
-
-
-@register(
-    "grouping_sets_events",
-    oracle="""
-SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-       count(*) AS n_events,
-       SUM(CAST(round(value, 6) AS DECIMAL(38,8))) AS sum_value
+UNION ALL
+SELECT 'events_gsets',
+       event_type, CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR),
+       count(*),
+       CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,8))) AS VARCHAR),
+       CAST(grouping(event_type) AS BIGINT),
+       CAST(grouping(date_trunc('day', ts)) AS BIGINT)
 FROM events
-GROUP BY GROUPING SETS ((event_type), (day), ())
+GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
 """,
     tags=("relational", "agg"),
-    doc="Explicit GROUPING SETS (by type, by day, grand total).",
+    doc="The multi-dimensional aggregation family in one labeled result: "
+    "ROLLUP (hierarchical subtotals over orders), CUBE (all combinations "
+    "over lineitem), and explicit GROUPING SETS (by type / by day / "
+    "grand total over events), each with grouping() indicators. HAVING "
+    "is covered by large_volume_orders.",
 )
-def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "events").createOrReplaceTempView("gs_events")
-    return spark.sql(
-        """
-        SELECT event_type, date_trunc('day', ts) AS day,
-               count(*) AS n_events,
-               SUM(CAST(round(value, 6) AS DECIMAL(38,8))) AS sum_value
-        FROM gs_events
-        GROUP BY GROUPING SETS ((event_type), (day), ())
-        """
-    )
-
-
-@register(
-    "having_filter",
-    oracle="""
-SELECT o_custkey, count(*) AS n_orders,
-       SUM(CAST(round(o_totalprice, 6) AS DECIMAL(38,8))) AS spend
-FROM orders
-GROUP BY o_custkey
-HAVING count(*) >= 12
-""",
-    tags=("relational", "agg"),
-    doc="Post-aggregation filter (HAVING).",
-)
-def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice"), "spend"))
-        .where(F.col("n_orders") >= 12)
+    l = _t(spark, sf_dir, "lineitem")
+    rollup = o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        dsum(F.col("o_totalprice"), "sum_measure"),
+        F.grouping("o_orderstatus").cast("long").alias("g1"),
+        F.grouping("o_orderpriority").cast("long").alias("g2"),
+    ).select(
+        F.lit("orders_rollup").alias("source"),
+        F.col("o_orderstatus").alias("key1"),
+        F.col("o_orderpriority").alias("key2"),
+        "n_rows", "sum_measure", "g1", "g2",
     )
+    cube = l.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        dsum(F.col("l_quantity"), "sum_measure"),
+        F.grouping("l_returnflag").cast("long").alias("g1"),
+        F.grouping("l_linestatus").cast("long").alias("g2"),
+    ).select(
+        F.lit("lineitem_cube").alias("source"),
+        F.col("l_returnflag").alias("key1"),
+        F.col("l_linestatus").alias("key2"),
+        "n_rows", "sum_measure", "g1", "g2",
+    )
+    _t(spark, sf_dir, "events").createOrReplaceTempView("ga_events")
+    gsets = spark.sql(
+        """
+        SELECT 'events_gsets' AS source,
+               event_type AS key1,
+               CAST(date_trunc('day', ts) AS STRING) AS key2,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,8))) AS STRING)
+                   AS sum_measure,
+               CAST(grouping(event_type) AS BIGINT) AS g1,
+               CAST(grouping(date_trunc('day', ts)) AS BIGINT) AS g2
+        FROM ga_events
+        GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+        """
+    )
+    return rollup.unionByName(cube).unionByName(gsets)
 
 
 @register(
@@ -204,7 +190,7 @@ WITH rev AS (
       AND l.l_shipdate > TIMESTAMP '1998-01-01'
     GROUP BY l.l_orderkey, o.o_orderdate
 )
-SELECT l_orderkey, revenue, o_orderdate,
+SELECT l_orderkey, CAST(revenue AS VARCHAR) AS revenue, o_orderdate,
        row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS "rank"
 FROM rev
 QUALIFY "rank" <= 10
@@ -221,17 +207,21 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
+    from .exprs import as_str, dsum_dec
+
     rev = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(dsum_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
+    # rank over the DECIMAL (numeric order); render as string at the end
     w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
     return (
         rev.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 10)
-        .select("l_orderkey", "revenue", "o_orderdate", "rank")
+        .select("l_orderkey", as_str(F.col("revenue")).alias("revenue"),
+                "o_orderdate", "rank")
     )
 
 
@@ -239,7 +229,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume",
     oracle="""
 SELECT n.n_name AS nation,
-       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6) AS DECIMAL(38,8))) AS revenue
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6) AS DECIMAL(38,8))) AS VARCHAR) AS revenue
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -264,6 +254,11 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("n_nationkey", "n_name")
     )
+    # Only region/nation-derived dims carry an explicit broadcast hint.
+    # customer/supplier grow with scale factor: a forced broadcast OOMs at
+    # 100 TB and cannot be overridden by AQE, so their join strategy is
+    # left to AQE (locally they still broadcast — they're under the
+    # autoBroadcastJoinThreshold — but that's a runtime decision).
     cust = c.join(F.broadcast(dims), c.c_nationkey == dims.n_nationkey).select(
         "c_custkey", "c_nationkey"
     )
@@ -272,8 +267,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), l.l_suppkey == supp.s_suppkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(supp, l.l_suppkey == supp.s_suppkey)
         .where(F.col("s_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(dims), F.col("c_nationkey") == dims.n_nationkey)
     )
@@ -283,42 +278,37 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "semi_join_customers",
+    "semi_anti_join_customers",
     oracle="""
-SELECT c_custkey, c_name FROM customer c
+SELECT 'semi' AS kind, c_custkey, c_name FROM customer c
 WHERE EXISTS (
     SELECT 1 FROM orders o
     WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
 )
-""",
-    tags=("relational", "join"),
-    doc="Left-semi join (EXISTS): customers with at least one urgent order.",
-)
-def q_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
-    )
-
-
-@register(
-    "anti_join_customers",
-    oracle="""
-SELECT c_custkey, c_name FROM customer c
+UNION ALL
+SELECT 'anti', c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (
     SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
 )
 """,
     tags=("relational", "join"),
-    doc="Left-anti join (NOT EXISTS): customers with no orders.",
+    doc="Existence joins in one labeled result: left-semi (EXISTS — "
+    "customers with an urgent order) and left-anti (NOT EXISTS — "
+    "customers with no orders).",
 )
-def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
     )
+    o = _t(spark, sf_dir, "orders")
+    semi = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
+        F.lit("semi").alias("kind"), "c_custkey", "c_name"
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti").alias("kind"), "c_custkey", "c_name"
+    )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -346,23 +336,28 @@ def q_outer_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "large_volume_orders",
     oracle="""
 SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
-       SUM(CAST(round(l.l_quantity, 6) AS DECIMAL(38,8))) AS total_qty
+       CAST(SUM(CAST(round(l.l_quantity, 6) AS DECIMAL(38,8))) AS VARCHAR)
+           AS total_qty
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
 HAVING SUM(CAST(round(l.l_quantity, 6) AS DECIMAL(38,8))) > 140
 """,
     tags=("relational", "join"),
-    doc="TPC-H Q18 shape: fact-fact join + group + HAVING on the sum.",
+    doc="TPC-H Q18 shape: fact-fact join + group + HAVING on the sum "
+    "(the post-aggregation-filter operator lives here).",
 )
 def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .exprs import as_str, dsum_dec
+
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     return (
         o.join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(F.col("l_quantity"), "total_qty"))
-        .where(F.col("total_qty") > 140)
+        .agg(dsum_dec(F.col("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > 140)  # HAVING: filter on the decimal
+        .withColumn("total_qty", as_str(F.col("total_qty")))
     )
 
 
@@ -396,53 +391,44 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "running_customer_spend",
-    oracle="""
-SELECT o_custkey, o_orderkey, o_orderdate,
-       SUM(CAST(round(o_totalprice, 6) AS DECIMAL(38,8))) OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS running_spend
-FROM orders
-""",
-    tags=("relational", "window"),
-    doc="Analytic frame: per-customer running total in order-date order.",
-)
-def q_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderdate",
-        F.sum(F.round(F.col("o_totalprice"), 6).cast("decimal(38,8)"))
-        .over(w)
-        .alias("running_spend"),
-    )
-
-
-@register(
-    "order_gaps_lag_lead",
+    "window_navigation",
     oracle="""
 SELECT o_custkey, o_orderkey, o_orderdate,
        lag(o_orderkey) OVER w AS prev_orderkey,
        lead(o_orderkey) OVER w AS next_orderkey,
        CAST(date_diff('day',
             CAST(lag(o_orderdate) OVER w AS DATE),
-            CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+            CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER wf AS last_order,
+       nth_value(o_orderkey, 2) OVER wf AS second_order,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       CAST(CAST(round(CAST(percent_rank() OVER w AS DECIMAL(28,12)), 6)
+            AS DECIMAL(18,6)) AS VARCHAR) AS pct_rank,
+       CAST(CAST(round(CAST(cume_dist() OVER w AS DECIMAL(28,12)), 6)
+            AS DECIMAL(18,6)) AS VARCHAR) AS cume,
+       CAST(SUM(CAST(round(o_totalprice, 6) AS DECIMAL(38,8))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS VARCHAR) AS running_spend
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
     tags=("relational", "window"),
-    doc="lag/lead navigation + day difference between consecutive orders.",
+    doc="The analytic-window family over ONE deterministic per-customer "
+    "ordering, so one shuffle serves them all: lag/lead navigation with "
+    "day gaps, first/last/nth value, ntile quartiles, percent_rank / "
+    "cume_dist, and a running decimal-sum frame.",
 )
-def q_order_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .exprs import stable_round6
+
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -453,24 +439,16 @@ def q_order_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date"),
             F.lag("o_orderdate").over(w).cast("date"),
         ).cast("long").alias("days_since_prev"),
-    )
-
-
-@register(
-    "ntile_value_buckets",
-    oracle="""
-SELECT event_id, value,
-       CAST(ntile(4) OVER (ORDER BY value, event_id) AS BIGINT) AS quartile
-FROM events
-""",
-    tags=("relational", "window"),
-    doc="ntile quartiles over a global ordering (deterministic tie-break).",
-)
-def q_ntile_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
-    return e.select(
-        "event_id", "value", F.ntile(4).over(w).cast("long").alias("quartile")
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        stable_round6(F.percent_rank().over(w)).alias("pct_rank"),
+        stable_round6(F.cume_dist().over(w)).alias("cume"),
+        F.sum(F.round(F.col("o_totalprice"), 6).cast("decimal(38,8)"))
+        .over(w_run)
+        .cast("string")
+        .alias("running_spend"),
     )
 
 
@@ -478,16 +456,27 @@ def q_ntile_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "set_intersect_buyers",
+    "set_intersect_except",
     oracle="""
-SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-INTERSECT
-SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+SELECT 'intersect' AS op, custkey FROM (
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+)
+UNION ALL
+SELECT 'except', custkey FROM (
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
 """,
     tags=("relational", "setop"),
-    doc="INTERSECT: customers with both urgent and low-priority orders.",
+    doc="Distinct set operators in one labeled result: INTERSECT "
+    "(customers with both urgent and low-priority orders) and EXCEPT "
+    "(urgent-order customers minus finished-order customers). UNION ALL "
+    "is covered by union_account_holders.",
 )
-def q_set_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_custkey").alias("custkey")
@@ -495,28 +484,14 @@ def q_set_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     low = o.where(F.col("o_orderpriority") == "5-LOW").select(
         F.col("o_custkey").alias("custkey")
     )
-    return urgent.intersect(low)
-
-
-@register(
-    "set_except_buyers",
-    oracle="""
-SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-EXCEPT
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-""",
-    tags=("relational", "setop"),
-    doc="EXCEPT: urgent-order customers minus finished-order customers.",
-)
-def q_set_except_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_custkey").alias("custkey")
-    )
     finished = o.where(F.col("o_orderstatus") == "F").select(
         F.col("o_custkey").alias("custkey")
     )
-    return urgent.subtract(finished)
+    inter = urgent.intersect(low).select(
+        F.lit("intersect").alias("op"), "custkey"
+    )
+    exc = urgent.subtract(finished).select(F.lit("except").alias("op"), "custkey")
+    return inter.unionByName(exc)
 
 
 @register(
@@ -547,22 +522,35 @@ def q_union_account_holders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "json_props_extract",
+    "json_map_functions",
     oracle="""
-SELECT event_id, event_type,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+SELECT event_id, event_type, 'k' AS map_key,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS map_value,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) > 90 AS high_k
 FROM events
-WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+WHERE props IS NOT NULL
 """,
-    tags=("relational", "functions"),
-    doc="JSON extraction from the events.props string column.",
+    tags=("relational", "functions", "map"),
+    doc="JSON + map families over events.props: json-path extraction "
+    "(get_json_object), parse into map<string,long> + explode entries "
+    "(generic on the Spark side; the oracle exploits the fixture's "
+    "single known key), and a derived predicate column.",
 )
-def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_json_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return (
-        e.select("event_id", "event_type", k.alias("k_value"))
-        .where(F.col("k_value") > 90)
+        e.where(F.col("props").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.explode(F.from_json("props", "map<string,bigint>")).alias(
+                "map_key", "map_value"
+            ),
+            k.alias("k_value"),
+            (k > 90).alias("high_k"),
+        )
     )
 
 
@@ -574,17 +562,24 @@ SELECT o_orderkey,
        CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
        CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS order_day,
        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS due_date
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+       strftime(o_orderdate, '%Y-%m') AS ym,
+       CAST(extract(dow FROM o_orderdate) + 1 AS BIGINT) AS dow,
+       CAST(extract(week FROM o_orderdate) AS BIGINT) AS iso_week,
+       CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
 FROM orders
-WHERE EXTRACT(year FROM o_orderdate) = 1997
+WHERE o_orderkey % 100 = 0
 """,
     tags=("relational", "functions"),
-    doc="Date/time family: extract, truncate, interval arithmetic.",
+    doc="Date/time family in one pass: extract (y/m/d, day-of-week, ISO "
+    "week, quarter), truncate, interval arithmetic, pattern formatting, "
+    "epoch seconds.",
 )
 def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
-        o.where(F.year("o_orderdate") == 1997)
+        o.where(F.col("o_orderkey") % 100 == 0)
         .select(
             "o_orderkey",
             F.year("o_orderdate").cast("long").alias("order_year"),
@@ -594,6 +589,11 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate").cast("date") + F.expr("INTERVAL 30 DAYS"))
             .cast("timestamp")
             .alias("due_date"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            F.dayofweek("o_orderdate").cast("long").alias("dow"),
+            F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.unix_timestamp("o_orderdate").alias("epoch_sec"),
         )
     )
 
@@ -606,17 +606,22 @@ SELECT p_partkey,
        CAST(length(p_name) AS BIGINT) AS name_len,
        substr(p_brand, 7) AS brand_num,
        concat(p_type, '/', p_brand) AS type_brand,
-       replace(p_name, 'widget', 'gadget') AS renamed
+       replace(p_name, 'widget', 'gadget') AS renamed,
+       regexp_extract(p_name, '^(\\w+) (\\w+)$', 1) AS adjective,
+       regexp_extract(p_name, '^(\\w+) (\\w+)$', 2) AS noun,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
 FROM part
-WHERE p_name LIKE '%widget%'
+WHERE regexp_matches(p_name, 'widget|gizmo')
 """,
     tags=("relational", "functions"),
-    doc="String family: case, length, substring, concat, replace, LIKE.",
+    doc="String + regexp families in one pass: case, length, substring, "
+    "concat, replace, rlike filter, group extraction, global replace.",
 )
 def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
+    pat = r"^(\w+) (\w+)$"
     return (
-        p.where(F.col("p_name").like("%widget%"))
+        p.where(F.col("p_name").rlike("widget|gizmo"))
         .select(
             "p_partkey",
             F.upper("p_name").alias("name_upper"),
@@ -624,6 +629,9 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("p_brand", 7, 2147483647).alias("brand_num"),
             F.concat_ws("/", "p_type", "p_brand").alias("type_brand"),
             F.regexp_replace("p_name", "widget", "gadget").alias("renamed"),
+            F.regexp_extract("p_name", pat, 1).alias("adjective"),
+            F.regexp_extract("p_name", pat, 2).alias("noun"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
         )
     )
 
@@ -665,22 +673,28 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_functions",
     oracle="""
 SELECT p_size,
-       list_sort(list(DISTINCT p_brand)) AS brands,
+       array_to_string(list_sort(list(DISTINCT p_brand)), ' ') AS brands,
        CAST(len(list(DISTINCT p_brand)) AS BIGINT) AS n_brands,
-       list_transform(range(1, 4), x -> x * p_size) AS size_multiples
+       array_to_string(list_transform(range(1, 4), x -> x * p_size), ' ')
+           AS size_multiples
 FROM part
 GROUP BY p_size
 """,
     tags=("relational", "functions"),
-    doc="Array family: collect_set, sort, size, transform over a sequence.",
+    doc="Array family: collect_set, sort, size, transform over a "
+    "sequence, array_join serialization (scalar-typed result).",
 )
 def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     return p.groupBy("p_size").agg(
-        F.sort_array(F.collect_set("p_brand")).alias("brands"),
+        F.array_join(F.sort_array(F.collect_set("p_brand")), " ").alias("brands"),
         F.size(F.collect_set("p_brand")).cast("long").alias("n_brands"),
-        F.transform(
-            F.sequence(F.lit(1), F.lit(3)), lambda x: x * F.col("p_size")
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(3)),
+                lambda x: (x * F.col("p_size")).cast("string"),
+            ),
+            " ",
         ).alias("size_multiples"),
     )
 
@@ -692,7 +706,7 @@ SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
             WHEN o_totalprice < 300000 THEN 'medium'
             ELSE 'large' END AS bucket,
        count(*) AS n_orders,
-       SUM(CAST(round(o_totalprice, 6) AS DECIMAL(38,8))) AS total
+       CAST(SUM(CAST(round(o_totalprice, 6) AS DECIMAL(38,8))) AS VARCHAR) AS total
 FROM orders
 GROUP BY 1
 """,
@@ -764,22 +778,6 @@ def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "global_topk_orders",
-    oracle="""
-SELECT o_orderkey, o_totalprice,
-       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS "rank"
-FROM orders
-QUALIFY "rank" <= 25
-""",
-    tags=("relational", "sort"),
-    doc="Global deterministic top-k (sort + limit as explicit rank).",
-)
-def q_global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        o.select("o_orderkey", "o_totalprice")
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 25)
-    )
+# Global deterministic top-k (sort + rank + limit) is exercised by
+# shipping_priority (global top-10 over the join result) and ann_topk
+# (per-query rank windows) — it no longer needs a standalone spec.

@@ -117,9 +117,16 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        # serialized (scalar-typed) so any client canonicalizer digests it
+        F.array_join(
+            F.transform(
+                F.percentile_approx(
+                    "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
+                ),
+                lambda x: F.round(x, 6).cast("string"),
+            ),
+            " ",
+        ).alias("price_quantiles"),
     )
 
 
@@ -127,7 +134,8 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew_salted_sum",
     oracle="""
 SELECT l_returnflag,
-       SUM(CAST(round(l_quantity, 6) AS DECIMAL(38,8))) AS sum_qty
+       CAST(SUM(CAST(round(l_quantity, 6) AS DECIMAL(38,8))) AS VARCHAR)
+           AS sum_qty
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -145,91 +153,12 @@ def q_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.round("l_quantity", 6).cast("decimal(38,8)"),
         "sum_qty",
-    )
+    ).withColumn("sum_qty", F.col("sum_qty").cast("string"))
 
 
-@register(
-    "props_map_explode",
-    oracle="""
-SELECT event_id, 'k' AS map_key,
-       CAST(json_extract(props, '$.k') AS BIGINT) AS map_value
-FROM events
-WHERE props IS NOT NULL
-""",
-    tags=("relational", "functions", "map"),
-    doc="Map family: parse the JSON props into map<string,long> and "
-    "explode entries (generic on the Spark side; the oracle exploits "
-    "the fixture's single known key).",
-)
-def q_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.where(F.col("props").isNotNull())
-        .select(
-            "event_id",
-            F.explode(F.from_json("props", "map<string,bigint>")).alias(
-                "map_key", "map_value"
-            ),
-        )
-    )
-
-
-@register(
-    "datetime_format_functions",
-    oracle="""
-SELECT o_orderkey,
-       strftime(o_orderdate, '%Y-%m') AS ym,
-       CAST(extract(dow FROM o_orderdate) + 1 AS BIGINT) AS dow,
-       CAST(extract(week FROM o_orderdate) AS BIGINT) AS iso_week,
-       CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS qtr,
-       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
-FROM orders
-WHERE o_orderkey % 100 = 0
-""",
-    tags=("relational", "functions", "date"),
-    doc="Datetime formatting family: pattern format, day-of-week, ISO "
-    "week, quarter, epoch seconds.",
-)
-def q_datetime_format_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.where(F.col("o_orderkey") % 100 == 0)
-        .select(
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
-            F.dayofweek("o_orderdate").cast("long").alias("dow"),
-            F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
-            F.quarter("o_orderdate").cast("long").alias("qtr"),
-            F.unix_timestamp("o_orderdate").alias("epoch_sec"),
-        )
-    )
-
-
-@register(
-    "regexp_functions",
-    oracle="""
-SELECT p_partkey,
-       regexp_extract(p_name, '^(\\w+) (\\w+)$', 1) AS adjective,
-       regexp_extract(p_name, '^(\\w+) (\\w+)$', 2) AS noun,
-       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
-FROM part
-WHERE regexp_matches(p_name, 'widget|gizmo')
-""",
-    tags=("relational", "functions", "regexp"),
-    doc="Regexp family: group extraction, global replace, pattern filter.",
-)
-def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part")
-    pat = r"^(\w+) (\w+)$"
-    return (
-        p.where(F.col("p_name").rlike("widget|gizmo"))
-        .select(
-            "p_partkey",
-            F.regexp_extract("p_name", pat, 1).alias("adjective"),
-            F.regexp_extract("p_name", pat, 2).alias("noun"),
-            F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
-        )
-    )
+# props_map_explode, datetime_format_functions and regexp_functions were
+# folded into json_map_functions / date_functions / string_functions in
+# queries_relational.py — same operators, one registry slot per family.
 
 
 @register(
@@ -265,43 +194,6 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "window_value_functions",
-    oracle="""
-SELECT o_custkey, o_orderkey,
-       first_value(o_orderkey) OVER w AS first_order,
-       last_value(o_orderkey) OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
-       ) AS last_order,
-       nth_value(o_orderkey, 2) OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
-       ) AS second_order,
-       CAST(round(CAST(percent_rank() OVER w AS DECIMAL(28,12)), 6)
-            AS DECIMAL(18,6)) AS pct_rank,
-       CAST(round(CAST(cume_dist() OVER w AS DECIMAL(28,12)), 6)
-            AS DECIMAL(18,6)) AS cume
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-""",
-    tags=("relational", "window"),
-    doc="Window value/distribution family: first/last/nth value, "
-    "percent_rank, cume_dist over deterministic ordering.",
-)
-def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-
-    from .exprs import stable_round6 as _stable6
-
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.first("o_orderkey").over(w).alias("first_order"),
-        F.last("o_orderkey").over(w_full).alias("last_order"),
-        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
-        _stable6(F.percent_rank().over(w)).alias("pct_rank"),
-        _stable6(F.cume_dist().over(w)).alias("cume"),
-    )
+# window_value_functions was folded into queries_relational.py's
+# window_navigation (one deterministic per-customer window serves the
+# whole analytic family).

@@ -21,56 +21,61 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "tumbling_hourly_stats",
+    "time_window_stats",
     oracle="""
-SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+SELECT 'tumbling' AS win_kind,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
        event_type,
        count(*) AS n_events,
-       SUM(CAST(round(value, 6) AS DECIMAL(38,8))) AS sum_value
+       CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,8))) AS VARCHAR) AS sum_value
 FROM events
-GROUP BY 1, 2
+GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding',
+       CAST(date_trunc('hour', ts) - to_hours(o) AS TIMESTAMP),
+       NULL,
+       count(*),
+       NULL
+FROM events, unnest([0, 1]) AS t(o)
+GROUP BY 2
 """,
     tags=("streaming", "window"),
-    doc="Hourly tumbling window aggregate (streaming twin: "
-    "streaming/events.py tumbling_counts_stream).",
+    doc="Time-window aggregates in one labeled result: hourly tumbling "
+    "per event_type (streaming twin: streaming/events.py "
+    "tumbling_counts_stream) and a 2h window sliding by 1h (every "
+    "event lands in two windows).",
 )
-def q_tumbling_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+def q_time_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tumbling = (
         _events(spark, sf_dir)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value"), 6).cast("decimal(38,8)")).alias(
-                "sum_value"
-            ),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(38,8)"))
+            .cast("string")
+            .alias("sum_value"),
         )
         .select(
+            F.lit("tumbling").alias("win_kind"),
             F.col("win.start").alias("win_start"),
             "event_type",
             "n_events",
             "sum_value",
         )
     )
-
-
-@register(
-    "sliding_window_counts",
-    oracle="""
-SELECT CAST(date_trunc('hour', ts) - to_hours(o) AS TIMESTAMP) AS win_start,
-       count(*) AS n_events
-FROM events, unnest([0, 1]) AS t(o)
-GROUP BY 1
-""",
-    tags=("streaming", "window"),
-    doc="2h window sliding by 1h: every event lands in two windows.",
-)
-def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    sliding = (
         _events(spark, sf_dir)
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"))
         .agg(F.count("*").alias("n_events"))
-        .select(F.col("win.start").alias("win_start"), "n_events")
+        .select(
+            F.lit("sliding").alias("win_kind"),
+            F.col("win.start").alias("win_start"),
+            F.lit(None).cast("string").alias("event_type"),
+            "n_events",
+            F.lit(None).cast("string").alias("sum_value"),
+        )
     )
+    return tumbling.unionByName(sliding)
 
 
 @register(

@@ -17,43 +17,30 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "token_counts",
+    "text_quality",
     oracle="WITH "
     + TOKS_POS_CTE
     + """
 SELECT doc_id, count(*) AS n_tokens,
-       count(DISTINCT tok) AS n_distinct_tokens
-FROM tokpos GROUP BY doc_id
-""",
-    tags=("text",),
-    doc="Whitespace token counting per document.",
-)
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts.token_counts(_docs(spark, sf_dir))
-
-
-@register(
-    "quality_scores",
-    oracle="WITH "
-    + TOKS_POS_CTE
-    + """
-SELECT doc_id, count(*) AS n_tokens,
-       CAST(round(CAST(sum(length(tok)) * 1.0 / count(*) AS DECIMAL(28,12)), 6)
-            AS DECIMAL(18,6)) AS avg_token_len,
-       CAST(round(CAST(sum(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+       count(DISTINCT tok) AS n_distinct_tokens,
+       CAST(CAST(round(CAST(sum(length(tok)) * 1.0 / count(*) AS DECIMAL(28,12)), 6)
+            AS DECIMAL(18,6)) AS VARCHAR) AS avg_token_len,
+       CAST(CAST(round(CAST(sum(CASE WHEN tok IN ('the','a','of','and','to','in','is')
                  THEN 1 ELSE 0 END) * 1.0 / count(*) AS DECIMAL(28,12)), 6)
-            AS DECIMAL(18,6)) AS stopword_ratio,
-       CAST(round(CAST(0.4 * (sum(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+            AS DECIMAL(18,6)) AS VARCHAR) AS stopword_ratio,
+       CAST(CAST(round(CAST(0.4 * (sum(CASE WHEN tok IN ('the','a','of','and','to','in','is')
                         THEN 1 ELSE 0 END) * 1.0 / count(*))
            + 0.3 * least(sum(length(tok)) * 1.0 / count(*) / 10.0, 1.0)
            + 0.3 * least(count(*) * 1.0 / 100.0, 1.0) AS DECIMAL(28,12)), 6)
-            AS DECIMAL(18,6)) AS quality_score
+            AS DECIMAL(18,6)) AS VARCHAR) AS quality_score
 FROM tokpos GROUP BY doc_id
 """,
     tags=("text",),
-    doc="Heuristic quality score: stopword ratio + length signals.",
+    doc="Token counting + heuristic quality scoring in ONE aggregation "
+    "per document: n_tokens, distinct tokens, average token length, "
+    "stopword ratio, combined quality score.",
 )
-def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.quality_scores(_docs(spark, sf_dir))
 
 
@@ -71,8 +58,8 @@ hits AS (
     FROM tokpos GROUP BY doc_id
 )
 SELECT d.doc_id, d.lang,
-       COALESCE(h.en_hits, 0) AS en_hits,
-       COALESCE(h.es_hits, 0) AS es_hits,
+       CAST(COALESCE(h.en_hits, 0) AS BIGINT) AS en_hits,
+       CAST(COALESCE(h.es_hits, 0) AS BIGINT) AS es_hits,
        CASE WHEN COALESCE(h.en_hits, 0) > COALESCE(h.es_hits, 0) THEN 'en'
             WHEN COALESCE(h.es_hits, 0) > COALESCE(h.en_hits, 0) THEN 'es'
             ELSE 'und' END AS lang_guess,

@@ -26,15 +26,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Registration order matters: the driver's correctness sweep walks the
+# registry in this order and caps at 50 entries, so the high-value
+# surfaces (index parity, dedup/text/similarity pipeline ops, streaming
+# twins) register before the relational breadth. The whole registry is
+# consolidated to exactly 50 entries so every one gets a driver row.
 _MODULES = (
     "queries_index",
-    "queries_relational",
-    "queries_relational2",
-    "queries_events",
     "queries_dedup",
     "queries_text",
     "queries_similarity",
     "queries_streaming",
+    "queries_events",
+    "queries_relational",
+    "queries_relational2",
 )
 
 

@@ -4,15 +4,37 @@ Mirrors the contract in /root/repo/__spark_entry__.py: run the Spark
 query and the oracle SQL side by side, then compare row count, sorted
 column names, and order-insensitive values. Catching a mismatch here at
 sf0.001 is much cheaper than waiting for the driver's sf0.01 run.
+
+Round-1 lesson (CORRECTNESS_r01.json): the driver canonicalizes BOTH
+sides through pandas (``sort_values`` over every column, then a value
+hash), so two failure classes exist that a collect()-based comparison
+cannot see:
+
+- list-valued cells (ArrayType columns) are unhashable -> the driver
+  errors before comparing anything;
+- decimal-valued cells materialize as ``decimal.Decimal`` from Spark's
+  toPandas but ``float64`` from DuckDB -> equal values, different
+  objects, hash mismatch.
+
+This harness therefore compares *pandas* frames exactly like the driver
+and additionally rejects any Decimal / list / ndarray cell outright, so
+a locally-green spec cannot hit either driver failure class.
 """
 
 from __future__ import annotations
 
+import decimal
 import math
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from parallel_inverted_index_map_reduce_spark.sources.tables import TABLE_NAMES
+
+# Cell types the driver's canonicalizer cannot digest: lists/arrays crash
+# pandas sort_values; Decimal hashes differently from DuckDB's float64.
+_FORBIDDEN = (decimal.Decimal, list, tuple, np.ndarray, dict)
 
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -24,60 +46,94 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return conn
 
 
+def _forbidden_cells(df: pd.DataFrame, side: str, name: str) -> list[str]:
+    problems = []
+    for col in df.columns:
+        if df[col].dtype == object:
+            bad = df[col].map(lambda v: isinstance(v, _FORBIDDEN)).any()
+            if bad:
+                sample = next(
+                    v for v in df[col] if isinstance(v, _FORBIDDEN)
+                )
+                problems.append(
+                    f"{name}: {side} column {col!r} holds "
+                    f"{type(sample).__name__} cells (driver-canonicalizer "
+                    f"hazard) e.g. {sample!r}"
+                )
+    return problems
+
+
 def _norm_cell(v):
+    if v is None:
+        return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         # round-trip repr keeps full precision; equality must be exact
         # because the driver hashes raw values.
         return repr(v)
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, np.generic):
+        return _norm_cell(v.item())
+    if isinstance(v, pd.Timestamp):
+        # Spark yields tz-aware UTC stamps, DuckDB naive ones; the values
+        # are the same instant (session tz is UTC) and the driver's r01
+        # results show these hash equal — normalize to naive.
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
+        return v.isoformat()
     try:
-        import numpy as np
-
-        if isinstance(v, np.ndarray):
-            return tuple(_norm_cell(x) for x in v.tolist())
-        if isinstance(v, np.generic):
-            return _norm_cell(v.item())
-    except ImportError:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
         pass
     return v
 
 
-def _norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    normed = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(normed, key=repr)
+def _canon(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_norm_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    return cols, sorted(rows, key=repr)
 
 
 def compare(spark_df, conn, sql: str, name: str = "query") -> list[str]:
     """Return a list of human-readable mismatch descriptions (empty = pass)."""
     problems: list[str] = []
-    s_cols = list(spark_df.columns)
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = conn.sql(sql)
-    d_cols = list(rel.columns)
-    d_rows = rel.fetchall()
+    s_pd = spark_df.toPandas()
+    d_pd = conn.sql(sql).df()
 
-    if sorted(s_cols) != sorted(d_cols):
-        problems.append(f"{name}: columns differ spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+    problems += _forbidden_cells(s_pd, "spark", name)
+    problems += _forbidden_cells(d_pd, "duckdb", name)
+    if problems:
         return problems
-    if len(s_rows) != len(d_rows):
-        problems.append(f"{name}: row count spark={len(s_rows)} duckdb={len(d_rows)}")
 
-    sc, sn = _norm_rows(s_cols, s_rows)
-    dc, dn = _norm_rows(d_cols, d_rows)
+    if sorted(s_pd.columns) != sorted(d_pd.columns):
+        problems.append(
+            f"{name}: columns differ spark={sorted(s_pd.columns)} "
+            f"duckdb={sorted(d_pd.columns)}"
+        )
+        return problems
+    if len(s_pd) != len(d_pd):
+        problems.append(
+            f"{name}: row count spark={len(s_pd)} duckdb={len(d_pd)}"
+        )
+
+    sc, sn = _canon(s_pd)
+    dc, dn = _canon(d_pd)
     if sn != dn:
         diffs = 0
         for i, (a, b) in enumerate(zip(sn, dn)):
             if a != b:
                 if diffs < 3:
-                    problems.append(f"{name}: row {i} differs\n  spark ={a}\n  duckdb={b}")
+                    problems.append(
+                        f"{name}: row {i} differs\n  spark ={a}\n  duckdb={b}"
+                    )
                 diffs += 1
         if diffs:
             problems.append(f"{name}: {diffs} differing rows (cols {sc})")
         elif len(sn) != len(dn):
-            tail = sn[len(dn) :] if len(sn) > len(dn) else dn[len(sn) :]
+            tail = sn[len(dn):] if len(sn) > len(dn) else dn[len(sn):]
             problems.append(f"{name}: extra rows: {tail[:3]}")
     return problems

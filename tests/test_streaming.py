@@ -20,11 +20,19 @@ def _drain(spark, stream_df, name, mode="complete"):
 
 
 def test_tumbling_stream_matches_batch(spark):
+    from pyspark.sql import functions as F
+
     stream = sev.tumbling_counts_stream(
         sev.read_events_stream(spark, SF_ORACLE)
     )
-    got = _drain(spark, stream, "t_tumbling")
-    batch = all_specs()["tumbling_hourly_stats"].fn(spark, SF_ORACLE)
+    got = _drain(spark, stream, "t_tumbling").withColumn(
+        "sum_value", F.col("sum_value").cast("string")
+    )
+    batch = (
+        all_specs()["time_window_stats"].fn(spark, SF_ORACLE)
+        .where(F.col("win_kind") == "tumbling")
+        .drop("win_kind")
+    )
     srows = sorted(map(tuple, got.collect()))
     brows = sorted(map(tuple, batch.collect()))
     assert srows == brows
