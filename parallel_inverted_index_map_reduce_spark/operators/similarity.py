@@ -151,10 +151,12 @@ def hyperplane_buckets(emb: DataFrame, n_planes: int = 8) -> DataFrame:
     runs (or two engines), silently moving a vector across buckets.
     """
     comp = components(emb)
-    planes = comp.select("vec_id", "i", "x").crossJoin(
-        F.broadcast(
-            emb.sparkSession.range(n_planes).select(F.col("id").cast("int").alias("p"))
-        )
+    # plane-id fan-out as a literal-array explode (narrow, no join node)
+    planes = comp.select(
+        "vec_id",
+        "i",
+        "x",
+        F.explode(F.array(*[F.lit(p) for p in range(n_planes)])).alias("p"),
     )
     signs = planes.select(
         "vec_id",

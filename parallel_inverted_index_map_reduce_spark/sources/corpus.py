@@ -76,6 +76,30 @@ def read_manifest_corpus(
 
 
 def manifest_documents(spark: SparkSession, manifest_path: str, base_dir: str | None = None) -> DataFrame:
-    """Whole-file variant: one row per document ``(doc_id, text)``."""
-    corpus = read_manifest_corpus(spark, manifest_path, base_dir)
-    return corpus.groupBy("doc_id").agg(F.concat_ws(" ", F.collect_list("text")).alias("text"))
+    """Whole-file variant: one row per document ``(doc_id, text)``.
+
+    Reads each file as ONE row (``wholetext``) instead of re-assembling
+    lines with ``collect_list`` after a shuffle: collect_list carries no
+    line-order key, so multi-line files would concatenate in
+    partition-arrival order — nondeterministic input for every
+    order-sensitive consumer (shingles, fingerprints, simhash). The
+    wholetext scan preserves byte order by construction and removes the
+    groupBy shuffle entirely; newlines normalize to single spaces so the
+    result matches the line-join form on single-line corpora.
+    """
+    manifest = read_manifest(spark, manifest_path, base_dir)
+    paths = [r.path for r in manifest.collect()]  # tiny: one entry per file
+    files = spark.read.text(paths, wholetext=True).select(
+        F.input_file_name().alias("file_uri"), F.col("value").alias("raw")
+    )
+    files = files.withColumn(
+        "norm_path", F.regexp_replace("file_uri", "^file:(//)?", "")
+    )
+    manifest_n = manifest.withColumn("norm_path", F.col("path"))
+    return (
+        files.join(F.broadcast(manifest_n), "norm_path", "inner")
+        .select(
+            "doc_id",
+            F.trim(F.regexp_replace("raw", r"(\r?\n)+", " ")).alias("text"),
+        )
+    )

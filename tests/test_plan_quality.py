@@ -37,9 +37,44 @@ def test_shipping_priority_broadcasts_dims(spark):
     assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter pushed
 
 
-def test_local_supplier_volume_broadcasts(spark):
-    plan = _spec_plan(spark, "local_supplier_volume")
-    assert plan.count("BroadcastExchange") >= 3  # region/nation/cust/supp dims
+def test_local_supplier_volume_broadcasts_dims_only(spark):
+    """Only region/nation dims may carry a broadcast HINT; the
+    customer/supplier-derived sides grow with scale factor, so their
+    strategy must stay AQE's choice. With auto-broadcast disabled, a
+    forced hint would still produce BroadcastExchange for those joins —
+    so asserting SortMergeJoin appears proves no hint forces them."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _spec_plan(spark, "local_supplier_volume")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastExchange" in plan  # hinted region/nation dims survive
+    assert "SortMergeJoin" in plan  # fact-scale joins fell back to shuffle
+
+
+def test_registry_wide_no_cartesian_products(spark):
+    """Every registered plan must avoid CartesianProduct /
+    BroadcastNestedLoopJoin — the two shapes that go quadratic at scale.
+
+    Allowlist (bounded by construction, not data): boolean_search joins
+    two single-row posting lookups; ann_topk_fast cross-joins a
+    broadcast of n_queries=5 fixed query vectors against the corpus.
+    """
+    allow = {"boolean_search", "ann_topk_fast"}
+    offenders = {}
+    for name, spec in all_specs().items():
+        if name in allow:
+            continue
+        plan = _plan(spec.fn(spark, SF_ORACLE))
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
 
 
 def test_inverted_index_single_agg_shuffle(spark):
