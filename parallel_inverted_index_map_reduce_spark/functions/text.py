@@ -34,9 +34,14 @@ def tokenize(col: Column) -> Column:
 def tokens_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Explode documents into normalized non-empty (doc_id, word) rows.
 
-    This is the reference's map phase (O2+O4-O7): one narrow chain —
-    no shuffle — that Catalyst fuses into a single codegen stage.
+    This is the reference's map phase (O2+O4-O7): one narrow chain that
+    Catalyst fuses into a single codegen stage. The input is spread to
+    cluster parallelism first (sources/tables.py ``spread``) so the
+    explode/normalize CPU work never serializes on a one-partition scan.
     """
+    from ..sources.tables import spread
+
+    docs = spread(docs, id_col)
     return (
         docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
         .select(F.col(id_col), normalize_token(F.col("tok")).alias("word"))

@@ -41,8 +41,11 @@ from ..functions.hashing import (
 
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     """(text_hash, keep_doc_id, n_dups): canonical doc per distinct text."""
+    from ..sources.tables import spread
+
     return (
-        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        spread(docs)
+        .select("doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash"))
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
     )
@@ -50,9 +53,12 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 
 def token_positions(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, tok): 0-based positions, empty tokens kept out but
-    positions assigned before filtering (identical in the oracle)."""
+    positions assigned before filtering (identical in the oracle).
+    Input spread to cluster parallelism (see sources/tables.py)."""
+    from ..sources.tables import spread
+
     return (
-        docs.select(
+        spread(docs).select(
             "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
         )
         .where(F.col("tok") != "")
@@ -69,6 +75,9 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     still uses the windowed formulation, proving equivalence).
     """
     assert n == 3, "shingle width fixed at 3 to keep the codegen expression flat"
+    from ..sources.tables import spread
+
+    docs = spread(docs)
     sh = docs.select(
         "doc_id",
         F.expr(

@@ -40,7 +40,12 @@ def decode_image(payload: bytes, codec: str = "real"):
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Attach an opaque binary column (UTF-8 bytes of the text — the
-    deterministic stand-in for an image/audio payload) plus metadata."""
+    deterministic stand-in for an image/audio payload) plus metadata.
+    Input spread to cluster parallelism so the Arrow-batched Python
+    stage downstream gets one worker per core, not one total."""
+    from ..sources.tables import spread
+
+    docs = spread(docs)
     return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),

@@ -115,14 +115,40 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (F.sqrt(n1) * F.sqrt(n2))
 
 
+def _norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
 def ann_topk_fast(emb: DataFrame, k: int = 3, n_queries: int = 5) -> DataFrame:
     """Array-fold cosine top-k: no component explode, one broadcast of
     the query side. The plan at scale: broadcast queries, scan corpus
-    once, per-partition top-k via window."""
+    once, per-partition top-k via window.
+
+    Norms are precomputed per SIDE (one fold per row) so each pair costs
+    a single dot-product fold instead of three — same values as folding
+    dot/(sqrt(n1)*sqrt(n2)) per pair, a third of the work.
+    """
     q = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("qe"),
+        _norm_expr(F.col("embedding")).alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ce"))
+    c = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("ce"),
+        _norm_expr(F.col("embedding")).alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     cos = (
         F.broadcast(q)
         .crossJoin(c)
@@ -130,7 +156,7 @@ def ann_topk_fast(emb: DataFrame, k: int = 3, n_queries: int = 5) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine_expr(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"), F.asc("vec_b"))

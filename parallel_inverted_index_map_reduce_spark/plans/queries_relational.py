@@ -265,10 +265,15 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = s.join(F.broadcast(dims), s.s_nationkey == dims.n_nationkey).select(
         "s_suppkey", "s_nationkey"
     )
+    # Join order: reduce BOTH fact sides through the region-selective
+    # dims BEFORE the fact-fact shuffle — only ~1/|regions| of lineitem
+    # (ASIA suppliers) and of orders (ASIA customers) reach the big
+    # orderkey join. Catalyst has no table stats here, so the selective
+    # order is stated explicitly rather than left to reordering.
+    l_asia = l.join(supp, l.l_suppkey == supp.s_suppkey)
+    o_asia = o.join(cust, o.o_custkey == cust.c_custkey)
     joined = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(cust, o.o_custkey == cust.c_custkey)
-        .join(supp, l.l_suppkey == supp.s_suppkey)
+        l_asia.join(o_asia, l_asia.l_orderkey == o_asia.o_orderkey)
         .where(F.col("s_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(dims), F.col("c_nationkey") == dims.n_nationkey)
     )

@@ -84,8 +84,9 @@ def test_inverted_index_single_agg_shuffle(spark):
     # formatted output lists each node in tree + detail sections; count
     # the numbered detail entries only
     n_shuffles = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
-    # one Exchange for groupBy(word) + one for the letter window — no more
-    assert n_shuffles <= 2, plan
+    # one Exchange for groupBy(word) + one for the letter window + the
+    # deliberate scan-spread repartition (sources/tables.py) — no more
+    assert n_shuffles <= 3, plan
 
 
 def test_ann_fast_no_component_explode(spark):
