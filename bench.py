@@ -6,8 +6,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"<name>": sec, ...}, "sf": <scale factor>}
 
-Each query is forced end-to-end with a count() so timing covers scan ->
-shuffle -> aggregate without driver-side collect overhead.
+Each query is forced end-to-end through the noop datasource sink
+(``df.write.format("noop")``), which materializes EVERY output column
+JVM-side — unlike ``count()``, which lets Catalyst prune the aggregate
+expressions out of the child plan and under-measures. Each query is
+timed three times and the minimum reported: the min is the achievable
+steady-state latency, robust to transient co-tenant load on the box
+(observed 2.5x swings between back-to-back single-pass runs).
 """
 
 from __future__ import annotations
@@ -40,17 +45,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = [s for s in all_specs().values() if s.bench]
+
+    def run(spec) -> None:
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # Warmup: JVM/codegen/scan caches dominate the first execution
     # (measured 6.4s cold vs 0.8s steady for the same query); report
     # steady-state per-query time, which is what a resident cluster sees.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for spec in specs:
-        spec.fn(spark, sf_dir).count()
+        run(spec)
     timings: dict[str, float] = {}
     for spec in specs:
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(spec)
+            best = min(best, time.perf_counter() - t0)
+        timings[spec.name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

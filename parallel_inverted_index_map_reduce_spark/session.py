@@ -45,6 +45,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Split-size formula: maxSplitBytes = min(maxPartitionBytes,
+        # max(openCostInBytes, totalBytes/minPartitionNum)). The 4 MB
+        # default openCost caps small-table scans at totalBytes/4MB splits
+        # (a 10 MB file -> 3 tasks on a 32-core box). Parquet open cost on
+        # modern storage is far below 4 MB; 256 KB keeps many-small-file
+        # packing sane at 100 TB while letting modest scans fan out to
+        # full parallelism. Measured: lineitem sf0.1 scan 3 -> 32 tasks.
+        .config("spark.sql.files.openCostInBytes", "262144")
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
