@@ -65,14 +65,19 @@ def token_positions(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle_hash): distinct hashed n-gram token shingles.
+def shingles(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle_hash): hashed n-gram token shingles.
 
     Built as an array ``transform`` over the token array instead of a
     ``lead`` window: the window version shuffles + sorts every token by
     doc_id first, while this is a narrow per-row expression — zero
-    shuffles before the distinct. Output is identical (the SQL oracle
-    still uses the windowed formulation, proving equivalence).
+    shuffles before the (optional) distinct. Output is identical (the
+    SQL oracle still uses the windowed formulation, proving equivalence).
+
+    ``distinct=True`` gives set semantics (required for exact Jaccard)
+    at the cost of a full shuffle of (doc_id, shingle_hash) at token
+    scale. Consumers whose aggregate is duplicate-insensitive (``min``
+    for MinHash) pass ``distinct=False`` and skip that shuffle entirely.
     """
     assert n == 3, "shingle width fixed at 3 to keep the codegen expression flat"
     from ..sources.tables import spread
@@ -93,10 +98,10 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    return (
-        sh.select("doc_id", stable_hash32(F.col("shingle")).alias("shingle_hash"))
-        .distinct()
+    hashed = sh.select(
+        "doc_id", stable_hash32(F.col("shingle")).alias("shingle_hash")
     )
+    return hashed.distinct() if distinct else hashed
 
 
 def minhash_table(docs: DataFrame) -> DataFrame:
@@ -105,10 +110,12 @@ def minhash_table(docs: DataFrame) -> DataFrame:
     Each permutation is its own ``min`` aggregate over the shingle
     hashes, so the 16-way signature costs a single groupBy(doc_id) with
     map-side partial mins — no permutation explode (16x row blow-up),
-    no second aggregation. This is the shape that scales: shuffle
-    volume is one row per (doc, distinct shingle), reduced map-side.
+    no second aggregation. This is the shape that scales: ``min`` is
+    duplicate-insensitive, so the shingle stream skips the distinct
+    shuffle and the only exchange moves one partial-min row per
+    (doc, partition) — signature-width, not token-width.
     """
-    sh = shingles(docs)
+    sh = shingles(docs, distinct=False)
     p = F.lit(MINHASH_P)
     aggs = [
         F.min(
