@@ -301,26 +301,30 @@ def simhash_near_dups(
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 32-bit sign-aggregated token-hash fingerprint."""
+    """(doc_id, simhash): 32-bit sign-aggregated token-hash fingerprint.
+
+    Same one-aggregation shape as :func:`minhash_table`: each bit's
+    +-1 sign sum is its own conditional ``sum`` aggregate, so the whole
+    fingerprint costs a single groupBy(doc_id) with map-side partials —
+    no 32x bit explode, no second shuffle. The SQL oracle keeps the
+    exploded per-(doc,bit) formulation, proving the two are equivalent.
+    """
     toks = token_positions(docs).select(
         "doc_id", stable_hash32(F.col("tok")).alias("h")
     )
-    bits = toks.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
-    ).select(
-        "doc_id",
-        "j",
-        F.when(F.expr("shiftright(h, j) & 1") == 1, F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("contrib"),
-    )
-    per_bit = bits.groupBy("doc_id", "j").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
+    bit_sums = [
         F.sum(
-            F.when(F.col("s") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
-                F.lit(0).cast("long")
+            F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, F.lit(1)).otherwise(
+                F.lit(-1)
             )
-        ).alias("simhash")
-    )
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select("doc_id", fingerprint.alias("simhash"))
