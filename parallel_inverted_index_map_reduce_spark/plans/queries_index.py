@@ -141,16 +141,7 @@ FROM a, b
     "(array_union), NOT (array_except) in one labeled result.",
 )
 def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    idx = ix.build_index(_docs(spark, sf_dir))
-    parts = [
-        ix.boolean_and(idx, "spark", "query").withColumn("op", F.lit("and")),
-        ix.boolean_or(idx, "spark", "query").withColumn("op", F.lit("or")),
-        ix.boolean_not(idx, "spark", "query").withColumn("op", F.lit("not")),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select(
+    return ix.boolean_search(_docs(spark, sf_dir), "spark", "query").select(
         "op", "term1", "term2", F.array_join("doc_ids", " ").alias("doc_ids")
     )
 

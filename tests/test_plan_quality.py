@@ -57,11 +57,12 @@ def test_registry_wide_no_cartesian_products(spark):
     """Every registered plan must avoid CartesianProduct /
     BroadcastNestedLoopJoin — the two shapes that go quadratic at scale.
 
-    Allowlist (bounded by construction, not data): boolean_search joins
-    two single-row posting lookups; ann_topk_fast cross-joins a
-    broadcast of n_queries=5 fixed query vectors against the corpus.
+    Allowlist (bounded by construction, not data): ann_topk_fast
+    cross-joins a broadcast of n_queries=5 fixed query vectors against
+    the corpus. (boolean_search no longer needs an exemption — its
+    fused single-aggregation form has no nested-loop join at all.)
     """
-    allow = {"boolean_search", "ann_topk_fast"}
+    allow = {"ann_topk_fast"}
     offenders = {}
     for name, spec in all_specs().items():
         if name in allow:
