@@ -167,6 +167,168 @@ def ann_topk_fast(emb: DataFrame, k: int = 3, n_queries: int = 5) -> DataFrame:
     )
 
 
+# --- IVF (inverted-file) coarse quantizer ----------------------------------
+
+
+def _lit_vec(v: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _sq_dist(a: Column, centroid: list[float]) -> Column:
+    """Codegen squared L2 distance between an array column and a literal
+    centroid — a single fold, no explode, no join."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            _lit_vec(centroid),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _centroid_order(a: Column, centroids: list[list[float]]) -> Column:
+    """list ids ordered by distance from the vector (ties -> lower id).
+    Distances are rounded so the ordering is stable across runs."""
+    pairs = F.array(
+        *[
+            # explicit cast pins the struct field names (CreateArray's
+            # type merge can rename them to col1/col2 otherwise)
+            F.struct(
+                F.round(_sq_dist(a, c), 9).alias("d"), F.lit(j).alias("j")
+            ).cast("struct<d:double,j:integer>")
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(F.array_sort(pairs), lambda st: st["j"])
+
+
+def ivf_fit(
+    emb: DataFrame, n_list: int = 16, n_iters: int = 2
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: k-means over the corpus.
+
+    Seeds are the ``n_list`` vectors with the smallest md5(vec_id) —
+    reproducible on any partitioning, no RNG. Each Lloyd iteration is
+    one corpus pass: per-row argmin against literal-centroid fold
+    expressions (whole-stage codegen, shuffle-free), then per-dim means
+    via ONE groupBy using the exact decimal-sum pattern, so centroids —
+    and therefore every downstream assignment — are independent of
+    partition order. Only n_list * dim floats ever reach the driver.
+    """
+    seeds = (
+        emb.orderBy(stable_hash32(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_list)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r.embedding] for r in seeds]
+    for _ in range(n_iters):
+        assigned = emb.select(
+            F.element_at(_centroid_order(F.col("embedding"), centroids), 1).alias(
+                "list_id"
+            ),
+            F.posexplode("embedding").alias("i", "xf"),
+        )
+        means = (
+            assigned.groupBy("list_id", "i")
+            .agg(
+                (
+                    F.sum(F.round(F.col("xf").cast("double"), 7).cast(DEC))
+                    / F.count("*")
+                )
+                .cast("double")
+                .alias("m")
+            )
+            .collect()
+        )
+        new = {r.list_id: dict() for r in means}
+        for r in means:
+            new[r.list_id][r.i] = r.m
+        centroids = [
+            [new[j][i] for i in range(len(centroids[j]))] if j in new else centroids[j]
+            for j in range(n_list)
+        ]
+    return centroids
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, embedding, list_id): nearest-centroid assignment, one
+    shuffle-free corpus pass."""
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.element_at(_centroid_order(F.col("embedding"), centroids), 1).alias(
+            "list_id"
+        ),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_queries: int = 5,
+    n_list: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 2,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-pruned cosine top-k — the ANN scale path beyond sign-LSH.
+
+    The corpus is partitioned into ``n_list`` inverted lists by the
+    coarse quantizer; each query probes only its ``nprobe`` nearest
+    lists, so the candidate join is an equi-join on ``list_id`` and the
+    scanned fraction is ~nprobe/n_list of the corpus instead of all of
+    it. ``nprobe == n_list`` degenerates to exact brute force (the
+    recall test's sanity anchor). At 100 TB: centroids are a driver-side
+    constant folded into the plan, the corpus assignment is shuffle-free
+    and could be written out bucketed by list_id for reuse across query
+    batches.
+    """
+    if centroids is None:
+        centroids = ivf_fit(emb, n_list=n_list, n_iters=n_iters)
+    assigned = ivf_assign(emb, centroids).select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("ce"),
+        _norm_expr(F.col("embedding")).alias("cn"),
+        "list_id",
+    )
+    q = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("qe"),
+            _norm_expr(F.col("embedding")).alias("qn"),
+            F.slice(
+                _centroid_order(F.col("embedding"), centroids), 1, nprobe
+            ).alias("probes"),
+        )
+        .select("vec_a", "qe", "qn", F.explode("probes").alias("list_id"))
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = (
+        F.broadcast(q)
+        .join(assigned, "list_id")
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"), F.asc("vec_b"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("vec_a", "vec_b", "cosine", "rank")
+    )
+
+
 def hyperplane_buckets(emb: DataFrame, n_planes: int = 8) -> DataFrame:
     """(vec_id, bucket): random-hyperplane sign-LSH bucket assignment.
 
