@@ -83,45 +83,37 @@ def pairwise_cosine(emb: DataFrame, max_query_id: int | None = None) -> DataFram
 def ann_topk(emb: DataFrame, k: int = 3, n_queries: int = 5) -> DataFrame:
     """Brute-force exact top-k neighbors for the first ``n_queries``
     vectors, ranked by rounded cosine with vec_b tie-break."""
-    cos = pairwise_cosine(emb, max_query_id=n_queries)
-    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"), F.asc("vec_b"))
-    return (
-        cos.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("vec_a", "vec_b", "cosine", "rank")
-    )
+    return _topk_by_cosine(pairwise_cosine(emb, max_query_id=n_queries), k)
 
 
 # --- fast JVM path (bench / scale) -----------------------------------------
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
-    """Whole-stage-codegen cosine over two array<float> columns."""
-    dot = F.aggregate(
+def _dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    n1 = F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    n2 = F.aggregate(
-        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return dot / (F.sqrt(n1) * F.sqrt(n2))
 
 
 def _norm_expr(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    return F.sqrt(_dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Whole-stage-codegen cosine over two array<float> columns."""
+    return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
+
+
+def _topk_by_cosine(cos: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every fast top-k: rank per query by (cosine desc,
+    vec_b asc) — the single place the tie-break lives."""
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"), F.asc("vec_b"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("vec_a", "vec_b", "cosine", "rank")
     )
 
 
@@ -144,11 +136,6 @@ def ann_topk_fast(emb: DataFrame, k: int = 3, n_queries: int = 5) -> DataFrame:
         F.col("embedding").alias("ce"),
         _norm_expr(F.col("embedding")).alias("cn"),
     )
-    dot = F.aggregate(
-        F.zip_with("qe", "ce", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     cos = (
         F.broadcast(q)
         .crossJoin(c)
@@ -156,15 +143,12 @@ def ann_topk_fast(emb: DataFrame, k: int = 3, n_queries: int = 5) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+            F.round(_dot_expr(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
         )
     )
-    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"), F.asc("vec_b"))
-    return (
-        cos.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("vec_a", "vec_b", "cosine", "rank")
-    )
+    return _topk_by_cosine(cos, k)
 
 
 # --- IVF (inverted-file) coarse quantizer ----------------------------------
@@ -224,6 +208,8 @@ def ivf_fit(
         .collect()
     )
     centroids = [[float(x) for x in r.embedding] for r in seeds]
+    # a corpus smaller than n_list fits fewer lists, not an IndexError
+    n_list = len(centroids)
     for _ in range(n_iters):
         assigned = emb.select(
             F.element_at(_centroid_order(F.col("embedding"), centroids), 1).alias(
@@ -306,11 +292,6 @@ def ivf_topk(
         )
         .select("vec_a", "qe", "qn", F.explode("probes").alias("list_id"))
     )
-    dot = F.aggregate(
-        F.zip_with("qe", "ce", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     cos = (
         F.broadcast(q)
         .join(assigned, "list_id")
@@ -318,15 +299,12 @@ def ivf_topk(
         .select(
             "vec_a",
             "vec_b",
-            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+            F.round(_dot_expr(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
         )
     )
-    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"), F.asc("vec_b"))
-    return (
-        cos.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("vec_a", "vec_b", "cosine", "rank")
-    )
+    return _topk_by_cosine(cos, k)
 
 
 def hyperplane_buckets(emb: DataFrame, n_planes: int = 8) -> DataFrame:

@@ -62,17 +62,31 @@ def read_manifest_corpus(
     and keeping lines (not whole files) as rows bounds row size at scale.
     """
     manifest = read_manifest(spark, manifest_path, base_dir)
-    paths = [r.path for r in manifest.collect()]  # tiny: one entry per file
-    lines = spark.read.text(paths).select(
+    lines = spark.read.text(_paths(manifest)).select(
         F.input_file_name().alias("file_uri"), F.col("value").alias("text")
     )
-    # input_file_name returns a URI (file:///...); normalize to the path.
-    lines = lines.withColumn("norm_path", F.regexp_replace("file_uri", "^file:(//)?", ""))
-    manifest_n = manifest.withColumn("norm_path", F.col("path"))
-    return (
-        lines.join(F.broadcast(manifest_n), "norm_path", "inner")
-        .select("doc_id", "text")
+    return _join_manifest(lines, manifest).select("doc_id", "text")
+
+
+def _paths(manifest: DataFrame) -> list[str]:
+    return [r.path for r in manifest.collect()]  # tiny: one entry per file
+
+
+def _join_manifest(files: DataFrame, manifest: DataFrame) -> DataFrame:
+    """Attach manifest doc_ids to rows carrying a ``file_uri`` column.
+
+    ``input_file_name()`` returns a percent-encoded ``file:`` URI; a
+    path with a space (or any non-URI byte) would never string-match the
+    manifest's raw path and the row would silently drop out of the inner
+    join. Decode before stripping the scheme — ``url_decode`` after
+    escaping literal ``+`` (URLDecoder treats bare ``+`` as space, which
+    file URIs never use for encoding)."""
+    decoded = F.expr("url_decode(replace(file_uri, '+', '%2B'))")
+    norm = files.withColumn(
+        "norm_path", F.regexp_replace(decoded, "^file:(//)?", "")
     )
+    manifest_n = manifest.withColumn("norm_path", F.col("path"))
+    return norm.join(F.broadcast(manifest_n), "norm_path", "inner")
 
 
 def manifest_documents(spark: SparkSession, manifest_path: str, base_dir: str | None = None) -> DataFrame:
@@ -88,18 +102,10 @@ def manifest_documents(spark: SparkSession, manifest_path: str, base_dir: str | 
     result matches the line-join form on single-line corpora.
     """
     manifest = read_manifest(spark, manifest_path, base_dir)
-    paths = [r.path for r in manifest.collect()]  # tiny: one entry per file
-    files = spark.read.text(paths, wholetext=True).select(
+    files = spark.read.text(_paths(manifest), wholetext=True).select(
         F.input_file_name().alias("file_uri"), F.col("value").alias("raw")
     )
-    files = files.withColumn(
-        "norm_path", F.regexp_replace("file_uri", "^file:(//)?", "")
-    )
-    manifest_n = manifest.withColumn("norm_path", F.col("path"))
-    return (
-        files.join(F.broadcast(manifest_n), "norm_path", "inner")
-        .select(
-            "doc_id",
-            F.trim(F.regexp_replace("raw", r"(\r?\n)+", " ")).alias("text"),
-        )
+    return _join_manifest(files, manifest).select(
+        "doc_id",
+        F.trim(F.regexp_replace("raw", r"(\r?\n)+", " ")).alias("text"),
     )

@@ -123,17 +123,17 @@ def compare(spark_df, conn, sql: str, name: str = "query") -> list[str]:
     sc, sn = _canon(s_pd)
     dc, dn = _canon(d_pd)
     if sn != dn:
-        diffs = 0
-        for i, (a, b) in enumerate(zip(sn, dn)):
-            if a != b:
-                if diffs < 3:
-                    problems.append(
-                        f"{name}: row {i} differs\n  spark ={a}\n  duckdb={b}"
-                    )
-                diffs += 1
-        if diffs:
-            problems.append(f"{name}: {diffs} differing rows (cols {sc})")
-        elif len(sn) != len(dn):
-            tail = sn[len(dn):] if len(sn) > len(dn) else dn[len(sn):]
-            problems.append(f"{name}: extra rows: {tail[:3]}")
+        # multiset difference, not positional zip: one extra early-sorting
+        # row would misalign every later pair and report bogus diffs
+        from collections import Counter
+
+        s_only = Counter(sn) - Counter(dn)
+        d_only = Counter(dn) - Counter(sn)
+        for label, extra in (("spark-only", s_only), ("duckdb-only", d_only)):
+            for row in list(extra.elements())[:3]:
+                problems.append(f"{name}: {label} row {row}")
+        problems.append(
+            f"{name}: {sum(s_only.values())} spark-only / "
+            f"{sum(d_only.values())} duckdb-only rows (cols {sc})"
+        )
     return problems
