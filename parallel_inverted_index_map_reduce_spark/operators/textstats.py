@@ -9,7 +9,7 @@ oracle reproduces every value.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash32
@@ -23,6 +23,19 @@ STOPWORDS = EN_MARKERS
 
 FP_MOD = 1_000_003
 FP_PRIME = 1_000_000_007
+
+# GPT-2-style pretokenizer shape, lookahead-free so Java regex (Spark)
+# and RE2 (DuckDB) agree: contraction suffixes, space-prefixed letter /
+# digit runs, space-prefixed punctuation runs. Verified token-count
+# identical across both engines on the full documents table.
+BPEISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpeish_token_count(text: Column) -> Column:
+    """Subword-style token count: the BPE-ish regex over raw text — the
+    second counting mode a training pipeline budgets with (whitespace
+    tokens underestimate cost; this tracks pretokenizer splits)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPEISH_PATTERN), 0)).cast("long")
 
 
 def token_counts(docs: DataFrame) -> DataFrame:
@@ -61,7 +74,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
     from ..plans.exprs import stable_round6 as _stable6
 
-    return per_doc.select(
+    scored = per_doc.select(
         "doc_id",
         "n_tokens",
         "n_distinct_tokens",
@@ -69,6 +82,10 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         _stable6(stop_ratio).alias("stopword_ratio"),
         _stable6(score).alias("quality_score"),
     )
+    # second counting mode: subword-style pretokenizer splits, a per-row
+    # expression over raw text joined back at doc cardinality
+    bpe = docs.select("doc_id", bpeish_token_count(F.col("text")).alias("n_bpeish_tokens"))
+    return scored.join(bpe, "doc_id")
 
 
 def language_guess(docs: DataFrame) -> DataFrame:

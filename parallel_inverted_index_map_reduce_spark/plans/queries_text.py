@@ -21,6 +21,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH "
     + TOKS_POS_CTE
     + """
+, agg AS (
 SELECT doc_id, count(*) AS n_tokens,
        count(DISTINCT tok) AS n_distinct_tokens,
        CAST(CAST(round(CAST(sum(length(tok)) * 1.0 / count(*) AS DECIMAL(28,12)), 6)
@@ -34,11 +35,18 @@ SELECT doc_id, count(*) AS n_tokens,
            + 0.3 * least(count(*) * 1.0 / 100.0, 1.0) AS DECIMAL(28,12)), 6)
             AS DECIMAL(18,6)) AS VARCHAR) AS quality_score
 FROM tokpos GROUP BY doc_id
+)
+SELECT a.*,
+       CAST(len(regexp_extract_all(d.text,
+            '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+            AS BIGINT) AS n_bpeish_tokens
+FROM agg a JOIN documents d ON d.doc_id = a.doc_id
 """,
     tags=("text",),
     doc="Token counting + heuristic quality scoring in ONE aggregation "
     "per document: n_tokens, distinct tokens, average token length, "
-    "stopword ratio, combined quality score.",
+    "stopword ratio, combined quality score, plus the BPE-ish "
+    "pretokenizer token count (second counting mode) per row.",
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.quality_scores(_docs(spark, sf_dir))
