@@ -10,7 +10,7 @@ Each query is forced end-to-end through the noop datasource sink
 (``df.write.format("noop")``), which materializes EVERY output column
 JVM-side — unlike ``count()``, which lets Catalyst prune the aggregate
 expressions out of the child plan and under-measures. Each query is
-timed three times and the minimum reported: the min is the achievable
+timed five times and the minimum reported: the min is the achievable
 steady-state latency, robust to transient co-tenant load on the box
 (observed 2.5x swings between back-to-back single-pass runs).
 """
@@ -58,7 +58,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for spec in specs:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             run(spec)
             best = min(best, time.perf_counter() - t0)
