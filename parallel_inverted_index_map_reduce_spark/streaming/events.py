@@ -72,6 +72,17 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def sliding_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """2h windows sliding by 1h (every event lands in two windows) —
+    streaming twin of time_window_stats' 'sliding' branch."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "n_events")
+    )
+
+
 def session_counts_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Per-user session windows (gap-based) — native session_window."""
     return (

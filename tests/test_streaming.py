@@ -38,6 +38,23 @@ def test_tumbling_stream_matches_batch(spark):
     assert srows == brows
 
 
+def test_sliding_stream_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    stream = sev.sliding_counts_stream(
+        sev.read_events_stream(spark, SF_ORACLE)
+    )
+    got = _drain(spark, stream, "t_sliding")
+    batch = (
+        all_specs()["time_window_stats"].fn(spark, SF_ORACLE)
+        .where(F.col("win_kind") == "sliding")
+        .select("win_start", "n_events")
+    )
+    srows = sorted(map(tuple, got.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert srows == brows
+
+
 def test_session_stream_matches_batch(spark):
     stream = sev.session_counts_stream(
         sev.read_events_stream(spark, SF_ORACLE)
