@@ -100,3 +100,40 @@ def test_term_lookup_filter_pushed(spark):
     plan = _spec_plan(spark, "term_lookup")
     # the word IN (...) predicate must sit before the aggregation input scan
     assert "spark" in plan and "query" in plan
+
+
+def _count_exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+def _count_scans(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+
+
+def test_boolean_search_single_scan(spark):
+    """The fused AND/OR/NOT form must stay one scan + one aggregation
+    (the union-of-ops shape it replaced rebuilt the index per branch:
+    6 scans, 30 exchanges)."""
+    plan = _spec_plan(spark, "boolean_search")
+    assert _count_scans(plan) == 1, plan
+    assert _count_exchanges(plan) <= 4, plan
+
+
+def test_minhash_skips_shingle_distinct_shuffle(spark):
+    """MinHash signatures aggregate the raw shingle stream (min is
+    duplicate-insensitive); re-introducing the distinct would add a
+    token-scale Exchange. Budget: scan-spread repartition + signature
+    groupBy + band-join sides + pair distinct."""
+    plan = _spec_plan(spark, "minhash_lsh_pairs")
+    assert _count_exchanges(plan) <= 6, plan
+
+
+def test_simhash_fingerprints_one_aggregation(spark):
+    """The 32 bit-sign sums ride ONE groupBy(doc_id) (no 32x bit explode
+    feeding two chained shuffles)."""
+    plan = _spec_plan(spark, "simhash_fingerprints")
+    assert _count_exchanges(plan) <= 2, plan
