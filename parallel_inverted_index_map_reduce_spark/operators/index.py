@@ -20,7 +20,11 @@ frequency; stop words produce postings lists the size of the corpus.
 For genuinely huge corpora the flat (word, doc_id, tf) form — also
 provided — is the scalable representation (bucketed by word on write);
 the array form is the reference-parity view. df is computed from the
-already-deduplicated set, so no second shuffle.
+already-deduplicated set, so no second shuffle. The per-letter rank
+window hash-partitions on 26 letter values — the reference's own
+26-bucket design, fine to ~10^8 distinct words; beyond that, rank via
+a range-partitioned global sort on (letter, df desc, word) instead,
+which spreads each letter across many tasks.
 """
 
 from __future__ import annotations
