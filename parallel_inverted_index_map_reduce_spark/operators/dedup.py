@@ -179,18 +179,43 @@ def lsh_candidate_pairs(docs_or_table: DataFrame) -> DataFrame:
     sigs = mh.select("doc_id", bands).select(
         "doc_id", "bs.band_id", "bs.band_sig"
     )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+    return _bucket_pairs(sigs, ["band_id", "band_sig"], "doc_id")
+
+
+def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs co-occurring in >= 1 bucket.
+
+    One groupBy + in-bucket pair expansion instead of a bucket-key
+    self-join: the self-join form evaluates its (possibly expensive)
+    input subplan TWICE — broadcast-hash plans never reuse the shuffle
+    exchange, and even SMJ reuse is plan-fragile — while this computes
+    the input once and shuffles each (bucket, id) row once. Pair
+    expansion is a codegen higher-order function over the sorted
+    bucket membership, so each unordered pair is emitted exactly once
+    per bucket (doc_a < doc_b by construction); the cross-bucket
+    ``distinct`` is unavoidable in either formulation.
+
+    Scale note: a bucket's membership array lives in one aggregation
+    buffer, so pathological buckets (thousands of byte-identical
+    documents colliding in every band) should be collapsed by exact
+    dedup upstream — the standard pipeline order. Output volume is
+    quadratic per bucket in ANY formulation; this one just also holds
+    the member list in memory.
+    """
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        keyed.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -275,22 +300,28 @@ def simhash_near_dups(
     keyed = fp.select("doc_id", "simhash", blocks).select(
         "doc_id", "simhash", "blk.block_id", "blk.block_val"
     )
-    a = keyed.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("sa"),
-        "block_id",
-        "block_val",
-    )
-    b = keyed.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sb"),
-        "block_id",
-        "block_val",
-    )
+    # Same bucket-local expansion as _bucket_pairs (one aggregation, no
+    # self-join — the join form computes the fingerprint pipeline twice),
+    # carrying each member's fingerprint through the pair struct so the
+    # Hamming verify needs no join back. sort_array orders by doc_id
+    # (first struct field), so doc_a < doc_b by construction.
     cand = (
-        a.join(b, ["block_id", "block_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sa", "sb")
+        keyed.groupBy("block_id", "block_val")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms")
+        )
+        .where(F.size("ms") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms) - i - 1), "
+                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                    "x.simhash AS sa, y.simhash AS sb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.sa", "p.sb")
         .distinct()
     )
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")

@@ -307,49 +307,92 @@ def ivf_topk(
     return _topk_by_cosine(cos, k)
 
 
+# Array-fold accumulator type: headroom below precision 38 so decimal
+# addition widens to (29,9) and the cast back to (28,9) never rounds —
+# at the 38 cap Spark would instead shrink the scale (38,9)+(38,9) ->
+# (38,8), silently dropping a digit mid-fold.
+_FOLD_DEC = "decimal(28,9)"
+
+
+def _decimal_fold(arr: Column) -> Column:
+    """Exact sum of a decimal-array column — order-independent (decimal
+    adds are associative) and pure whole-stage codegen, so it replaces a
+    groupBy aggregation wherever the addends already sit in one array."""
+    return F.aggregate(
+        arr, F.lit(0).cast(_FOLD_DEC), lambda acc, v: (acc + v).cast(_FOLD_DEC)
+    )
+
+
+def decimal_dot_expr(a: Column, b: Column) -> Column:
+    """Cross-engine-exact dot product of two array<float> columns as a
+    single array fold: per-component products rounded at 7 decimals and
+    summed as decimals, bit-identical to the oracle's exploded
+    SUM(CAST(round(x*y, 7) AS DECIMAL)) — with no explode, no shuffle."""
+    return _decimal_fold(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.round(x.cast("double") * y.cast("double"), 7).cast(
+                _FOLD_DEC
+            ),
+        )
+    )
+
+
+def _plane_weight(p: int, i: Column) -> Column:
+    """+-1 weight of plane ``p`` at component ``i`` — md5-derived, so the
+    SQL oracle reproduces the same pseudo-random hyperplanes verbatim."""
+    return (
+        F.when(stable_hash32(F.concat_ws("_", F.lit(p), i)) % 2 == 0, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+    )
+
+
+def bucket_expr(n_planes: int) -> Column:
+    """Sign-LSH bucket string ('0'/'1' per plane) over ``embedding``.
+
+    Each plane's projection is a :func:`decimal_dot_expr`-style fold
+    against the md5 +-1 hyperplane — decimal sums so the sign is
+    partition-order independent (a double sum could flip sign near zero
+    between runs or engines, silently moving a vector across buckets).
+    The whole assignment is a narrow per-row expression: no component
+    explode, no groupBy — bucketing costs ZERO shuffles at any scale.
+    """
+    # Plane id must be bound via a closure factory, NOT a `p=p` default
+    # arg: pyspark counts the lambda's declared parameters (defaults
+    # included) when building the JVM LambdaFunction, and ZipWith
+    # rejects a 3-parameter lambda.
+    def _weighted(p: int):
+        return lambda xf, i: F.round(
+            xf.cast("double") * _plane_weight(p, i), 7
+        ).cast(_FOLD_DEC)
+
+    bits = []
+    for p in range(n_planes):
+        proj = _decimal_fold(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.size("embedding") - 1),
+                _weighted(p),
+            )
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def norm_sq_expr(a: Column) -> Column:
+    """Decimal ||a||^2 as an array fold (same rounding as the oracle)."""
+    return decimal_dot_expr(a, a)
+
+
 def hyperplane_buckets(emb: DataFrame, n_planes: int = 8) -> DataFrame:
     """(vec_id, bucket): random-hyperplane sign-LSH bucket assignment.
 
-    Plane weights w[p][i] in {-1, +1} come from a hash of (p, i) —
-    shared-nothing, reproducible anywhere (including the SQL oracle).
-    Projections sum as decimals so the sign is partition-order
-    independent: a double sum could flip sign near zero between two
-    runs (or two engines), silently moving a vector across buckets.
+    Empty embeddings are filtered (mirroring the exploded oracle
+    formulation, where a zero-component vector contributes no rows).
     """
-    comp = components(emb)
-    # plane-id fan-out as a literal-array explode (narrow, no join node)
-    planes = comp.select(
-        "vec_id",
-        "i",
-        "x",
-        F.explode(F.array(*[F.lit(p) for p in range(n_planes)])).alias("p"),
-    )
-    signs = planes.select(
-        "vec_id",
-        "p",
-        F.round(
-            F.col("x")
-            * F.when(
-                stable_hash32(F.concat_ws("_", F.col("p"), F.col("i"))) % 2 == 0, 1.0
-            ).otherwise(-1.0),
-            7,
-        )
-        .cast(DEC)
-        .alias("proj"),
-    )
-    return (
-        signs.groupBy("vec_id", "p")
-        .agg(F.sum("proj").alias("s"))
-        .groupBy("vec_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "s"))),
-                    lambda st: F.when(st["s"] >= 0, "1").otherwise("0"),
-                ),
-            ).alias("bucket")
-        )
+    return emb.where(F.size("embedding") > 0).select(
+        "vec_id", bucket_expr(n_planes).alias("bucket")
     )
 
 
@@ -359,48 +402,64 @@ def bucketed_near_dups(
     """(vec_a, vec_b, cosine): same-bucket pairs with exact decimal
     cosine >= threshold.
 
-    The 100 TB shape for embedding near-dup mining: hyperplane buckets
-    prune the candidate space (the pair join is an equi-join on the
-    bucket string — never a full cross product), and the exact
-    cross-engine decimal cosine runs only on in-bucket pairs. Recall
-    is tuned by n_planes (fewer planes = bigger buckets = higher
-    recall); multi-probe or plane-rotation repeats recover the rest.
+    The 100 TB shape for embedding near-dup mining, in ONE shuffle:
+
+    - bucket assignment and ||v||^2 are narrow array folds
+      (:func:`bucket_expr`, :func:`norm_sq_expr`) — no component
+      explode, no pre-aggregation;
+    - the only exchange groups vectors by bucket, carrying the packed
+      embedding array (not pairs x components rows);
+    - pairs expand bucket-locally (each pair exists in exactly one
+      bucket — the bucket is a single key — so no distinct), and the
+      exact decimal cosine is an inline :func:`decimal_dot_expr` fold
+      per pair. The exploded-components formulation this replaces
+      shuffled O(pairs * dim) rows into a groupBy; this shuffles
+      O(vectors) rows and computes the same bits.
+
+    Recall is tuned by n_planes (fewer planes = bigger buckets = higher
+    recall); multi-probe or plane-rotation repeats recover the rest. At
+    production scale n_planes grows ~log2(corpus/target_bucket_size),
+    which also bounds the per-bucket member array the aggregation
+    buffers (exact dedup upstream collapses identical vectors first).
     """
-    buckets = hyperplane_buckets(emb, n_planes)
-    a = buckets.select(F.col("vec_id").alias("vec_a"), "bucket")
-    b = buckets.select(F.col("vec_id").alias("vec_b"), "bucket")
+    enriched = emb.where(F.size("embedding") > 0).select(
+        "vec_id",
+        "embedding",
+        bucket_expr(n_planes).alias("bucket"),
+        norm_sq_expr(F.col("embedding")).alias("norm_sq"),
+    )
     pairs = (
-        a.join(b, "bucket")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-    )
-    comp = components(emb)
-    ca = comp.withColumnsRenamed({"vec_id": "vec_a", "x": "xa"})
-    cb = comp.withColumnsRenamed({"vec_id": "vec_b", "x": "xb"})
-    dots = (
-        pairs.join(ca, "vec_a")
-        .join(cb, ["vec_b", "i"])
-        .groupBy("vec_a", "vec_b")
-        .agg(_decimal_dot(F.col("xa"), F.col("xb")).alias("dot"))
-    )
-    nrm = norms(emb)
-    na = nrm.select(F.col("vec_id").alias("vec_a"), F.col("norm_sq").alias("na"))
-    nb = nrm.select(F.col("vec_id").alias("vec_b"), F.col("norm_sq").alias("nb"))
-    cos = (
-        dots.join(F.broadcast(na), "vec_a")
-        .join(F.broadcast(nb), "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                F.col("dot").cast("double")
-                / (
-                    F.sqrt(F.col("na").cast("double"))
-                    * F.sqrt(F.col("nb").cast("double"))
-                ),
-                6,
-            ).alias("cosine"),
+        enriched.groupBy("bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "embedding", "norm_sq"))
+            ).alias("ms")
         )
+        .where(F.size("ms") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms) - i - 1), "
+                    "y -> struct(x.vec_id AS vec_a, y.vec_id AS vec_b, "
+                    "x.embedding AS ea, y.embedding AS eb, "
+                    "x.norm_sq AS na, y.norm_sq AS nb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    cos = pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(
+            decimal_dot_expr(F.col("ea"), F.col("eb")).cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            ),
+            6,
+        ).alias("cosine"),
     )
     return cos.where(F.col("cosine") >= threshold)
 

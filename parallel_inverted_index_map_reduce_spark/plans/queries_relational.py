@@ -210,8 +210,12 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .exprs import as_str, dsum_dec
 
     rev = (
+        # No broadcast hint on customer: the segment filter keeps ~1/5 of
+        # a fact-growing table, which outgrows executor memory at scale.
+        # AQE picks broadcast at small SF from runtime stats and can
+        # switch to shuffle join when the side is genuinely large.
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )

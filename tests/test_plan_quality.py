@@ -31,10 +31,21 @@ def test_pricing_summary_pushdown_and_pruning(spark):
     assert "l_orderkey" not in plan.split("ReadSchema:")[1].split("\n")[0]  # pruned
 
 
-def test_shipping_priority_broadcasts_dims(spark):
+def test_shipping_priority_no_forced_broadcast(spark):
+    """The BUILDING-segment customer side is fact-scale (grows with SF),
+    so it must not carry a broadcast HINT; with auto-broadcast disabled a
+    hint would still force BroadcastExchange, so SortMergeJoin appearing
+    proves the strategy is left to AQE/runtime stats."""
     plan = _spec_plan(spark, "shipping_priority")
-    assert "BroadcastExchange" in plan  # customer side broadcast
     assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter pushed
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _spec_plan(spark, "shipping_priority")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastExchange" not in plan  # no hint forces a broadcast
+    assert "SortMergeJoin" in plan
 
 
 def test_local_supplier_volume_broadcasts_dims_only(spark):
