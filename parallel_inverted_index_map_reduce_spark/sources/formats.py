@@ -17,11 +17,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+# TIMESTAMP and TIMESTAMP_NTZ columns are formatted by two independent
+# options; pinning only timestampFormat silently truncates NTZ columns
+# (e.g. events.ts) to the default millisecond precision on write.
 CSV_OPTIONS = {
     "header": "true",
     "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
     "nullValue": "\\N",
     "escape": '"',
+}
+
+JSONL_OPTIONS = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
 }
 
 
@@ -34,12 +43,8 @@ def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
 
 
 def write_jsonl(df: DataFrame, path: str) -> None:
-    df.write.mode("overwrite").option(
-        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-    ).json(path)
+    df.write.mode("overwrite").options(**JSONL_OPTIONS).json(path)
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
-    return spark.read.option(
-        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-    ).schema(schema).json(path)
+    return spark.read.options(**JSONL_OPTIONS).schema(schema).json(path)
