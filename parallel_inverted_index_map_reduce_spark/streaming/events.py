@@ -28,30 +28,48 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# events.parquet physical schema (ts read as int64 nanos — the file is
-# TIMESTAMP(NANOS), see sources/tables.py).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based streaming source over the events parquet, normalized
-    to the same schema as the batch loader (ts -> timestamp micros)."""
+    to the same schema as the batch loader (ts -> timestamp micros).
+
+    ``readStream`` needs an explicit schema, but the file's physical ts
+    type varies by generator version (TIMESTAMP(NANOS) vs micros). Peek
+    at the batch-inferred schema once — with nanosAsLong on, NANOS files
+    surface ts as int64 — and stream with whichever ts type the file
+    actually has, converting nanos -> micros only when needed (the same
+    truncation DuckDB applies, see sources/tables.py).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # Watermarks demand TIMESTAMP (LTZ): EVENT_TIME_IS_NOT_ON_
+        # TIMESTAMP_TYPE for NTZ event-time columns. The session runs in
+        # UTC, so the NTZ -> LTZ cast keeps the wall-clock instant; the
+        # window operators cast their outputs back to NTZ to stay
+        # type-identical with the batch twins.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -64,7 +82,7 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> Data
             F.sum(F.round(F.col("value"), 6).cast("decimal(38,8)")).alias("sum_value"),
         )
         .select(
-            F.col("win.start").alias("win_start"),
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -79,7 +97,10 @@ def sliding_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataF
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"))
         .agg(F.count("*").alias("n_events"))
-        .select(F.col("win.start").alias("win_start"), "n_events")
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            "n_events",
+        )
     )
 
 
@@ -93,7 +114,12 @@ def session_counts_stream(events: DataFrame, gap: str = "30 minutes") -> DataFra
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
         )
-        .select("user_id", "session_start", "session_end", "n_events")
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
     )
 
 
