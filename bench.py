@@ -55,14 +55,18 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for spec in specs:
         run(spec)
-    timings: dict[str, float] = {}
-    for spec in specs:
-        best = float("inf")
-        for _ in range(5):
+    # Rounds are interleaved ACROSS queries (round-robin) rather than
+    # five back-to-back reps per query: transient co-tenant load on the
+    # box lasts minutes, so back-to-back reps let one spike poison every
+    # rep of one query, while interleaving spreads each query's reps
+    # over the whole bench window and the min recovers steady state.
+    best: dict[str, float] = {s.name: float("inf") for s in specs}
+    for _ in range(5):
+        for spec in specs:
             t0 = time.perf_counter()
             run(spec)
-            best = min(best, time.perf_counter() - t0)
-        timings[spec.name] = round(best, 3)
+            best[spec.name] = min(best[spec.name], time.perf_counter() - t0)
+    timings = {name: round(v, 3) for name, v in best.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
