@@ -252,6 +252,46 @@ def jaccard_verify(pairs: DataFrame, doc_shingles: DataFrame) -> DataFrame:
     )
 
 
+def near_dup_keep_list(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """(doc_id, keep): the full training-pipeline dedup flow in one call.
+
+    exact dedup -> MinHash/LSH candidates -> exact-Jaccard verify ->
+    keep policy. The policy is the standard one-pass rule: a document is
+    DROPPED iff it byte-duplicates a smaller doc_id, or its verified
+    Jaccard against ANY smaller doc_id reaches ``threshold``. One
+    anti-join, no iteration — deterministic on any partitioning.
+    (Union-find grouping would keep slightly more docs on chains
+    a~b~c where a!~c; that needs iterative label propagation, which a
+    batch pipeline usually trades away for this single-pass rule.)
+    """
+    exact = exact_dedup_groups(docs)  # (text_hash, keep_doc_id, n_dups)
+    canonical = (
+        docs.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash")
+        )
+        .join(exact, "text_hash")
+    )
+    exact_drops = canonical.where(
+        F.col("doc_id") != F.col("keep_doc_id")
+    ).select("doc_id")
+
+    canon_docs = docs.join(
+        exact.select(F.col("keep_doc_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    pairs = lsh_candidate_pairs(canon_docs)
+    verified = jaccard_verify(pairs, shingles(canon_docs, distinct=True))
+    # jaccard_verify renders through stable_round6 (string); compare
+    # numerically. doc_a < doc_b by construction, so doc_b is the drop.
+    near_drops = verified.where(
+        F.col("jaccard").cast("double") >= F.lit(threshold)
+    ).select(F.col("doc_b").alias("doc_id"))
+
+    drops = exact_drops.union(near_drops).distinct()
+    return docs.select("doc_id").join(drops, "doc_id", "left_anti").select(
+        "doc_id", F.lit(True).alias("keep")
+    ).union(drops.select("doc_id", F.lit(False).alias("keep")))
+
+
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 6
 
