@@ -1,13 +1,18 @@
 """Temporal join shapes the reference lacks entirely (SURVEY.md §2.1):
-as-of join and range self-join, plus approximate aggregates (rows-only —
-sketch internals differ per engine by design)."""
+as-of join and range self-join, plus approximate aggregates built as
+deterministic threshold sketches so even "approximate" answers are
+hash-verified across engines (Spark-native HLL/KLL sketches, whose
+internals legitimately differ per engine, are accuracy-bound-tested in
+tests/test_approx_sketches.py instead)."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import sql_stable_hash32
 from ..sources.tables import load_table
+from .exprs import sql_stable_round6
 from .registry import register
 
 
@@ -104,29 +109,63 @@ def q_range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Threshold-sketch parameters: value-hash below 2^32/64 -> the sketch
+# keeps ~1/64 of DISTINCT values; row-hash below 2^32/16 -> ~1/16 of
+# rows feed the sampled percentile. Powers of two keep the estimator
+# scale-up an exact integer multiply.
+_KMV_T = 67_108_864  # 2^32 / 64
+_SAMPLE_T = 268_435_456  # 2^32 / 16
+
+
+_HP = sql_stable_hash32("CAST(l_partkey AS VARCHAR)")
+_HO = sql_stable_hash32("CAST(l_orderkey AS VARCHAR)")
+_HR = sql_stable_hash32("l_orderkey || '-' || l_linenumber")
+_SAMPLED = f"CASE WHEN {_HR} < {_SAMPLE_T} THEN l_extendedprice END"
+
+
 @register(
     "approx_aggregates",
-    oracle=None,  # sketch algorithms (HLL/KLL) differ across engines by design;
-    # exactness bounds asserted in tests instead.
+    oracle=f"""
+SELECT CAST(64 * COUNT(DISTINCT CASE WHEN {_HP} < {_KMV_T} THEN l_partkey END) AS BIGINT) AS est_parts,
+       CAST(64 * COUNT(DISTINCT CASE WHEN {_HO} < {_KMV_T} THEN l_orderkey END) AS BIGINT) AS est_orders,
+       {sql_stable_round6(f"quantile_cont({_SAMPLED}, 0.5)")} AS sample_median_price,
+       {sql_stable_round6(f"quantile_cont({_SAMPLED}, 0.95)")} AS sample_p95_price
+FROM lineitem
+""",
     tags=("relational", "agg", "approx"),
-    doc="Approximate distinct counts + percentiles (HyperLogLog / "
-    "quantile sketch) — the 100 TB substitutes for exact distinct/sort.",
+    doc="DETERMINISTIC approximate aggregates, hash-verified across "
+    "engines: threshold-KMV distinct estimates (count distinct values "
+    "whose md5-hash falls under 1/64 of hash space, scaled back up) and "
+    "exact percentiles over a deterministic 1/16 row sample. Unlike "
+    "HLL/KLL sketches — whose internals legitimately differ per engine "
+    "and which are covered by accuracy-bound tests in "
+    "tests/test_approx_sketches.py — these estimators are reproducible "
+    "bit-for-bit on any engine with md5, so the oracle hash-checks them. "
+    "Scale shape: one filtered distinct-count (shuffles only the 1/64 "
+    "hash-sampled values) and one filtered percentile (1/16 of rows).",
 )
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import stable_hash32
+    from .exprs import stable_round6
+
     l = _t(spark, sf_dir, "lineitem")
+    hpart = stable_hash32(F.col("l_partkey").cast("string"))
+    hord = stable_hash32(F.col("l_orderkey").cast("string"))
+    hrow = stable_hash32(F.concat_ws("-", "l_orderkey", "l_linenumber"))
+    sampled_price = F.when(hrow < _SAMPLE_T, F.col("l_extendedprice"))
     return l.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        # serialized (scalar-typed) so any client canonicalizer digests it
-        F.array_join(
-            F.transform(
-                F.percentile_approx(
-                    "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
-                ),
-                lambda x: F.round(x, 6).cast("string"),
-            ),
-            " ",
-        ).alias("price_quantiles"),
+        (F.countDistinct(F.when(hpart < _KMV_T, F.col("l_partkey"))) * 64)
+        .cast("long")
+        .alias("est_parts"),
+        (F.countDistinct(F.when(hord < _KMV_T, F.col("l_orderkey"))) * 64)
+        .cast("long")
+        .alias("est_orders"),
+        stable_round6(F.percentile(sampled_price, 0.5)).alias(
+            "sample_median_price"
+        ),
+        stable_round6(F.percentile(sampled_price, 0.95)).alias(
+            "sample_p95_price"
+        ),
     )
 
 

@@ -1,0 +1,60 @@
+"""Spark-native sketch aggregates (HLL distinct counts, KLL-style
+percentile sketches) asserted against their rated accuracy vs exact
+answers — these live here rather than behind the DuckDB oracle because
+sketch internals legitimately differ per engine. The deterministic
+threshold-sketch variants that ARE cross-engine-reproducible power the
+``approx_aggregates`` registry entry."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parallel_inverted_index_map_reduce_spark.plans.registry import all_specs
+from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+from .conftest import SF_ORACLE
+
+
+def test_native_hll_within_rated_error(spark):
+    l = load_table(spark, SF_ORACLE, "lineitem")
+    row = l.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("a"),
+        F.countDistinct("l_partkey").alias("x"),
+    ).first()
+    # rated rsd 2%; allow 5x headroom for small-corpus variance
+    assert abs(row.a - row.x) / row.x < 0.10
+
+
+def test_native_percentile_sketch_brackets_exact(spark):
+    l = load_table(spark, SF_ORACLE, "lineitem")
+    row = l.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a"),
+        F.percentile("l_extendedprice", 0.5).alias("x"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    ).first()
+    # with accuracy 10000 on a small corpus the sketch is near-exact
+    assert abs(row.a - row.x) <= (row.hi - row.lo) * 0.01
+
+
+def test_threshold_sketch_estimates_near_exact(spark):
+    """The registry entry's deterministic estimators stay within sane
+    relative error of the exact answers.
+
+    Runs at sf0.01 (not the suite's sf0.001): a 1/64 value-sampling
+    sketch needs a few hundred distinct values to estimate from — at
+    sf0.001 lineitem has only 200 distinct parts (~3 sampled), where ANY
+    sketch is noise. The driver checks this entry at sf0.01 too.
+    """
+    sf = "/root/testdata/sf0.01"
+    l = load_table(spark, sf, "lineitem")
+    est = all_specs()["approx_aggregates"].fn(spark, sf).first()
+    exact = l.agg(
+        F.countDistinct("l_partkey").alias("parts"),
+        F.countDistinct("l_orderkey").alias("orders"),
+        F.percentile("l_extendedprice", 0.5).alias("median"),
+    ).first()
+    # 1/64 value sampling at ~1-2e3 distinct values: generous bounds
+    assert abs(est.est_parts - exact.parts) / exact.parts < 0.6
+    assert abs(est.est_orders - exact.orders) / exact.orders < 0.6
+    assert abs(float(est.sample_median_price) - exact.median) / exact.median < 0.25
