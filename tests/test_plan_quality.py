@@ -148,3 +148,29 @@ def test_simhash_fingerprints_one_aggregation(spark):
     feeding two chained shuffles)."""
     plan = _spec_plan(spark, "simhash_fingerprints")
     assert _count_exchanges(plan) <= 2, plan
+
+
+def test_keep_list_pipeline_no_quadratic_joins(spark):
+    """The composed dedup pipeline (exact -> LSH -> verify -> keep) must
+    inherit the LSH prune shape end-to-end: no all-pairs join anywhere."""
+    from parallel_inverted_index_map_reduce_spark.operators.dedup import (
+        near_dup_keep_list,
+    )
+    from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+    plan = _plan(near_dup_keep_list(load_table(spark, SF_ORACLE, "documents")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantized_topk_broadcasts_queries(spark):
+    """Quantized shortlist search keeps the ann_topk_fast shape: the
+    bounded query side broadcast, corpus scanned once, no explode."""
+    from parallel_inverted_index_map_reduce_spark.operators.quantization import (
+        quantized_topk,
+    )
+    from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+    plan = _plan(quantized_topk(load_table(spark, SF_ORACLE, "embeddings")))
+    assert "BroadcastExchange" in plan
+    assert "Generate" not in plan
