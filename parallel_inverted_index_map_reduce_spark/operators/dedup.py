@@ -159,27 +159,30 @@ def lsh_candidate_pairs(docs_or_table: DataFrame) -> DataFrame:
         mh = minhash_table(docs_or_table)
     else:
         raise ValueError("expected documents or minhash_table output")
+    # Band signature = the band's raw minhash longs as SEPARATE grouping
+    # columns, not a string concat: grouping hashes primitive longs
+    # instead of materializing 8 signature strings per doc (measured
+    # ~10% off the pipeline), and the shuffle rows shrink. The pair
+    # output is identical — the signature never leaves this function.
     bands = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(b).alias("band_id"),
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{b * LSH_ROWS + r}").cast("string")
-                            for r in range(LSH_ROWS)
-                        ],
-                    ).alias("band_sig"),
+                    *[
+                        F.col(f"mh{b * LSH_ROWS + r}").alias(f"sig_{r}")
+                        for r in range(LSH_ROWS)
+                    ],
                 )
                 for b in range(LSH_BANDS)
             ]
         )
     ).alias("bs")
+    sig_cols = [f"sig_{r}" for r in range(LSH_ROWS)]
     sigs = mh.select("doc_id", bands).select(
-        "doc_id", "bs.band_id", "bs.band_sig"
+        "doc_id", "bs.band_id", *[f"bs.{c}" for c in sig_cols]
     )
-    return _bucket_pairs(sigs, ["band_id", "band_sig"], "doc_id")
+    return _bucket_pairs(sigs, ["band_id", *sig_cols], "doc_id")
 
 
 def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
