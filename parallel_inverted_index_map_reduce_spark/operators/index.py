@@ -78,6 +78,47 @@ def build_index(docs: DataFrame, one_based: bool = False) -> DataFrame:
     )
 
 
+def merge_index(old_index: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Incremental index maintenance: fold new documents into an
+    existing index without re-reading the old corpus.
+
+    The reference can only rebuild from scratch; at 100 TB that means
+    re-tokenizing the whole corpus to add a day's documents. This merges
+    at the POSTINGS level instead: the old side ships one compact
+    (word, postings) row per term — no tokens — and only the new
+    documents are tokenized. One aggregation merges both sides
+    (collect_list of posting arrays -> flatten -> dedup), then df/letter/
+    rank derive exactly as in :func:`build_index`, so
+    ``merge_index(build_index(a), b) == build_index(a | b)`` row-for-row
+    (asserted in tests/test_index_merge.py). Caller guarantees doc_id
+    spaces are consistent (the manifest's deterministic ids).
+    """
+    new_pairs = tokens_df(new_docs)
+    new_side = new_pairs.groupBy("word").agg(
+        F.collect_set("doc_id").alias("postings")
+    )
+    old_side = old_index.select("word", "postings")
+    merged = (
+        old_side.unionByName(new_side)
+        .groupBy("word")
+        .agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("postings")))
+            ).alias("postings")
+        )
+        .withColumn("df", F.size("postings").cast("long"))
+        .withColumn("letter", F.substring("word", 1, 1))
+    )
+    w = Window.partitionBy("letter").orderBy(F.desc("df"), F.asc("word"))
+    return merged.select(
+        "letter",
+        "word",
+        "df",
+        "postings",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 def document_frequency(docs: DataFrame) -> DataFrame:
     """(word, df) without materializing postings arrays — the scalable
     path when only df is needed (countDistinct folds map-side)."""

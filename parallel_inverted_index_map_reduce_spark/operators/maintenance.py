@@ -1,4 +1,4 @@
-"""Dataset maintenance: small-file compaction.
+"""Dataset maintenance: small-file compaction and keyed upserts.
 
 Long-running ingestion (streaming sinks, frequent small batch landings)
 accretes many small files per partition; at 100 TB that turns every scan
@@ -12,9 +12,50 @@ plain parquet-to-parquet; partition directories are preserved.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sinks.partitioned import read_partitioned, write_partitioned
+
+
+def merge_upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """SCD1 merge: updates win on key collisions, new keys append.
+
+    Without a table format's MERGE INTO, the batch-native form is an
+    anti-join + union: current rows whose key has an update are dropped,
+    then all updates land. One shuffle on the key for the anti-join
+    (broadcast when updates are small — the common case of a day's
+    changes against a full snapshot, which AQE picks automatically);
+    the result is a full snapshot the caller writes out-of-place and
+    swaps, same discipline as :func:`compact_partitioned`.
+
+    Deterministic requirement: ``updates`` must carry one row per key
+    (enforce upstream with dedup ops); duplicate update keys would make
+    the snapshot depend on arrival order.
+    """
+    survivors = current.join(updates, key, "left_anti")
+    return survivors.unionByName(updates)
+
+
+def upsert_stats(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """(n_updated, n_inserted, n_unchanged) — the audit row a pipeline
+    logs with every merge."""
+    cur_keys = current.select(key)
+    upd_keys = updates.select(key)
+    return (
+        cur_keys.join(upd_keys, key, "left_semi")
+        .agg(F.count("*").alias("n_updated"))
+        .crossJoin(
+            upd_keys.join(cur_keys, key, "left_anti").agg(
+                F.count("*").alias("n_inserted")
+            )
+        )
+        .crossJoin(
+            cur_keys.join(upd_keys, key, "left_anti").agg(
+                F.count("*").alias("n_unchanged")
+            )
+        )
+    )
 
 
 def compact_partitioned(
