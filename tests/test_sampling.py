@@ -1,0 +1,61 @@
+"""Deterministic sampling: partition-invariance, cohort integrity,
+split disjointness, stratum fractions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parallel_inverted_index_map_reduce_spark.operators import sampling as sp
+from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+from .conftest import SF_ORACLE
+
+
+def _events(spark):
+    return load_table(spark, SF_ORACLE, "events")
+
+
+def test_sample_invariant_under_repartition(spark):
+    ev = _events(spark)
+    a = sp.deterministic_sample(ev, "user_id", 0.3)
+    b = sp.deterministic_sample(ev.repartition(13), "user_id", 0.3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_sample_keeps_cohorts_whole(spark):
+    ev = _events(spark)
+    s = sp.deterministic_sample(ev, "user_id", 0.3)
+    kept_users = {r.user_id for r in s.select("user_id").distinct().collect()}
+    all_events_of_kept = ev.where(F.col("user_id").isin(list(kept_users)))
+    assert s.count() == all_events_of_kept.count()
+
+
+def test_train_test_split_disjoint_exhaustive_no_leak(spark):
+    ev = _events(spark)
+    train, test = sp.train_test_split(ev, "user_id", 0.25)
+    n_train, n_test, n_all = train.count(), test.count(), ev.count()
+    assert n_train + n_test == n_all
+    assert n_test > 0 and n_train > 0
+    overlap = train.select("user_id").intersect(test.select("user_id"))
+    assert overlap.count() == 0  # no entity on both sides
+
+
+def test_stratified_fractions_and_determinism(spark):
+    ev = _events(spark)
+    fr = {"view": 1.0, "click": 0.5, "error": 0.0}
+    s = sp.stratified_sample(ev, "event_type", fr, key="event_id")
+    counts = {
+        r.event_type: r.n
+        for r in s.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    base = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("view") == base["view"]  # fraction 1.0 keeps all
+    assert "error" not in counts  # fraction 0.0 drops all
+    assert set(counts) <= {"view", "click"}  # absent strata default to 0
+    assert 0 < counts["click"] < base["click"]
+    # deterministic: same call, same rows
+    s2 = sp.stratified_sample(ev, "event_type", fr, key="event_id")
+    assert sorted(map(tuple, s.collect())) == sorted(map(tuple, s2.collect()))
