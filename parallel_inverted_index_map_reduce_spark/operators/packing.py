@@ -1,0 +1,91 @@
+"""Sequence packing: batch documents into fixed token budgets.
+
+LLM training consumes fixed-length sequences; feeding one short document
+per sequence wastes the budget on padding. Packing assigns documents to
+"bins" whose token totals approach the budget. Optimal bin packing is
+NP-hard and needs global state — the scalable form is partition-local
+first-fit-decreasing (FFD): sort each partition's docs by length
+descending, open a new bin only when no open bin fits. Partition-local
+is the right trade at 100 TB: bins never span executors (no shuffle of
+document payloads), quality loss vs global FFD is a few percent of
+fill, and the whole pass is one Arrow-batched scan.
+
+The only Python here is the greedy loop itself — state is one array of
+open-bin capacities per partition; assignments stream out per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PACKED_SCHEMA = "doc_id long, n_tokens long, bin_id long"
+
+
+def pack_sequences(
+    docs_with_len: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, bin_id): every doc in exactly one bin; a
+    multi-doc bin never exceeds ``budget``; docs longer than the budget
+    get a bin of their own (the caller chunks or drops them).
+
+    Deterministic for a fixed partitioning (sortWithinPartitions makes
+    the per-partition order canonical); bin ids are globally unique via
+    the partition id in the high bits.
+    """
+    prepared = (
+        docs_with_len.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(token_col).cast("long").alias("n_tokens"),
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .sortWithinPartitions(F.desc("n_tokens"), F.asc("doc_id"))
+    )
+
+    cap = int(budget)
+
+    def pack(batches):
+        remaining: list[int] = []  # open-bin capacities for THIS partition
+        for pdf in batches:
+            out_bins = []
+            for toks, pid in zip(pdf["n_tokens"], pdf["pid"]):
+                t = int(toks)
+                placed = -1
+                if t < cap:  # over/exact-budget docs get their own bin
+                    for i, r in enumerate(remaining):
+                        if r >= t:
+                            placed = i
+                            break
+                if placed < 0:
+                    placed = len(remaining)
+                    remaining.append(cap)
+                remaining[placed] -= t
+                out_bins.append((int(pid) << 32) | placed)
+            pdf = pdf[["doc_id", "n_tokens"]].copy()
+            pdf["bin_id"] = out_bins
+            yield pdf
+
+    return prepared.mapInPandas(pack, schema=PACKED_SCHEMA)
+
+
+def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """(n_bins, n_docs, fill_pct): the utilization a pipeline monitors.
+    Fill counts only bins within budget (oversize singleton bins are the
+    input's fault, not the packer's)."""
+    bins = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("total"), F.count("*").alias("n_docs")
+    )
+    inside = bins.where(F.col("total") <= budget)
+    return bins.agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+    ).crossJoin(
+        inside.agg(
+            F.round(100.0 * F.avg(F.col("total") / F.lit(float(budget))), 2).alias(
+                "fill_pct"
+            )
+        )
+    )
