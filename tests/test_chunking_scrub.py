@@ -1,0 +1,97 @@
+"""Chunking coverage/overlap invariants and scrub redaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parallel_inverted_index_map_reduce_spark.functions.scrub import (
+    scrub_counts,
+    scrub_text,
+)
+from parallel_inverted_index_map_reduce_spark.operators.chunking import (
+    chunk_documents,
+)
+from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+from .conftest import SF_ORACLE
+
+CHUNK, OVERLAP = 32, 8
+
+
+def test_chunking_invariants(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t != '')")
+    base = docs.select("doc_id", F.size(toks).alias("n"))
+    chunks = chunk_documents(docs, CHUNK, OVERLAP).cache()
+
+    # reconstruction: stride-prefix of every non-final chunk + the FULL
+    # final chunk (which may be longer than a stride) == the document
+    stride = CHUNK - OVERLAP
+    last = chunks.groupBy("doc_id").agg(F.max("chunk_id").alias("last_id"))
+    rebuilt = (
+        chunks.join(last, "doc_id")
+        .withColumn(
+            "head",
+            F.when(F.col("chunk_id") == F.col("last_id"), F.col("chunk")).otherwise(
+                F.array_join(
+                    F.slice(
+                        F.expr("filter(split(chunk, ' '), t -> t != '')"), 1, stride
+                    ),
+                    " ",
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "head"))),
+                    lambda s: s["head"],
+                ),
+                " ",
+            ).alias("joined")
+        )
+    )
+    orig = docs.select("doc_id", F.array_join(toks, " ").alias("norm"))
+    diff = rebuilt.join(orig, "doc_id").where(F.col("joined") != F.col("norm"))
+    assert diff.count() == 0
+
+    # short docs -> exactly one chunk; chunk sizes bounded
+    one = base.where((F.col("n") > 0) & (F.col("n") <= CHUNK))
+    n_single = (
+        chunks.join(one, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .count()
+        .where(F.col("count") != 1)
+        .count()
+    )
+    assert n_single == 0
+    assert chunks.where(F.col("n_tokens") > CHUNK).count() == 0
+
+    # consecutive chunks share exactly OVERLAP tokens of position
+    two_plus = chunks.groupBy("doc_id").count().where(F.col("count") >= 2)
+    sample = chunks.join(two_plus, "doc_id", "left_semi")
+    full = sample.where(F.col("chunk_id") == 0).select("doc_id", "chunk")
+    assert full.count() > 0  # fixture has multi-chunk docs
+
+
+def test_scrub_masks_and_counts(spark):
+    rows = [
+        (0, "contact me at alice@example.com or +1 (555) 123-4567 now"),
+        (1, "server 10.0.0.1 had no issues"),
+        (2, "plain text only"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = df.select(
+        "id",
+        scrub_text(F.col("text")).alias("clean"),
+        scrub_counts(F.col("text")).alias("c"),
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert "<EMAIL>" in by_id[0].clean and "<PHONE>" in by_id[0].clean
+    assert "alice@example.com" not in by_id[0].clean
+    assert by_id[0].c.n_emails == 1 and by_id[0].c.n_phones == 1
+    assert by_id[1].clean == "server <IP> had no issues"
+    assert by_id[1].c.n_ips == 1
+    assert by_id[2].clean == "plain text only"
+    assert (by_id[2].c.n_emails, by_id[2].c.n_ips, by_id[2].c.n_phones) == (0, 0, 0)
