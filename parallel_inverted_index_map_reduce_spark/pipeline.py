@@ -1,0 +1,91 @@
+"""The end-to-end training-data preparation pipeline.
+
+Composes the engine's operator library into the flow a real corpus
+takes on its way to a trainer, in the canonical order (each stage
+shrinks or shapes the data the next stage pays for):
+
+    scrub (mask PII-shaped text)
+    -> quality + language filter (cheap column math drops junk early)
+    -> near-dup dedup keep-list   (exact -> MinHash/LSH -> verify)
+    -> chunk (split long docs into overlapping token windows)
+    -> pack  (FFD-bin chunks into fixed token budgets)
+    -> write (hive-partitioned parquet, bounded file counts)
+
+Every stage is the already-tested operator; this module only wires
+them. At 100 TB the stage ORDER is the optimization: scrubbing and
+filtering are per-row codegen (no shuffle), so they run before the
+first shuffle (dedup) touches the network, and packing runs on chunk
+metadata only — the text itself is shuffled exactly once (dedup's
+shingle aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.scrub import scrub_text
+from .operators.chunking import chunk_documents
+from .operators.dedup import near_dup_keep_list
+from .operators.packing import pack_sequences
+from .operators.textstats import quality_scores
+from .sinks.partitioned import write_partitioned
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    dedup_threshold: float = 0.8,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    budget: int = 256,
+) -> DataFrame:
+    """documents(doc_id, text, ...) -> packed chunks
+    (doc_id, chunk_id, n_tokens, chunk, bin_id).
+
+    Returns a DataFrame so callers can inspect before writing;
+    :func:`run_and_land` adds the sink.
+    """
+    scrubbed = docs.withColumn("text", scrub_text(F.col("text")))
+
+    quality = quality_scores(scrubbed).select("doc_id", "quality_score")
+    kept_quality = scrubbed.join(
+        quality.where(F.col("quality_score").cast("double") >= min_quality),
+        "doc_id",
+        "left_semi",
+    )
+
+    keep = near_dup_keep_list(kept_quality, threshold=dedup_threshold)
+    deduped = kept_quality.join(
+        keep.where("keep").select("doc_id"), "doc_id", "left_semi"
+    )
+
+    chunks = chunk_documents(
+        deduped, chunk_tokens=chunk_tokens, overlap=overlap
+    ).withColumn("chunk_key", F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_id"))
+    packed = pack_sequences(
+        chunks, budget=budget, token_col="n_tokens", id_col="chunk_key"
+    ).withColumnRenamed("doc_id", "chunk_key_out")
+
+    return (
+        chunks.join(
+            packed.select(
+                F.col("chunk_key_out").alias("chunk_key"), "bin_id"
+            ),
+            "chunk_key",
+        )
+        .select("doc_id", "chunk_id", "n_tokens", "chunk", "bin_id")
+    )
+
+
+def run_and_land(
+    spark: SparkSession, docs: DataFrame, out_dir: str, **kwargs
+) -> DataFrame:
+    """Prepare and write, partitioned by a bin-id bucket so a trainer
+    shards by directory; returns what was written."""
+    packed = prepare_training_data(docs, **kwargs)
+    landed = packed.withColumn(
+        "shard", (F.col("bin_id") % 16).cast("int")
+    )
+    write_partitioned(landed, out_dir, ["shard"])
+    return packed
