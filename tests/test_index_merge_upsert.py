@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from parallel_inverted_index_map_reduce_spark.operators.index import (
     build_index,
+    build_index_scalable,
     merge_index,
 )
 from parallel_inverted_index_map_reduce_spark.operators.maintenance import (
@@ -33,6 +34,19 @@ def test_merge_index_equals_full_rebuild(spark):
         for r in full.collect()
     )
     assert mrows == frows
+
+
+def test_scalable_rank_decomposition_equals_window(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    a = sorted(
+        (r.letter, r.word, r.df, tuple(r.postings), r.rank)
+        for r in build_index(docs).collect()
+    )
+    b = sorted(
+        (r.letter, r.word, r.df, tuple(r.postings), r.rank)
+        for r in build_index_scalable(docs).collect()
+    )
+    assert a == b
 
 
 def test_merge_upsert_snapshot_semantics(spark):
