@@ -35,6 +35,7 @@ from .sinks.partitioned import write_partitioned
 def prepare_training_data(
     docs: DataFrame,
     min_quality: float = 0.3,
+    languages: tuple[str, ...] = ("en",),
     dedup_threshold: float = 0.8,
     chunk_tokens: int = 128,
     overlap: int = 16,
@@ -43,10 +44,16 @@ def prepare_training_data(
     """documents(doc_id, text, ...) -> packed chunks
     (doc_id, chunk_id, n_tokens, chunk, bin_id).
 
+    ``languages`` filters on the corpus's language label when one exists
+    (the heuristic guesser in operators/textstats.py fills it upstream
+    for unlabeled corpora); empty tuple disables the filter.
+
     Returns a DataFrame so callers can inspect before writing;
     :func:`run_and_land` adds the sink.
     """
     scrubbed = docs.withColumn("text", scrub_text(F.col("text")))
+    if languages and "lang" in scrubbed.columns:
+        scrubbed = scrubbed.where(F.col("lang").isin(*languages))
 
     quality = quality_scores(scrubbed).select("doc_id", "quality_score")
     kept_quality = scrubbed.join(
