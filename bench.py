@@ -42,10 +42,13 @@ def main() -> None:
     # scheduling overhead (measured ~0.7s across the headline set, 64 vs
     # 32 on a 32-core box). On a real cluster the same rule scales with
     # total cores; AQE coalesces below it when partitions run small.
+    default_parts = cpus if cpus.isdigit() else str(os.cpu_count() or 8)
     spark = get_spark(
         app_name="bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)),
+        master=f"local[{cpus}]",  # non-numeric specs like '*' are valid here
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", default_parts)
+        ),
     )
     spark.sparkContext.setLogLevel("ERROR")
 

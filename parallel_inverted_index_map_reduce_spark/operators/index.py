@@ -50,6 +50,30 @@ def term_frequencies(docs: DataFrame) -> DataFrame:
     return tokens_df(docs).groupBy("word", "doc_id").agg(F.count("*").alias("tf"))
 
 
+def _with_df_letter(idx: DataFrame) -> DataFrame:
+    """(word, postings) -> + df (postings size) + letter (first char) —
+    the shared derivation every index builder applies after its own
+    postings aggregation."""
+    return idx.withColumn("df", F.size("postings").cast("long")).withColumn(
+        "letter", F.substring("word", 1, 1)
+    )
+
+
+def _attach_rank_window(idx: DataFrame) -> DataFrame:
+    """Final projection with the per-letter (df desc, word asc) rank as
+    a 26-partition window — the reference-shaped form. The decomposed
+    alternative in :func:`build_index_scalable` lifts the 26-task
+    ceiling; both orderings are proven identical."""
+    w = Window.partitionBy("letter").orderBy(F.desc("df"), F.asc("word"))
+    return idx.select(
+        "letter",
+        "word",
+        "df",
+        "postings",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 def build_index(docs: DataFrame, one_based: bool = False) -> DataFrame:
     """Full index: (letter, word, df, postings, rank).
 
@@ -64,18 +88,7 @@ def build_index(docs: DataFrame, one_based: bool = False) -> DataFrame:
     idx = t.groupBy("word").agg(
         F.sort_array(F.collect_set("doc_id")).alias("postings")
     )
-    idx = (
-        idx.withColumn("df", F.size("postings").cast("long"))
-        .withColumn("letter", F.substring("word", 1, 1))
-    )
-    w = Window.partitionBy("letter").orderBy(F.desc("df"), F.asc("word"))
-    return idx.select(
-        "letter",
-        "word",
-        "df",
-        "postings",
-        F.row_number().over(w).cast("long").alias("rank"),
-    )
+    return _attach_rank_window(_with_df_letter(idx))
 
 
 def build_index_scalable(docs: DataFrame, one_based: bool = False) -> DataFrame:
@@ -99,11 +112,10 @@ def build_index_scalable(docs: DataFrame, one_based: bool = False) -> DataFrame:
     t = tokens_df(docs)
     if one_based:
         t = t.withColumn("doc_id", F.col("doc_id") + F.lit(1))
-    idx = (
-        t.groupBy("word")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("postings"))
-        .withColumn("df", F.size("postings").cast("long"))
-        .withColumn("letter", F.substring("word", 1, 1))
+    idx = _with_df_letter(
+        t.groupBy("word").agg(
+            F.sort_array(F.collect_set("doc_id")).alias("postings")
+        )
     )
     counts = idx.groupBy("letter", "df").agg(F.count("*").alias("n_words"))
     w_off = (
@@ -142,8 +154,8 @@ def merge_index(old_index: DataFrame, new_docs: DataFrame) -> DataFrame:
     (collect_list of posting arrays -> flatten -> dedup), then df/letter/
     rank derive exactly as in :func:`build_index`, so
     ``merge_index(build_index(a), b) == build_index(a | b)`` row-for-row
-    (asserted in tests/test_index_merge.py). Caller guarantees doc_id
-    spaces are consistent (the manifest's deterministic ids).
+    (asserted in tests/test_index_merge_upsert.py). Caller guarantees
+    doc_id spaces are consistent (the manifest's deterministic ids).
     """
     new_pairs = tokens_df(new_docs)
     new_side = new_pairs.groupBy("word").agg(
@@ -158,17 +170,8 @@ def merge_index(old_index: DataFrame, new_docs: DataFrame) -> DataFrame:
                 F.array_distinct(F.flatten(F.collect_list("postings")))
             ).alias("postings")
         )
-        .withColumn("df", F.size("postings").cast("long"))
-        .withColumn("letter", F.substring("word", 1, 1))
     )
-    w = Window.partitionBy("letter").orderBy(F.desc("df"), F.asc("word"))
-    return merged.select(
-        "letter",
-        "word",
-        "df",
-        "postings",
-        F.row_number().over(w).cast("long").alias("rank"),
-    )
+    return _attach_rank_window(_with_df_letter(merged))
 
 
 def document_frequency(docs: DataFrame) -> DataFrame:

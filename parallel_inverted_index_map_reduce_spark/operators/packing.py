@@ -48,22 +48,31 @@ def pack_sequences(
     cap = int(budget)
 
     def pack(batches):
-        remaining: list[int] = []  # open-bin capacities for THIS partition
+        # Best-fit-decreasing via a capacity-sorted list: find the
+        # SMALLEST open bin that fits (bisect, O(log n) compare), pop,
+        # re-insert with reduced capacity. A linear first-fit scan goes
+        # quadratic exactly in the common case — near-full bins that
+        # never fit anything again but are re-scanned for every doc.
+        # insort's O(n) memmove is C-level; the Python work per doc is
+        # O(log n).
+        import bisect
+
+        by_cap: list[list] = []  # sorted [remaining, bin_idx] pairs
+        n_bins = 0
         for pdf in batches:
             out_bins = []
             for toks, pid in zip(pdf["n_tokens"], pdf["pid"]):
                 t = int(toks)
-                placed = -1
-                if t < cap:  # over/exact-budget docs get their own bin
-                    for i, r in enumerate(remaining):
-                        if r >= t:
-                            placed = i
-                            break
-                if placed < 0:
-                    placed = len(remaining)
-                    remaining.append(cap)
-                remaining[placed] -= t
-                out_bins.append((int(pid) << 32) | placed)
+                i = bisect.bisect_left(by_cap, [t]) if t < cap else len(by_cap)
+                if i < len(by_cap):
+                    rem, idx = by_cap.pop(i)
+                else:  # nothing fits (or doc at/over budget): open a bin
+                    rem, idx = cap, n_bins
+                    n_bins += 1
+                rem -= t
+                if rem > 0:
+                    bisect.insort(by_cap, [rem, idx])
+                out_bins.append((int(pid) << 32) | idx)
             pdf = pdf[["doc_id", "n_tokens"]].copy()
             pdf["bin_id"] = out_bins
             yield pdf

@@ -32,11 +32,18 @@ def quantize_int8(
     max|x| / 127, so dequantized error per component is <= scale / 2.
     All-zero vectors get scale 1.0 (q is all zeros; dequantizes
     losslessly).
+
+    The max-abs fold lands in an intermediate column first: higher-order
+    aggregate lambdas are not common-subexpression-eliminated by
+    codegen, so referencing the fold twice (zero-check + divide) would
+    pay two full array passes per row.
     """
-    scale = F.when(_max_abs(F.col(vec_col)) == 0.0, F.lit(1.0)).otherwise(
-        _max_abs(F.col(vec_col)) / F.lit(127.0)
-    )
-    df = emb.withColumn(f"{out_col}_scale", scale)
+    ma = f"{out_col}_maxabs"
+    df = emb.withColumn(ma, _max_abs(F.col(vec_col)))
+    df = df.withColumn(
+        f"{out_col}_scale",
+        F.when(F.col(ma) == 0.0, F.lit(1.0)).otherwise(F.col(ma) / F.lit(127.0)),
+    ).drop(ma)
     return df.withColumn(
         out_col,
         F.transform(

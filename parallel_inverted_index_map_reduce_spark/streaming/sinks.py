@@ -8,15 +8,52 @@ directory (before marker) or is skipped (after marker). Either way the
 dataset never double-counts a batch — the property "exactly-once"
 actually means for a file sink.
 
+The marker is load-bearing on BOTH sides: writers skip committed ids,
+and readers must read ONLY committed directories — a crash between the
+data write and the marker leaves a partial directory that readers have
+to ignore until the restarted stream rewrites it.
+
 At scale the same pattern drives MERGE-into-table-format sinks; the
 directory-per-batch layout here is the dependency-free equivalent.
 """
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def batch_dir(path: str, batch_id: int) -> str:
+    return os.path.join(path, f"batch_id={batch_id}")
+
+
+def marker_path(path: str, batch_id: int) -> str:
+    return os.path.join(path, f"_committed_{batch_id}")
+
+
+def is_committed(path: str, batch_id: int) -> bool:
+    return os.path.exists(marker_path(path, batch_id))
+
+
+def commit(path: str, batch_id: int) -> None:
+    open(marker_path(path, batch_id), "w").close()
+
+
+def committed_batch_dirs(path: str) -> list[str]:
+    """Directories whose commit marker exists — the only ones a reader
+    may trust. Partial directories from a crash mid-write are excluded
+    until their batch is replayed and committed."""
+    out = []
+    for d in sorted(glob.glob(os.path.join(path, "batch_id=*"))):
+        try:
+            bid = int(d.rsplit("=", 1)[1])
+        except ValueError:
+            continue
+        if is_committed(path, bid):
+            out.append(d)
+    return out
 
 
 def start_exactly_once_parquet(
@@ -30,12 +67,10 @@ def start_exactly_once_parquet(
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        target = os.path.join(path, f"batch_id={batch_id}")
-        marker = os.path.join(path, f"_committed_{batch_id}")
-        if os.path.exists(marker):
+        if is_committed(path, batch_id):
             return  # replay of a committed batch: drop it
-        batch_df.write.mode("overwrite").parquet(target)
-        open(marker, "w").close()
+        batch_df.write.mode("overwrite").parquet(batch_dir(path, batch_id))
+        commit(path, batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)
@@ -46,7 +81,9 @@ def start_exactly_once_parquet(
 
 
 def read_exactly_once_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Read everything the sink committed (batch_id becomes a column)."""
-    return spark.read.option("basePath", path).parquet(
-        os.path.join(path, "batch_id=*")
-    )
+    """Read everything the sink COMMITTED (batch_id becomes a column).
+    Uncommitted (crash-partial) directories are excluded."""
+    dirs = committed_batch_dirs(path)
+    if not dirs:
+        raise FileNotFoundError(f"no committed batches under {path}")
+    return spark.read.option("basePath", path).parquet(*dirs)
