@@ -15,8 +15,25 @@ from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-# 7+ digit runs with optional separators — phone-shaped, after emails/IPs
-PHONE_RE = r"\+?\d[\d\s().-]{5,}\d"
+# Phone numbers must show actual phone STRUCTURE, not just 7+ digit-ish
+# chars (the old pattern masked '2020-2021', '3.14159265', '1000000').
+# Four precise shapes, guarded by lookarounds so a match can neither
+# start inside a longer digit/decimal run nor continue into one:
+#   +40721234567          international, compact (7-15 digits)
+#   +40 721 234 567       international, space/dash grouped
+#   (555) 123-4567        NANP with area-code parens
+#   555-123-4567          3-3-4 with -, . or space separators
+# Deliberately NOT matched (precision over recall): bare digit runs
+# ('5551234567' could be an id), 4-3-3 European groupings (collide with
+# year ranges), and date shapes (4-2-2 never fits 3-3-4).
+PHONE_RE = (
+    r"(?<!\d)(?<!\d\.)"
+    r"(?:\+\d{1,3}[\s-]\d(?:[\s-]?\d){5,12}"
+    r"|\+\d{7,15}"
+    r"|\(\d{3}\)[\s.-]?\d{3}[\s.-]?\d{4}"
+    r"|\d{3}[\s.-]\d{3}[\s.-]\d{4})"
+    r"(?!\.?\d)"
+)
 
 EMAIL_TOKEN = "<EMAIL>"
 IP_TOKEN = "<IP>"

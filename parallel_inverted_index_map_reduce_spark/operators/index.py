@@ -142,7 +142,9 @@ def build_index_scalable(docs: DataFrame, one_based: bool = False) -> DataFrame:
     )
 
 
-def merge_index(old_index: DataFrame, new_docs: DataFrame) -> DataFrame:
+def merge_index(
+    old_index: DataFrame, new_docs: DataFrame, one_based: bool = False
+) -> DataFrame:
     """Incremental index maintenance: fold new documents into an
     existing index without re-reading the old corpus.
 
@@ -155,9 +157,13 @@ def merge_index(old_index: DataFrame, new_docs: DataFrame) -> DataFrame:
     rank derive exactly as in :func:`build_index`, so
     ``merge_index(build_index(a), b) == build_index(a | b)`` row-for-row
     (asserted in tests/test_index_merge_upsert.py). Caller guarantees
-    doc_id spaces are consistent (the manifest's deterministic ids).
+    doc_id spaces are consistent (the manifest's deterministic ids);
+    ``one_based`` must match the flag the old index was built with, so
+    the new side's tokens land in the same id space.
     """
     new_pairs = tokens_df(new_docs)
+    if one_based:
+        new_pairs = new_pairs.withColumn("doc_id", F.col("doc_id") + F.lit(1))
     new_side = new_pairs.groupBy("word").agg(
         F.collect_set("doc_id").alias("postings")
     )

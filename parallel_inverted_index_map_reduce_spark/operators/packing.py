@@ -19,30 +19,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-PACKED_SCHEMA = "doc_id long, n_tokens long, bin_id long"
-
-
 def pack_sequences(
     docs_with_len: DataFrame,
     budget: int,
     token_col: str = "n_tokens",
-    id_col: str = "doc_id",
+    id_cols: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
-    """(doc_id, n_tokens, bin_id): every doc in exactly one bin; a
+    """(*id_cols, n_tokens, bin_id): every doc in exactly one bin; a
     multi-doc bin never exceeds ``budget``; docs longer than the budget
     get a bin of their own (the caller chunks or drops them).
+
+    ``id_cols`` is a composite row key carried through unchanged — a
+    multi-column key (e.g. ``(doc_id, chunk_id)``) avoids bit-packing
+    two ids into one long, which silently collides once the high part
+    reaches 2^31.
 
     Deterministic for a fixed partitioning (sortWithinPartitions makes
     the per-partition order canonical); bin ids are globally unique via
     the partition id in the high bits.
     """
+    id_cols = tuple(id_cols)
     prepared = (
         docs_with_len.select(
-            F.col(id_col).cast("long").alias("doc_id"),
+            *[F.col(c).cast("long").alias(c) for c in id_cols],
             F.col(token_col).cast("long").alias("n_tokens"),
         )
         .withColumn("pid", F.spark_partition_id())
-        .sortWithinPartitions(F.desc("n_tokens"), F.asc("doc_id"))
+        .sortWithinPartitions(
+            F.desc("n_tokens"), *[F.asc(c) for c in id_cols]
+        )
+    )
+    out_schema = ", ".join(
+        [f"{c} long" for c in id_cols] + ["n_tokens long", "bin_id long"]
     )
 
     cap = int(budget)
@@ -73,11 +81,11 @@ def pack_sequences(
                 if rem > 0:
                     bisect.insort(by_cap, [rem, idx])
                 out_bins.append((int(pid) << 32) | idx)
-            pdf = pdf[["doc_id", "n_tokens"]].copy()
+            pdf = pdf[list(id_cols) + ["n_tokens"]].copy()
             pdf["bin_id"] = out_bins
             yield pdf
 
-    return prepared.mapInPandas(pack, schema=PACKED_SCHEMA)
+    return prepared.mapInPandas(pack, schema=out_schema)
 
 
 def packing_stats(packed: DataFrame, budget: int) -> DataFrame:

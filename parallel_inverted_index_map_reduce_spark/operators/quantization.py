@@ -71,7 +71,11 @@ def quantized_cosine(qa: Column, qb: Column) -> Column:
     """Cosine over two int8-quantized vectors. The per-vector scales
     cancel: cos(a, b) = <qa, qb> / (|qa| |qb|) exactly, because each
     vector is a uniform scaling of its quantized form. Integer dot
-    products accumulate in longs — no float error in the reduction."""
+    products accumulate in longs — no float error in the reduction.
+
+    An all-zero vector has no direction; its cosine is defined as 0.0
+    here (not NULL — 0/0 under non-ANSI division would yield NULL rows
+    that sort nulls-last yet still occupy top-k ranks downstream)."""
     dot = F.aggregate(
         F.zip_with(qa, qb, lambda x, y: (x.cast("long") * y.cast("long"))),
         F.lit(0).cast("long"),
@@ -87,7 +91,9 @@ def quantized_cosine(qa: Column, qb: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    return dot.cast("double") / F.sqrt(n1.cast("double") * n2.cast("double"))
+    return F.when((n1 == 0) | (n2 == 0), F.lit(0.0)).otherwise(
+        dot.cast("double") / F.sqrt(n1.cast("double") * n2.cast("double"))
+    )
 
 
 def quantized_topk(

@@ -67,25 +67,18 @@ def prepare_training_data(
         keep.where("keep").select("doc_id"), "doc_id", "left_semi"
     )
 
-    # Composite key for the packer: doc_id in the high 31 bits, chunk_id
-    # in the low 32 — collision-free for doc_id < 2^31 and chunk_id <
-    # 2^32 (a 2^32-chunk document would be ~4e11 tokens; no document is
-    # that long, while a 1e6-multiplier WOULD collide at ~112M tokens).
-    chunks = chunk_documents(
-        deduped, chunk_tokens=chunk_tokens, overlap=overlap
-    ).withColumn(
-        "chunk_key", F.shiftleft(F.col("doc_id"), 32) + F.col("chunk_id")
-    )
+    # The packer carries the (doc_id, chunk_id) composite key through
+    # unchanged — no bit-packed single key, which would collide for
+    # doc_id >= 2^31 (and would wrap entirely on an int32 doc_id).
+    chunks = chunk_documents(deduped, chunk_tokens=chunk_tokens, overlap=overlap)
     packed = pack_sequences(
-        chunks, budget=budget, token_col="n_tokens", id_col="chunk_key"
-    ).withColumnRenamed("doc_id", "chunk_key_out")
+        chunks, budget=budget, token_col="n_tokens", id_cols=("doc_id", "chunk_id")
+    )
 
     return (
         chunks.join(
-            packed.select(
-                F.col("chunk_key_out").alias("chunk_key"), "bin_id"
-            ),
-            "chunk_key",
+            packed.select("doc_id", "chunk_id", "bin_id"),
+            ["doc_id", "chunk_id"],
         )
         .select("doc_id", "chunk_id", "n_tokens", "chunk", "bin_id")
     )

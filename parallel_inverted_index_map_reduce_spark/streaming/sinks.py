@@ -80,10 +80,32 @@ def start_exactly_once_parquet(
     )
 
 
-def read_exactly_once_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_exactly_once_parquet(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
     """Read everything the sink COMMITTED (batch_id becomes a column).
-    Uncommitted (crash-partial) directories are excluded."""
+    Uncommitted (crash-partial) directories are excluded.
+
+    A committed batch whose DataFrame was empty leaves a directory with
+    a _SUCCESS marker but no part files; such directories are legal
+    (the batch IS committed — it contributed zero rows) but poison
+    schema inference when they are the only committed ones. They are
+    skipped, and when nothing data-bearing remains the reader returns
+    an empty frame under ``schema`` (required in that case: with zero
+    files there is nothing to infer from).
+    """
     dirs = committed_batch_dirs(path)
     if not dirs:
         raise FileNotFoundError(f"no committed batches under {path}")
-    return spark.read.option("basePath", path).parquet(*dirs)
+    data_dirs = [d for d in dirs if glob.glob(os.path.join(d, "*.parquet"))]
+    if not data_dirs:
+        if schema is None:
+            raise FileNotFoundError(
+                f"all committed batches under {path} are empty; pass an "
+                "explicit schema to read them as an empty DataFrame"
+            )
+        return spark.createDataFrame([], schema)
+    reader = spark.read.option("basePath", path)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*data_dirs)

@@ -95,3 +95,37 @@ def test_scrub_masks_and_counts(spark):
     assert by_id[1].c.n_ips == 1
     assert by_id[2].clean == "plain text only"
     assert (by_id[2].c.n_emails, by_id[2].c.n_ips, by_id[2].c.n_phones) == (0, 0, 0)
+
+
+def test_scrub_phone_requires_phone_structure(spark):
+    """PHONE_RE masks structured phone shapes only — benign numeric text
+    (dates, year ranges, decimals, plain integers) must survive."""
+    masked = [
+        "+40721234567",
+        "+40 721 234 567",
+        "(555) 123-4567",
+        "555-123-4567",
+        "555.123.4567",
+        "call 555 123 4567.",
+    ]
+    unmasked = [
+        "the 2020-2021 season",
+        "released 2024-01-15 10:30",
+        "about 1000000 rows",
+        "pi is 3.14159265",
+        "thousand-sep chains like 1.234.567.8901",
+        "ids 12345678 and 987654321",
+        "budget of 10,000,000 dollars",
+    ]
+    rows = [(i, t) for i, t in enumerate(masked + unmasked)]
+    out = {
+        r.id: r.clean
+        for r in spark.createDataFrame(rows, ["id", "text"])
+        .select("id", scrub_text(F.col("text")).alias("clean"))
+        .collect()
+    }
+    for i, text in enumerate(masked):
+        assert "<PHONE>" in out[i], f"should mask: {text!r} -> {out[i]!r}"
+    for j, text in enumerate(unmasked):
+        i = len(masked) + j
+        assert out[i] == text, f"should NOT mask: {text!r} -> {out[i]!r}"

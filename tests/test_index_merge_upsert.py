@@ -36,6 +36,26 @@ def test_merge_index_equals_full_rebuild(spark):
     assert mrows == frows
 
 
+def test_merge_index_one_based_matches_rebuild(spark):
+    """Merging into a one-based index must shift the NEW side's doc_ids
+    into the same id space (regression: new docs tokenized 0-based were
+    silently mixed into 1-based postings)."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    merged = merge_index(build_index(old, one_based=True), new, one_based=True)
+    full = build_index(docs, one_based=True)
+    mrows = sorted(
+        (r.letter, r.word, r.df, tuple(r.postings), r.rank)
+        for r in merged.collect()
+    )
+    frows = sorted(
+        (r.letter, r.word, r.df, tuple(r.postings), r.rank)
+        for r in full.collect()
+    )
+    assert mrows == frows
+
+
 def test_scalable_rank_decomposition_equals_window(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
     a = sorted(

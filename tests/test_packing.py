@@ -52,3 +52,24 @@ def test_packing_invariants(spark):
     assert stats.n_docs == dl.count()
     # FFD on many small docs should fill bins well past half
     assert stats.fill_pct > 60.0, stats
+
+
+def test_packing_composite_id_beyond_int32(spark):
+    """A (doc_id, chunk_id) composite key survives packing verbatim —
+    including doc_id >= 2^31, where the old shiftleft-packed single key
+    silently collided (join fan-out in the pipeline)."""
+    big = 2**31
+    rows = [
+        (big + 0, 0, 50),
+        (big + 0, 1, 50),
+        (big + 1, 0, 50),  # would collide with (big+0, chunk 2^32) packed
+        (big + 1, 1, 50),
+        (7, 0, 200),  # oversize: bin of its own
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_id", "n_tokens"])
+    packed = pack_sequences(df, BUDGET, id_cols=("doc_id", "chunk_id")).cache()
+    assert packed.columns == ["doc_id", "chunk_id", "n_tokens", "bin_id"]
+    assert packed.count() == 5
+    assert packed.select("doc_id", "chunk_id").distinct().count() == 5
+    got = {(r.doc_id, r.chunk_id): r.n_tokens for r in packed.collect()}
+    assert got == {(d, c): n for d, c, n in rows}

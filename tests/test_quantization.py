@@ -43,6 +43,28 @@ def test_quantized_schema_is_int8(spark):
     assert isinstance(t, ArrayType) and isinstance(t.elementType, ByteType)
 
 
+def test_quantized_cosine_zero_vector_is_zero_not_null(spark):
+    """All-zero vectors have no direction: cosine is 0.0, never NULL
+    (NULL sorts nulls-last but can still occupy top-k ranks)."""
+    rows = [
+        (0, [0.0, 0.0, 0.0]),
+        (1, [1.0, 2.0, 3.0]),
+        (2, [0.0, 0.0, 0.0]),
+    ]
+    q = qz.quantize_int8(
+        spark.createDataFrame(rows, ["vec_id", "embedding"])
+    )
+    a = q.where("vec_id = 0").select(F.col("q").alias("qa"))
+    pairs = a.crossJoin(q.select(F.col("vec_id").alias("b"), F.col("q").alias("qb")))
+    got = {
+        r.b: r.c
+        for r in pairs.select(
+            "b", qz.quantized_cosine(F.col("qa"), F.col("qb")).alias("c")
+        ).collect()
+    }
+    assert got == {0: 0.0, 1: 0.0, 2: 0.0}  # zero vs anything = 0.0, not None
+
+
 def test_quantized_topk_agrees_with_exact(spark):
     k, nq = 5, 8
     exact = {

@@ -39,6 +39,33 @@ def test_exactly_once_sink_no_duplicates_across_restart(spark, tmp_path):
     assert ssk.read_exactly_once_parquet(spark, out).count() == batch.count()
 
 
+def test_read_tolerates_empty_committed_batches(spark, tmp_path):
+    """A committed batch whose DataFrame was empty leaves a directory
+    with no part files; the reader must skip it — and when ALL committed
+    batches are empty, return an empty frame under an explicit schema
+    instead of failing schema inference."""
+    import os
+
+    import pytest
+
+    out = str(tmp_path / "landed")
+    os.makedirs(ssk.batch_dir(out, 0))  # committed but empty
+    ssk.commit(out, 0)
+
+    with pytest.raises(FileNotFoundError, match="explicit schema"):
+        ssk.read_exactly_once_parquet(spark, out)
+    empty = ssk.read_exactly_once_parquet(spark, out, schema="event_id long")
+    assert empty.count() == 0 and empty.columns == ["event_id"]
+
+    # mixed: an empty committed batch alongside a data-bearing one
+    spark.createDataFrame([(1,), (2,)], ["event_id"]).write.parquet(
+        ssk.batch_dir(out, 1)
+    )
+    ssk.commit(out, 1)
+    got = ssk.read_exactly_once_parquet(spark, out)
+    assert sorted(r.event_id for r in got.collect()) == [1, 2]
+
+
 def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     src = str(tmp_path / "fragmented")
     dst = str(tmp_path / "compacted")
