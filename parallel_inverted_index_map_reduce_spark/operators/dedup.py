@@ -24,7 +24,7 @@ patterns only, no code reuse).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..plans.exprs import stable_round6
@@ -144,14 +144,18 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return mh.select("doc_id", kv).select("doc_id", "kv.perm_id", "kv.minhash")
 
 
-def lsh_candidate_pairs(docs_or_table: DataFrame) -> DataFrame:
-    """Distinct candidate (doc_a, doc_b) pairs colliding in >= 1 band.
+_BAND_SIG_COLS = ["band_id", *[f"sig_{r}" for r in range(LSH_ROWS)]]
+
+
+def _band_signatures(docs_or_table: DataFrame) -> DataFrame:
+    """(doc_id, band_id, sig_0..sig_{rows-1}): one row per (doc, band).
 
     Accepts either the documents table or a precomputed
     :func:`minhash_table` output (detected by column names). Band
-    signatures are plain column concats of the wide signature — built
-    without any aggregation — and the only shuffle is the band-sig
-    equi-join itself.
+    signature = the band's raw minhash longs as SEPARATE grouping
+    columns, not a string concat: grouping hashes primitive longs
+    instead of materializing 8 signature strings per doc (measured
+    ~10% off the pipeline), and the shuffle rows shrink.
     """
     if "mh0" in docs_or_table.columns:
         mh = docs_or_table
@@ -159,11 +163,6 @@ def lsh_candidate_pairs(docs_or_table: DataFrame) -> DataFrame:
         mh = minhash_table(docs_or_table)
     else:
         raise ValueError("expected documents or minhash_table output")
-    # Band signature = the band's raw minhash longs as SEPARATE grouping
-    # columns, not a string concat: grouping hashes primitive longs
-    # instead of materializing 8 signature strings per doc (measured
-    # ~10% off the pipeline), and the shuffle rows shrink. The pair
-    # output is identical — the signature never leaves this function.
     bands = F.explode(
         F.array(
             *[
@@ -178,14 +177,74 @@ def lsh_candidate_pairs(docs_or_table: DataFrame) -> DataFrame:
             ]
         )
     ).alias("bs")
-    sig_cols = [f"sig_{r}" for r in range(LSH_ROWS)]
-    sigs = mh.select("doc_id", bands).select(
-        "doc_id", "bs.band_id", *[f"bs.{c}" for c in sig_cols]
+    return mh.select("doc_id", bands).select(
+        "doc_id", *[f"bs.{c}" for c in _BAND_SIG_COLS]
     )
-    return _bucket_pairs(sigs, ["band_id", *sig_cols], "doc_id")
 
 
-def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    docs_or_table: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """Distinct candidate (doc_a, doc_b) pairs colliding in >= 1 band.
+
+    The only shuffle is the band-signature grouping itself. ``max_bucket``
+    (optional) drops degenerate buckets — see :func:`_bucket_pairs`;
+    callers that set it must also materialize
+    :func:`lsh_bucket_overflow` so the drop is accounted, never silent.
+    """
+    sigs = _band_signatures(docs_or_table)
+    return _bucket_pairs(sigs, _BAND_SIG_COLS, "doc_id", max_bucket=max_bucket)
+
+
+def lsh_bucket_overflow(
+    docs_or_table: DataFrame, max_bucket: int
+) -> DataFrame:
+    """(band_id, sig_0.., n_members) for every LSH bucket larger than
+    ``max_bucket`` — the accounting twin of
+    ``lsh_candidate_pairs(..., max_bucket=...)``."""
+    return bucket_overflow(
+        _band_signatures(docs_or_table), _BAND_SIG_COLS, max_bucket
+    )
+
+
+def _cap_buckets(
+    keyed: DataFrame, bucket_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """Rows of buckets with <= max_bucket members, filtered BEFORE any
+    membership array exists: the count is a window over the bucket key,
+    whose exec buffers narrow spillable rows — the giant bucket never
+    reaches a collect_list aggregation buffer (arrays cannot spill
+    mid-group; rows can). The window's exchange hash-partitions on the
+    bucket key, which the downstream groupBy reuses — capping costs no
+    extra shuffle."""
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        keyed.withColumn("_n_bucket", F.count("*").over(w))
+        .where(F.col("_n_bucket") <= max_bucket)
+        .drop("_n_bucket")
+    )
+
+
+def bucket_overflow(
+    keyed: DataFrame, bucket_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """(*bucket_cols, n_members) for every bucket whose membership
+    exceeds ``max_bucket`` — the explicit accounting for a capped pair
+    expansion. No silent caps: a pipeline that passes ``max_bucket``
+    must count/log this frame next to the pairs it kept."""
+    return (
+        keyed.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > max_bucket)
+    )
+
+
+def _bucket_pairs(
+    keyed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs co-occurring in >= 1 bucket.
 
     One groupBy + in-bucket pair expansion instead of a bucket-key
@@ -198,13 +257,20 @@ def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], id_col: str) -> Data
     per bucket (doc_a < doc_b by construction); the cross-bucket
     ``distinct`` is unavoidable in either formulation.
 
-    Scale note: a bucket's membership array lives in one aggregation
-    buffer, so pathological buckets (thousands of byte-identical
-    documents colliding in every band) should be collapsed by exact
-    dedup upstream — the standard pipeline order. Output volume is
-    quadratic per bucket in ANY formulation; this one just also holds
-    the member list in memory.
+    Scale guard: pair volume is quadratic per bucket in ANY
+    formulation, and the membership array lives in one aggregation
+    buffer. Exact dedup upstream collapses the classic degenerate case
+    (byte-identical documents colliding in every band); ``max_bucket``
+    is the belt-and-braces cap for the rest (e.g. thousands of
+    near-empty docs sharing a band signature): buckets beyond it are
+    EXCLUDED from expansion — before their member array is ever built
+    (see :func:`_cap_buckets`) — and surface in
+    :func:`bucket_overflow`, which capped callers must materialize so
+    the drop is visible, not silent. Default None preserves the
+    lossless candidate set.
     """
+    if max_bucket is not None:
+        keyed = _cap_buckets(keyed, bucket_cols, max_bucket)
     return (
         keyed.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -255,7 +321,9 @@ def jaccard_verify(pairs: DataFrame, doc_shingles: DataFrame) -> DataFrame:
     )
 
 
-def near_dup_keep_list(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+def near_dup_keep_list(
+    docs: DataFrame, threshold: float = 0.8, max_bucket: int | None = None
+) -> DataFrame:
     """(doc_id, keep): the full training-pipeline dedup flow in one call.
 
     exact dedup -> MinHash/LSH candidates -> exact-Jaccard verify ->
@@ -266,6 +334,10 @@ def near_dup_keep_list(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     (Union-find grouping would keep slightly more docs on chains
     a~b~c where a!~c; that needs iterative label propagation, which a
     batch pipeline usually trades away for this single-pass rule.)
+
+    ``max_bucket`` caps LSH bucket expansion (skipped buckets = missed
+    candidates = docs conservatively KEPT, never wrongly dropped);
+    capped runs should report ``lsh_bucket_overflow`` alongside.
     """
     exact = exact_dedup_groups(docs)  # (text_hash, keep_doc_id, n_dups)
     canonical = (
@@ -281,7 +353,7 @@ def near_dup_keep_list(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     canon_docs = docs.join(
         exact.select(F.col("keep_doc_id").alias("doc_id")), "doc_id", "left_semi"
     )
-    pairs = lsh_candidate_pairs(canon_docs)
+    pairs = lsh_candidate_pairs(canon_docs, max_bucket=max_bucket)
     verified = jaccard_verify(pairs, shingles(canon_docs, distinct=True))
     # jaccard_verify renders through stable_round6 (string); compare
     # numerically. doc_a < doc_b by construction, so doc_b is the drop.
@@ -315,7 +387,9 @@ def simhash_blocks(max_hamming: int = SIMHASH_MAX_HAMMING) -> list[tuple[int, in
 
 
 def simhash_near_dups(
-    docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming): pairs with Hamming(simhash) <= max_hamming.
 
@@ -325,6 +399,13 @@ def simhash_near_dups(
     candidates come from the (block_id, block_val) equi-join and only
     those are verified with bit_count(xor). Shuffle volume is
     O(docs * n_blocks), never O(docs^2).
+
+    ``max_bucket`` guards degenerate blocks the same way as
+    :func:`_bucket_pairs` — but note the pigeonhole banding is LOSSLESS
+    only uncapped: a capped run trades the completeness guarantee for
+    bounded task size and must materialize
+    ``bucket_overflow(keyed, ["block_id", "block_val"], max_bucket)``
+    to account for it.
     """
     fp = simhash_fingerprints(docs)
     blocks = F.explode(
@@ -348,6 +429,8 @@ def simhash_near_dups(
     # carrying each member's fingerprint through the pair struct so the
     # Hamming verify needs no join back. sort_array orders by doc_id
     # (first struct field), so doc_a < doc_b by construction.
+    if max_bucket is not None:
+        keyed = _cap_buckets(keyed, ["block_id", "block_val"], max_bucket)
     cand = (
         keyed.groupBy("block_id", "block_val")
         .agg(

@@ -397,7 +397,10 @@ def hyperplane_buckets(emb: DataFrame, n_planes: int = 8) -> DataFrame:
 
 
 def bucketed_near_dups(
-    emb: DataFrame, n_planes: int = 4, threshold: float = 0.35
+    emb: DataFrame,
+    n_planes: int = 4,
+    threshold: float = 0.35,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, cosine): same-bucket pairs with exact decimal
     cosine >= threshold.
@@ -419,8 +422,12 @@ def bucketed_near_dups(
     Recall is tuned by n_planes (fewer planes = bigger buckets = higher
     recall); multi-probe or plane-rotation repeats recover the rest. At
     production scale n_planes grows ~log2(corpus/target_bucket_size),
-    which also bounds the per-bucket member array the aggregation
-    buffers (exact dedup upstream collapses identical vectors first).
+    which bounds EXPECTED bucket size; ``max_bucket`` enforces a hard
+    cap against the unexpected (e.g. a mass of near-identical vectors
+    sharing a sign pattern): oversized buckets are excluded from pair
+    expansion before their member array is built (window count over the
+    same bucket partitioning — rows spill, arrays don't) and must be
+    accounted via :func:`bucketed_overflow` by any caller that caps.
     """
     enriched = emb.where(F.size("embedding") > 0).select(
         "vec_id",
@@ -428,6 +435,13 @@ def bucketed_near_dups(
         bucket_expr(n_planes).alias("bucket"),
         norm_sq_expr(F.col("embedding")).alias("norm_sq"),
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("bucket")
+        enriched = (
+            enriched.withColumn("_n_bucket", F.count("*").over(w))
+            .where(F.col("_n_bucket") <= max_bucket)
+            .drop("_n_bucket")
+        )
     pairs = (
         enriched.groupBy("bucket")
         .agg(
@@ -462,6 +476,21 @@ def bucketed_near_dups(
         ).alias("cosine"),
     )
     return cos.where(F.col("cosine") >= threshold)
+
+
+def bucketed_overflow(
+    emb: DataFrame, n_planes: int, max_bucket: int
+) -> DataFrame:
+    """(bucket, n_members) for sign-LSH buckets larger than
+    ``max_bucket`` — the accounting twin of
+    ``bucketed_near_dups(..., max_bucket=...)``; capped pipelines
+    count/log this next to the pairs they kept (no silent caps)."""
+    return (
+        hyperplane_buckets(emb, n_planes)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > max_bucket)
+    )
 
 
 def lsh_bucketed_neighbors(
