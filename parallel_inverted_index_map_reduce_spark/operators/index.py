@@ -142,6 +142,72 @@ def build_index_scalable(docs: DataFrame, one_based: bool = False) -> DataFrame:
     )
 
 
+def build_index_chunked(
+    docs: DataFrame, chunk_size: int = 4096, one_based: bool = False
+) -> DataFrame:
+    """Posting lists in bounded chunks: (word, chunk_id, postings, df,
+    letter), each chunk holding at most ``chunk_size`` doc_ids.
+
+    The array-form build (:func:`build_index`) materializes each word's
+    FULL posting array in one aggregation buffer; a stop word's array is
+    ~every doc_id in the corpus on one task (evidence:
+    /root/reference/checker/test_out/t.txt:1 — ``the`` posts in all 355
+    docs; at 100 TB that's billions of ids in one buffer that cannot
+    spill). Chunking bounds every buffer:
+
+    - per-word ordinals come from a ``row_number`` window over the
+      distinct pairs (window rows spill to disk; aggregation arrays
+      can't),
+    - ``chunk_id = ordinal div chunk_size``, and the (word, chunk_id)
+      groupBy reuses the window's hash(word) partitioning — clustering
+      by a prefix of the grouping key — so chunking adds NO exchange
+      beyond the window's own,
+    - ``df`` spans the whole word (a sum window over its chunk sizes,
+      again on the same partitioning).
+
+    Two shuffles total (pair-distinct, then word window) vs the plain
+    build's one; the distinct keeps map-side partial dedup, so the
+    second exchange moves distinct pairs, not token occurrences.
+    """
+    pairs = postings_flat(docs, one_based=one_based)
+    w = Window.partitionBy("word").orderBy("doc_id")
+    chunks = (
+        pairs.withColumn("ord", F.row_number().over(w) - 1)
+        .withColumn("chunk_id", F.floor(F.col("ord") / chunk_size))
+        .groupBy("word", "chunk_id")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    w_df = Window.partitionBy("word")
+    return (
+        chunks.withColumn(
+            "df", F.sum(F.size("postings")).over(w_df).cast("long")
+        )
+        .withColumn("letter", F.substring("word", 1, 1))
+        .select("letter", "word", "chunk_id", "df", "postings")
+    )
+
+
+def assemble_chunked_index(chunked: DataFrame) -> DataFrame:
+    """Reassembly view: concatenate each word's chunks in chunk_id order
+    back into (letter, word, df, postings, rank) — proven row-identical
+    to :func:`build_index` in tests/test_index_merge_upsert.py and
+    byte-identical through the text sink on the reference's own corpus.
+
+    This view rebuilds full arrays, so it is for parity proofs and
+    small slices (term lookups after a word-filter pushdown), NOT the
+    100 TB path — scale consumers stream the chunks directly.
+    """
+    merged = chunked.groupBy("word").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "postings"))),
+                lambda s: s["postings"],
+            )
+        ).alias("postings")
+    )
+    return _attach_rank_window(_with_df_letter(merged))
+
+
 def merge_index(
     old_index: DataFrame, new_docs: DataFrame, one_based: bool = False
 ) -> DataFrame:

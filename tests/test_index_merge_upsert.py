@@ -5,8 +5,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from parallel_inverted_index_map_reduce_spark.operators.index import (
+    assemble_chunked_index,
     build_index,
+    build_index_chunked,
     build_index_scalable,
     merge_index,
 )
@@ -65,6 +69,38 @@ def test_scalable_rank_decomposition_equals_window(spark):
     b = sorted(
         (r.letter, r.word, r.df, tuple(r.postings), r.rank)
         for r in build_index_scalable(docs).collect()
+    )
+    assert a == b
+
+
+@pytest.mark.parametrize("chunk_size", [1, 16, 1_000_000])
+def test_chunked_index_reassembles_to_plain_build(spark, chunk_size):
+    """Posting-list chunking is lossless at every granularity: single-id
+    chunks, mid-size, and one-chunk-per-word all reassemble to the exact
+    plain build — and no chunk exceeds its budget."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    chunked = build_index_chunked(docs, chunk_size=chunk_size).cache()
+
+    assert chunked.where(F.size("postings") > chunk_size).count() == 0
+    # df spans the whole word and agrees across its chunks
+    bad_df = (
+        chunked.groupBy("word")
+        .agg(
+            F.sum(F.size("postings")).alias("total"),
+            F.min("df").alias("df_min"),
+            F.max("df").alias("df_max"),
+        )
+        .where((F.col("total") != F.col("df_min")) | (F.col("total") != F.col("df_max")))
+    )
+    assert bad_df.count() == 0
+
+    a = sorted(
+        (r.letter, r.word, r.df, tuple(r.postings), r.rank)
+        for r in assemble_chunked_index(chunked).collect()
+    )
+    b = sorted(
+        (r.letter, r.word, r.df, tuple(r.postings), r.rank)
+        for r in build_index(docs).collect()
     )
     assert a == b
 
