@@ -3,7 +3,9 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..operators import quantization as qz
 from ..operators import similarity as sim
 from ..sources.tables import load_table
 from .registry import register
@@ -114,17 +116,93 @@ cos AS (
     FROM dots
     JOIN nrm na ON na.vec_id = vec_a
     JOIN nrm nb ON nb.vec_id = vec_b
+),
+exact_ranked AS (
+    SELECT vec_a, vec_b, cosine,
+           row_number() OVER (PARTITION BY vec_a ORDER BY cosine DESC, vec_b) AS rk
+    FROM cos
+),
+scales AS (
+    SELECT vec_id,
+           CASE WHEN MAX(ABS(x)) = 0 THEN 1.0 ELSE MAX(ABS(x)) / 127.0 END AS scale
+    FROM comp GROUP BY vec_id
+),
+qcomp AS (
+    SELECT c.vec_id, c.i, CAST(round(c.x / s.scale, 0) AS BIGINT) AS q
+    FROM comp c JOIN scales s ON s.vec_id = c.vec_id
+),
+qnorms AS (
+    SELECT vec_id, SUM(q * q) AS n2 FROM qcomp GROUP BY vec_id
+),
+qdots AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.q * b.q) AS dot
+    FROM qcomp a JOIN qcomp b ON a.i = b.i AND a.vec_id <> b.vec_id
+    WHERE a.vec_id < 5
+    GROUP BY 1, 2
+),
+qcos AS (
+    SELECT vec_a, vec_b,
+           CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0.0
+                ELSE CAST(dot AS DOUBLE)
+                     / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) END AS c
+    FROM qdots
+    JOIN qnorms na ON na.vec_id = vec_a
+    JOIN qnorms nb ON nb.vec_id = vec_b
+),
+q_ranked AS (
+    SELECT vec_a, vec_b, c,
+           row_number() OVER (PARTITION BY vec_a ORDER BY c DESC, vec_b) AS rk
+    FROM qcos
 )
-SELECT vec_a, vec_b, cosine,
-       row_number() OVER (PARTITION BY vec_a ORDER BY cosine DESC, vec_b) AS "rank"
-FROM cos
-QUALIFY "rank" <= 3
+SELECT 'exact' AS op, vec_a, vec_b, CAST(cosine AS DOUBLE) AS score,
+       rk AS "rank"
+FROM exact_ranked WHERE rk <= 3
+UNION ALL
+SELECT 'ivf_full_probe' AS op, vec_a, vec_b, CAST(NULL AS DOUBLE) AS score,
+       rk AS "rank"
+FROM exact_ranked WHERE rk <= 3
+UNION ALL
+SELECT 'int8' AS op, vec_a, vec_b, round(c, 6) AS score, rk AS "rank"
+FROM q_ranked WHERE rk <= 3
 """,
     tags=("similarity",),
-    doc="Brute-force exact cosine top-3 neighbors for 5 query vectors.",
+    doc="Three ANN top-k formulations in ONE labeled result (op column, "
+    "same pattern as boolean_search): 'exact' is the brute-force decimal "
+    "cosine; 'ivf_full_probe' runs the full IVF coarse-quantizer path — "
+    "deterministic RNG-free k-means fit, shuffle-free assignment, "
+    "probe-pruned equi-join — at nprobe == n_list, where its result "
+    "must EQUAL brute force (score excluded: the double fold differs in "
+    "the last ulp by design; rank equality is the check, and the pruned "
+    "nprobe < n_list recall is asserted in tests/test_similarity.py); "
+    "'int8' is the quantized shortlist path, whose integer dot products "
+    "and scales are reproduced exactly by the oracle.",
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim.ann_topk(_emb(spark, sf_dir), k=3, n_queries=5)
+    emb = _emb(spark, sf_dir)
+    exact = sim.ann_topk(emb, k=3, n_queries=5).select(
+        F.lit("exact").alias("op"),
+        "vec_a",
+        "vec_b",
+        F.col("cosine").cast("double").alias("score"),
+        "rank",
+    )
+    ivf = sim.ivf_topk(
+        emb, k=3, n_queries=5, n_list=8, nprobe=8, n_iters=2
+    ).select(
+        F.lit("ivf_full_probe").alias("op"),
+        "vec_a",
+        "vec_b",
+        F.lit(None).cast("double").alias("score"),
+        "rank",
+    )
+    q8 = qz.quantized_topk(emb, k=3, n_queries=5).select(
+        F.lit("int8").alias("op"),
+        "vec_a",
+        "vec_b",
+        F.round("qcos", 6).alias("score"),
+        F.col("rk").alias("rank"),
+    )
+    return exact.unionByName(ivf).unionByName(q8)
 
 
 @register(
