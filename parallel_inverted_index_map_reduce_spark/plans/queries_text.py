@@ -103,18 +103,38 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     oracle="""
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS BIGINT) AS first_byte,
-       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, length(text), 1)) ELSE -1 END AS BIGINT) AS last_byte,
-       CAST(list_aggregate(list_transform(range(1, length(text) + 1),
-                           i -> ascii(substr(text, i, 1))), 'sum') AS BIGINT) AS byte_sum
-FROM documents
+WITH plane AS (
+    SELECT doc_id,
+           rpad(substr(text, 1, 144), 144, 'x') AS px
+    FROM documents
+)
+SELECT d.doc_id,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN length(d.text) > 0 THEN ascii(substr(d.text, 1, 1)) ELSE -1 END AS BIGINT) AS first_byte,
+       CAST(CASE WHEN length(d.text) > 0 THEN ascii(substr(d.text, length(d.text), 1)) ELSE -1 END AS BIGINT) AS last_byte,
+       CAST(list_aggregate(list_transform(range(1, length(d.text) + 1),
+                           i -> ascii(substr(d.text, i, 1))), 'sum') AS BIGINT) AS byte_sum,
+       CAST(8 AS BIGINT) AS width,
+       CAST(6 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(255 AS BIGINT) AS maxval,
+       CAST(list_aggregate(list_transform(range(1, 145),
+                           i -> ascii(substr(p.px, i, 1))), 'sum') AS BIGINT) AS pixel_sum,
+       CAST(144 AS BIGINT) AS n_pixel_bytes
+FROM documents d JOIN plane p ON p.doc_id = d.doc_id
 """,
     tags=("multimodal",),
-    doc="Arrow-batched (mapInPandas) byte features over a binary payload "
-    "column — the multimodal decode/extract execution path with a "
-    "deterministic fake payload (docs are ASCII, so SQL can mirror it).",
+    doc="Arrow-batched (mapInPandas) multimodal path, BOTH halves real: "
+    "byte features over the opaque binary payload, and an actual image "
+    "decode — each document rendered as a valid raw P6 PPM (header + "
+    "8x6 RGB plane from its text bytes) and decoded for real by the "
+    "pure-Python netpbm parser (header parse, plane validation, exact "
+    "pixel statistics). Docs are ASCII, so the SQL oracle mirrors the "
+    "pixel plane with character math. Codec-requiring formats "
+    "(JPEG/PNG) remain an honest NotImplementedError stub.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mm.binary_features(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    return mm.binary_features(docs).join(
+        mm.decoded_image_features(docs), "doc_id"
+    )

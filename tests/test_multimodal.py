@@ -39,6 +39,48 @@ def test_binary_features_match_column_exprs(spark):
     assert got[3].first_byte == -1 and got[3].byte_sum == 0
 
 
+def test_decode_image_netpbm_real():
+    import pytest
+
+    # P6 with a header comment: 2x2 RGB, known plane
+    plane = bytes(range(12))
+    ppm = b"P6\n# a comment\n2 2\n255\n" + plane
+    got = mm.decode_image(ppm)
+    assert got == {
+        "width": 2,
+        "height": 2,
+        "channels": 3,
+        "maxval": 255,
+        "pixel_sum": sum(range(12)),
+        "n_pixel_bytes": 12,
+    }
+    # P5 grayscale
+    pgm = b"P5\n3 1\n255\n" + bytes([10, 20, 30])
+    got = mm.decode_image(pgm)
+    assert (got["channels"], got["pixel_sum"], got["n_pixel_bytes"]) == (1, 60, 3)
+    # truncated plane is an error, not silence
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_image(b"P6\n2 2\n255\n" + bytes(5))
+    # codec-requiring formats stay honestly stubbed
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\xff\xd8\xff\xe0JFIF...")
+    # the deterministic fake is still available
+    assert mm.decode_image(b"abc", codec="fake") == {"width": 3, "height": 3}
+
+
+def test_decoded_image_features_end_to_end(spark):
+    """The full Spark decode path: column-built PPM payloads decoded for
+    real through mapInPandas; pixel_sum equals padded-text byte math."""
+    got = {r.doc_id: r for r in mm.decoded_image_features(_docs(spark)).collect()}
+    assert set(got) == {1, 2, 3}
+    for doc_id, text in DOCS:
+        r = got[doc_id]
+        assert (r.width, r.height, r.channels, r.maxval) == (8, 6, 3, 255)
+        padded = (text[:144] + "x" * 144)[:144]
+        assert r.pixel_sum == sum(padded.encode())
+        assert r.n_pixel_bytes == 144
+
+
 def test_frame_samples_chunk_math(spark):
     rows = mm.frame_samples(
         _docs(spark), frame_bytes=4, stride=2, max_frames=3
