@@ -1,8 +1,11 @@
 """Skew mitigation: key salting for hot-key aggregations and joins.
 
-AQE's skew-join handling covers sort-merge joins at runtime; salting is
-the plan-level tool when one grouping/join key dominates (a stop word,
-a null-heavy foreign key, one whale customer). The pattern:
+AQE's skew-join handling covers sort-merge joins at runtime — proven
+live in tests/test_aqe_skew.py (a synthetically hot orderkey makes the
+final adaptive plan split the oversized partition, ``skew=true`` on the
+join). Salting is the plan-level fallback for what AQE cannot rewrite:
+hot-key AGGREGATIONS, pre-partitioned bucketed joins, and any consumer
+that pins the join's output partitioning. The pattern:
 
     aggregate:  two-phase — group on (key, salt) first (spreads the hot
                 key over N reducers), then merge partials on key alone.
