@@ -51,6 +51,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# partition-count probe memo, keyed by (session, semantic plan hash):
+# df.rdd.getNumPartitions() physically plans the frame on the driver,
+# so repeated query construction over the same source should pay it once
+_SPREAD_MEMO: dict[tuple[int, int], int] = {}
+
+
 def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Ensure CPU-heavy narrow work downstream runs cluster-wide.
 
@@ -64,7 +70,18 @@ def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        memo_key = (id(df.sparkSession), df.semanticHash())
+    except Exception:  # semanticHash unavailable (e.g. Connect)
+        memo_key = None
+    n = _SPREAD_MEMO.get(memo_key) if memo_key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if memo_key is not None:
+            if len(_SPREAD_MEMO) > 256:
+                _SPREAD_MEMO.clear()
+            _SPREAD_MEMO[memo_key] = n
+    if n >= target:
         return df
     return df.repartition(target, key)
 

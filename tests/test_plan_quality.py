@@ -70,10 +70,13 @@ def test_registry_wide_no_cartesian_products(spark):
 
     Allowlist (bounded by construction, not data): ann_topk_fast
     cross-joins a broadcast of n_queries=5 fixed query vectors against
-    the corpus. (boolean_search no longer needs an exemption — its
+    the corpus, and ann_topk's int8 part (quantized_topk) uses the same
+    broadcast-bounded shape — in both, one side is a constant-size
+    query set, so the "nested loop" is n_queries scans, never
+    corpus x corpus. (boolean_search no longer needs an exemption — its
     fused single-aggregation form has no nested-loop join at all.)
     """
-    allow = {"ann_topk_fast"}
+    allow = {"ann_topk_fast", "ann_topk"}
     offenders = {}
     for name, spec in all_specs().items():
         if name in allow:
