@@ -246,7 +246,38 @@ def merge_index(
     return _attach_rank_window(_with_df_letter(merged))
 
 
-def document_frequency(docs: DataFrame) -> DataFrame:
+def store_chunked_index(
+    chunked: DataFrame, table: str, n_buckets: int = 8
+) -> None:
+    """Persist the chunked index bucketed + sorted by word — the 100 TB
+    storage layout: a term lookup reads ONE bucket (bucket pruning:
+    the scan reports SelectedBucketsCount 1/N) and the word-sorted files
+    keep a term's chunks contiguous. Write once, serve point lookups
+    and per-letter scans without ever rebuilding posting arrays.
+    """
+    from .bucketing import write_bucketed
+
+    write_bucketed(chunked, table, "word", n_buckets, sort_col="word")
+
+
+def lookup_stored_terms(spark, table: str, terms: list[str]) -> DataFrame:
+    """Point lookup against the stored chunked index: the IN filter
+    pushes into the parquet scan (PushedFilters) AND prunes buckets, so
+    the read cost is one bucket's worth of one column-pruned scan —
+    independent of index size. Chunks reassemble per word (tiny:
+    df/chunk_size rows each).
+    """
+    chunks = spark.table(table).where(F.col("word").isin(terms))
+    merged = chunks.groupBy("word").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "postings"))),
+                lambda s: s["postings"],
+            )
+        ).alias("postings")
+    )
+    # no rank column: rank is a whole-index property, not a lookup's
+    return _with_df_letter(merged).select("letter", "word", "df", "postings")
     """(word, df) without materializing postings arrays — the scalable
     path when only df is needed (countDistinct folds map-side)."""
     return tokens_df(docs).groupBy("word").agg(
