@@ -246,6 +246,55 @@ def merge_index(
     return _attach_rank_window(_with_df_letter(merged))
 
 
+def merge_index_chunked(
+    stored_chunks: DataFrame,
+    new_docs: DataFrame,
+    chunk_size: int = 4096,
+    one_based: bool = False,
+) -> DataFrame:
+    """Incremental maintenance of the CHUNKED layout: fold new documents
+    in while re-chunking ONLY the words they touch.
+
+    Untouched words' chunk rows pass through byte-identical (anti-join),
+    so the rewrite cost is proportional to the affected vocabulary —
+    not the index size — which is what makes daily ingests affordable
+    on a 100 TB index. Affected words re-derive from the union of their
+    exploded stored postings and the new documents' distinct pairs,
+    through the same spillable-ordinal window as
+    :func:`build_index_chunked`; proven row-identical to a from-scratch
+    chunked rebuild in tests/test_index_merge_upsert.py.
+
+    ``one_based`` must match the stored index's id space (applies to
+    the new side's tokens only).
+    """
+    new_pairs = postings_flat(new_docs, one_based=one_based)
+    affected = new_pairs.select("word").distinct()
+
+    old_pairs = (
+        stored_chunks.join(affected, "word", "left_semi")
+        .select("word", F.explode("postings").alias("doc_id"))
+    )
+    merged_pairs = old_pairs.unionByName(new_pairs).distinct()
+
+    w = Window.partitionBy("word").orderBy("doc_id")
+    rebuilt = (
+        merged_pairs.withColumn("ord", F.row_number().over(w) - 1)
+        .withColumn("chunk_id", F.floor(F.col("ord") / chunk_size))
+        .groupBy("word", "chunk_id")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    w_df = Window.partitionBy("word")
+    rebuilt = (
+        rebuilt.withColumn(
+            "df", F.sum(F.size("postings")).over(w_df).cast("long")
+        )
+        .withColumn("letter", F.substring("word", 1, 1))
+        .select("letter", "word", "chunk_id", "df", "postings")
+    )
+    untouched = stored_chunks.join(affected, "word", "left_anti")
+    return untouched.unionByName(rebuilt)
+
+
 def store_chunked_index(
     chunked: DataFrame, table: str, n_buckets: int = 8
 ) -> None:
