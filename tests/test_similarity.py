@@ -42,6 +42,46 @@ def test_lsh_neighbors_are_true_neighbors(spark):
     assert all(len(r.bucket) == 8 and set(r.bucket) <= {"0", "1"} for r in rows)
 
 
+def test_multiprobe_recall_monotone_and_consistent(spark):
+    """Multi-probe LSH: probing more buckets can only add candidates,
+    so recall@k vs brute-force truth is non-decreasing in n_probes;
+    n_probes=1 is plain single-bucket probing; probe lists start with
+    the vector's own bucket and differ by exactly one flipped bit."""
+    emb = load_table(spark, SF_ORACLE, "embeddings").where(F.col("vec_id") < 200)
+    n_queries = 200
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in sim.ann_topk_fast(emb, k=3, n_queries=n_queries).collect()
+    }
+
+    recalls = []
+    for n_probes in (1, 2, 4):
+        got = {
+            (r.vec_a, r.vec_b)
+            for r in sim.multiprobe_neighbors(
+                emb, n_planes=8, k=3, n_probes=n_probes
+            ).collect()
+        }
+        recalls.append(len(got & truth) / len(truth))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] > recalls[0], recalls  # probes actually add recall
+
+    # structural check on the probe list itself
+    probes = (
+        emb.select(
+            sim.bucket_expr(8).alias("base"),
+            sim.probe_buckets_expr(8, 3).alias("probes"),
+        )
+        .limit(50)
+        .collect()
+    )
+    for r in probes:
+        assert r.probes[0] == r.base
+        assert len(set(r.probes)) == 3
+        for alt in r.probes[1:]:
+            assert sum(a != b for a, b in zip(alt, r.base)) == 1
+
+
 def test_embedding_pairs_symmetric_bound(spark):
     emb = load_table(spark, SF_ORACLE, "embeddings")
     cos = sim.pairwise_cosine(emb, max_query_id=3)
