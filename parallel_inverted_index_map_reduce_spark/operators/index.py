@@ -327,6 +327,9 @@ def lookup_stored_terms(spark, table: str, terms: list[str]) -> DataFrame:
     )
     # no rank column: rank is a whole-index property, not a lookup's
     return _with_df_letter(merged).select("letter", "word", "df", "postings")
+
+
+def document_frequency(docs: DataFrame) -> DataFrame:
     """(word, df) without materializing postings arrays — the scalable
     path when only df is needed (countDistinct folds map-side)."""
     return tokens_df(docs).groupBy("word").agg(
