@@ -321,6 +321,27 @@ def jaccard_verify(pairs: DataFrame, doc_shingles: DataFrame) -> DataFrame:
     )
 
 
+def _canonical_docs(docs: DataFrame) -> DataFrame:
+    """Exact-dedup survivors (one doc per distinct text) — the corpus
+    the LSH stage of :func:`near_dup_keep_list` actually sees. Shared
+    with :func:`near_dup_bucket_overflow` so capped-run accounting
+    reflects the true post-exact-dedup buckets, not the raw corpus's."""
+    exact = exact_dedup_groups(docs)
+    return docs.join(
+        exact.select(F.col("keep_doc_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+
+
+def near_dup_bucket_overflow(docs: DataFrame, max_bucket: int) -> DataFrame:
+    """The accounting twin of ``near_dup_keep_list(..., max_bucket=...)``:
+    LSH buckets (over the SAME post-exact-dedup canonical corpus the
+    keep-list caps) whose membership exceeds ``max_bucket``. Computing
+    overflow over the raw docs instead would misreport — byte-identical
+    duplicates collapse before LSH, so a thousand-copy bucket may never
+    overflow in the actual run."""
+    return lsh_bucket_overflow(_canonical_docs(docs), max_bucket)
+
+
 def near_dup_keep_list(
     docs: DataFrame, threshold: float = 0.8, max_bucket: int | None = None
 ) -> DataFrame:
@@ -337,7 +358,9 @@ def near_dup_keep_list(
 
     ``max_bucket`` caps LSH bucket expansion (skipped buckets = missed
     candidates = docs conservatively KEPT, never wrongly dropped);
-    capped runs should report ``lsh_bucket_overflow`` alongside.
+    capped runs report :func:`near_dup_bucket_overflow` alongside —
+    the twin that measures the same post-exact-dedup corpus this
+    function actually caps.
     """
     exact = exact_dedup_groups(docs)  # (text_hash, keep_doc_id, n_dups)
     canonical = (
@@ -350,9 +373,7 @@ def near_dup_keep_list(
         F.col("doc_id") != F.col("keep_doc_id")
     ).select("doc_id")
 
-    canon_docs = docs.join(
-        exact.select(F.col("keep_doc_id").alias("doc_id")), "doc_id", "left_semi"
-    )
+    canon_docs = _canonical_docs(docs)
     pairs = lsh_candidate_pairs(canon_docs, max_bucket=max_bucket)
     verified = jaccard_verify(pairs, shingles(canon_docs, distinct=True))
     # jaccard_verify renders through stable_round6 (string); compare
@@ -386,6 +407,44 @@ def simhash_blocks(max_hamming: int = SIMHASH_MAX_HAMMING) -> list[tuple[int, in
     return blocks
 
 
+def _simhash_keyed(docs: DataFrame, max_hamming: int) -> DataFrame:
+    """(doc_id, simhash, block_id, block_val): each fingerprint exploded
+    into its pigeonhole blocks — the bucketing both the pair search and
+    its overflow accounting must share (any drift between the two would
+    silently desynchronize reported drops from actual drops)."""
+    fp = simhash_fingerprints(docs)
+    blocks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("block_id"),
+                    F.shiftright(F.col("simhash"), off)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("block_val"),
+                )
+                for i, (off, width) in enumerate(simhash_blocks(max_hamming))
+            ]
+        )
+    ).alias("blk")
+    return fp.select("doc_id", "simhash", blocks).select(
+        "doc_id", "simhash", "blk.block_id", "blk.block_val"
+    )
+
+
+def simhash_block_overflow(
+    docs: DataFrame,
+    max_bucket: int,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """(block_id, block_val, n_members) for pigeonhole blocks larger
+    than ``max_bucket`` — the accounting twin of
+    ``simhash_near_dups(..., max_bucket=...)``, built on the same
+    :func:`_simhash_keyed` derivation."""
+    return bucket_overflow(
+        _simhash_keyed(docs, max_hamming), ["block_id", "block_val"], max_bucket
+    )
+
+
 def simhash_near_dups(
     docs: DataFrame,
     max_hamming: int = SIMHASH_MAX_HAMMING,
@@ -404,26 +463,10 @@ def simhash_near_dups(
     :func:`_bucket_pairs` — but note the pigeonhole banding is LOSSLESS
     only uncapped: a capped run trades the completeness guarantee for
     bounded task size and must materialize
-    ``bucket_overflow(keyed, ["block_id", "block_val"], max_bucket)``
-    to account for it.
+    :func:`simhash_block_overflow` (same keyed derivation) to account
+    for it.
     """
-    fp = simhash_fingerprints(docs)
-    blocks = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("block_id"),
-                    F.shiftright(F.col("simhash"), off)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("block_val"),
-                )
-                for i, (off, width) in enumerate(simhash_blocks(max_hamming))
-            ]
-        )
-    ).alias("blk")
-    keyed = fp.select("doc_id", "simhash", blocks).select(
-        "doc_id", "simhash", "blk.block_id", "blk.block_val"
-    )
+    keyed = _simhash_keyed(docs, max_hamming)
     # Same bucket-local expansion as _bucket_pairs (one aggregation, no
     # self-join — the join form computes the fingerprint pipeline twice),
     # carrying each member's fingerprint through the pair struct so the

@@ -259,6 +259,7 @@ def ivf_topk(
     nprobe: int = 4,
     n_iters: int = 2,
     centroids: list[list[float]] | None = None,
+    decimal_scores: bool = False,
 ) -> DataFrame:
     """IVF-pruned cosine top-k — the ANN scale path beyond sign-LSH.
 
@@ -271,13 +272,21 @@ def ivf_topk(
     constant folded into the plan, the corpus assignment is shuffle-free
     and could be written out bucketed by list_id for reuse across query
     batches.
+
+    ``decimal_scores`` swaps the fast double fold for the exact decimal
+    cosine (same expressions as :func:`pairwise_cosine`): ranks become
+    bit-identical to the decimal oracle formulation, with no
+    sixth-decimal rounding-boundary exposure — the cross-engine-checked
+    registry entry uses this; the default double fold remains the
+    production scoring path.
     """
     if centroids is None:
         centroids = ivf_fit(emb, n_list=n_list, n_iters=n_iters)
+    norm = norm_sq_expr if decimal_scores else _norm_expr
     assigned = ivf_assign(emb, centroids).select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("ce"),
-        _norm_expr(F.col("embedding")).alias("cn"),
+        norm(F.col("embedding")).alias("cn"),
         "list_id",
     )
     q = (
@@ -285,24 +294,31 @@ def ivf_topk(
         .select(
             F.col("vec_id").alias("vec_a"),
             F.col("embedding").alias("qe"),
-            _norm_expr(F.col("embedding")).alias("qn"),
+            norm(F.col("embedding")).alias("qn"),
             F.slice(
                 _centroid_order(F.col("embedding"), centroids), 1, nprobe
             ).alias("probes"),
         )
         .select("vec_a", "qe", "qn", F.explode("probes").alias("list_id"))
     )
+    if decimal_scores:
+        score = F.round(
+            decimal_dot_expr(F.col("qe"), F.col("ce")).cast("double")
+            / (
+                F.sqrt(F.col("qn").cast("double"))
+                * F.sqrt(F.col("cn").cast("double"))
+            ),
+            6,
+        )
+    else:
+        score = F.round(
+            _dot_expr(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
+        )
     cos = (
         F.broadcast(q)
         .join(assigned, "list_id")
         .where(F.col("vec_a") != F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(_dot_expr(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6).alias(
-                "cosine"
-            ),
-        )
+        .select("vec_a", "vec_b", score.alias("cosine"))
     )
     return _topk_by_cosine(cos, k)
 
@@ -527,12 +543,9 @@ def bucketed_near_dups(
         norm_sq_expr(F.col("embedding")).alias("norm_sq"),
     )
     if max_bucket is not None:
-        w = Window.partitionBy("bucket")
-        enriched = (
-            enriched.withColumn("_n_bucket", F.count("*").over(w))
-            .where(F.col("_n_bucket") <= max_bucket)
-            .drop("_n_bucket")
-        )
+        from .dedup import _cap_buckets  # one cap implementation, one contract
+
+        enriched = _cap_buckets(enriched, ["bucket"], max_bucket)
     pairs = (
         enriched.groupBy("bucket")
         .agg(

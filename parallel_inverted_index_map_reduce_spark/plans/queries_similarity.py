@@ -162,7 +162,8 @@ SELECT 'ivf_full_probe' AS op, vec_a, vec_b, CAST(NULL AS DOUBLE) AS score,
        rk AS "rank"
 FROM exact_ranked WHERE rk <= 3
 UNION ALL
-SELECT 'int8' AS op, vec_a, vec_b, round(c, 6) AS score, rk AS "rank"
+SELECT 'int8' AS op, vec_a, vec_b, CAST(NULL AS DOUBLE) AS score,
+       rk AS "rank"
 FROM q_ranked WHERE rk <= 3
 """,
     tags=("similarity",),
@@ -170,12 +171,15 @@ FROM q_ranked WHERE rk <= 3
     "same pattern as boolean_search): 'exact' is the brute-force decimal "
     "cosine; 'ivf_full_probe' runs the full IVF coarse-quantizer path — "
     "deterministic RNG-free k-means fit, shuffle-free assignment, "
-    "probe-pruned equi-join — at nprobe == n_list, where its result "
-    "must EQUAL brute force (score excluded: the double fold differs in "
-    "the last ulp by design; rank equality is the check, and the pruned "
-    "nprobe < n_list recall is asserted in tests/test_similarity.py); "
-    "'int8' is the quantized shortlist path, whose integer dot products "
-    "and scales are reproduced exactly by the oracle.",
+    "probe-pruned equi-join — at nprobe == n_list with decimal scoring, "
+    "so its ranks are bit-identical to brute force (no rounding-boundary "
+    "exposure; the pruned nprobe < n_list recall is asserted in "
+    "tests/test_similarity.py); 'int8' is the quantized shortlist path, "
+    "whose integer dot products and scales the oracle reproduces exactly "
+    "— ranks order by raw IEEE doubles on both engines (score column "
+    "NULL: a 6-decimal display rounding is the one step where Spark and "
+    "DuckDB round differently at a boundary, so it stays out of the "
+    "hash).",
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -187,7 +191,8 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
     )
     ivf = sim.ivf_topk(
-        emb, k=3, n_queries=5, n_list=8, nprobe=8, n_iters=2
+        emb, k=3, n_queries=5, n_list=8, nprobe=8, n_iters=2,
+        decimal_scores=True,
     ).select(
         F.lit("ivf_full_probe").alias("op"),
         "vec_a",
@@ -199,7 +204,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("int8").alias("op"),
         "vec_a",
         "vec_b",
-        F.round("qcos", 6).alias("score"),
+        F.lit(None).cast("double").alias("score"),
         F.col("rk").alias("rank"),
     )
     return exact.unionByName(ivf).unionByName(q8)

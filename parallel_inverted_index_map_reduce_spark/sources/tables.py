@@ -51,12 +51,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-# partition-count probe memo, keyed by (session, semantic plan hash):
-# df.rdd.getNumPartitions() physically plans the frame on the driver,
-# so repeated query construction over the same source should pay it once
-_SPREAD_MEMO: dict[tuple[int, int], int] = {}
-
-
 def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Ensure CPU-heavy narrow work downstream runs cluster-wide.
 
@@ -67,21 +61,18 @@ def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     id key costs one tiny shuffle of the raw rows and is a no-op when
     the scan already carries enough partitions (the 100 TB case, where
     thousands of input splits exist and this must NOT shrink them).
+
+    The partition-count probe physically plans the frame driver-side on
+    every call. That cost is deliberate: memoizing it (by semantic hash
+    or path) serves STALE counts whenever the underlying files are
+    rewritten (compaction, a pipeline's next stage) or a split-size
+    conf changes at runtime — silently skipping the repartition this
+    function exists for. ~milliseconds per query construction is the
+    honest price of a correct answer.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    try:
-        memo_key = (id(df.sparkSession), df.semanticHash())
-    except Exception:  # semanticHash unavailable (e.g. Connect)
-        memo_key = None
-    n = _SPREAD_MEMO.get(memo_key) if memo_key is not None else None
-    if n is None:
-        n = df.rdd.getNumPartitions()
-        if memo_key is not None:
-            if len(_SPREAD_MEMO) > 256:
-                _SPREAD_MEMO.clear()
-            _SPREAD_MEMO[memo_key] = n
-    if n >= target:
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, key)
 

@@ -104,7 +104,14 @@ def read_exactly_once_parquet(
                 f"all committed batches under {path} are empty; pass an "
                 "explicit schema to read them as an empty DataFrame"
             )
-        return spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema)
+        if "batch_id" not in empty.columns:
+            # the normal read path appends batch_id from the directory
+            # names (partition-inferred as int); the fallback must match
+            from pyspark.sql import functions as F
+
+            empty = empty.withColumn("batch_id", F.lit(None).cast("int"))
+        return empty
     reader = spark.read.option("basePath", path)
     if schema is not None:
         reader = reader.schema(schema)

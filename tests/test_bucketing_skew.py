@@ -67,6 +67,36 @@ def test_bucket_cap_bounds_hot_buckets_with_accounting(spark):
     assert "window" in plan.lower(), plan
 
 
+def test_overflow_twins_measure_what_was_actually_capped(spark):
+    """The accounting twins must reflect the corpora their operators
+    actually cap: near_dup_keep_list caps AFTER exact dedup, so a
+    thousand byte-identical docs collapse to one and never overflow —
+    its twin must agree (raw-corpus accounting would misreport); the
+    simhash twin reports the same pigeonhole blocks the search keys on."""
+    from parallel_inverted_index_map_reduce_spark.operators.dedup import (
+        lsh_bucket_overflow,
+        near_dup_bucket_overflow,
+        simhash_block_overflow,
+        simhash_blocks,
+    )
+
+    dup = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(30)]
+    tail = [(100 + i, f"unique document number {i} with words") for i in range(3)]
+    docs = spark.createDataFrame(dup + tail, ["doc_id", "text"])
+
+    # raw-corpus LSH accounting sees a 30-member bucket...
+    assert lsh_bucket_overflow(docs, 10).count() > 0
+    # ...but the keep-list's actual corpus collapsed it: nothing capped
+    assert near_dup_bucket_overflow(docs, 10).count() == 0
+
+    over = simhash_block_overflow(docs, 10).collect()
+    # all identical docs share a fingerprint: every pigeonhole block has
+    # one bucket of at least those 30 (blocks are only 4-5 bits wide, so
+    # tail docs may legitimately collide into it too)
+    assert len(over) == len(simhash_blocks())
+    assert all(r.n_members >= 30 for r in over)
+
+
 def test_simhash_and_embedding_caps_account_drops(spark):
     """The capped simhash / sign-LSH paths drop only oversized buckets
     and report them; uncapped results are supersets of capped ones."""

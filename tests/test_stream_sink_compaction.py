@@ -55,7 +55,8 @@ def test_read_tolerates_empty_committed_batches(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="explicit schema"):
         ssk.read_exactly_once_parquet(spark, out)
     empty = ssk.read_exactly_once_parquet(spark, out, schema="event_id long")
-    assert empty.count() == 0 and empty.columns == ["event_id"]
+    # schema matches the data-bearing path, which appends batch_id
+    assert empty.count() == 0 and empty.columns == ["event_id", "batch_id"]
 
     # mixed: an empty committed batch alongside a data-bearing one
     spark.createDataFrame([(1,), (2,)], ["event_id"]).write.parquet(
