@@ -196,6 +196,49 @@ def lsh_candidate_pairs(
     return _bucket_pairs(sigs, _BAND_SIG_COLS, "doc_id", max_bucket=max_bucket)
 
 
+def lsh_cross_candidates(
+    new_table: DataFrame, landed_table: DataFrame
+) -> DataFrame:
+    """(doc_id, landed_id): band collisions BETWEEN two minhash tables
+    — new documents vs an already-landed signature store — never within
+    either side. The cross-batch analogue of :func:`lsh_candidate_pairs`
+    for incremental pipelines: the landed side ships 16 longs per doc,
+    not text."""
+    a = _band_signatures(new_table)
+    b = _band_signatures(landed_table).withColumnRenamed("doc_id", "landed_id")
+    return a.join(b, _BAND_SIG_COLS).select("doc_id", "landed_id").distinct()
+
+
+def minhash_estimate(
+    new_table: DataFrame, landed_table: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """(doc_id, landed_id, est_jaccard): the standard MinHash estimator
+    — the fraction of agreeing signature components. With 16
+    permutations the standard error near j=0.8 is ~0.1, so this is a
+    SUPPRESSOR (biased to keep), not an exact verifier; incremental
+    pipelines use it where shingle-exact verification would require
+    retaining every landed document's text."""
+    a = new_table.select(
+        "doc_id", *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_PERM)]
+    )
+    b = landed_table.select(
+        F.col("doc_id").alias("landed_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_PERM)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(NUM_PERM)
+    )
+    return (
+        pairs.join(a, "doc_id")
+        .join(b, "landed_id")
+        .select(
+            "doc_id",
+            "landed_id",
+            (agree / F.lit(float(NUM_PERM))).alias("est_jaccard"),
+        )
+    )
+
+
 def lsh_bucket_overflow(
     docs_or_table: DataFrame, max_bucket: int
 ) -> DataFrame:

@@ -9,23 +9,34 @@ skip committed ids, readers trust only committed directories, so a
 crash-replayed batch can neither double-land nor see its own partial
 output).
 
-Semantics note, stated rather than hidden: near-dup dedup runs WITHIN
-each micro-batch; exact duplicates of already-landed documents are
-dropped cross-batch by anti-joining on the COMMITTED landed doc_ids.
-Cross-batch NEAR-dup suppression needs a persistent signature store
-(the landed MinHash table as the anti-join side) — the batch pipeline
-remains the ground truth for full-corpus dedup, and the checkpointed
-re-run is the correction mechanism, exactly how production pipelines
-reconcile.
+Cross-batch dedup semantics:
+
+- EXACT duplicates of already-landed documents are dropped by
+  anti-joining on the committed landed doc_ids.
+- NEAR duplicates of already-landed documents are suppressed against a
+  persistent MinHash SIGNATURE STORE: each batch lands the 16-long
+  signatures of the documents it kept (next to its output, gated by
+  the SAME commit marker, so store and output stay atomic), and new
+  documents whose banded candidates against the store carry a MinHash
+  agreement estimate >= the threshold are dropped. The estimator
+  (operators/dedup.py minhash_estimate) has ~0.1 std error at 16
+  permutations — a suppressor biased to keep, not an exact verifier;
+  the batch pipeline over the full corpus remains the ground truth and
+  the checkpointed re-run the correction mechanism, exactly how
+  production pipelines reconcile. Within a batch, the full
+  shingle-exact near-dup flow still runs.
 """
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import pipeline as batch_pipeline
+from ..operators import dedup as dd
 from . import sinks as eo
 
 
@@ -40,10 +51,23 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sig_store(out_dir: str) -> str:
+    return out_dir.rstrip("/") + "_sigs"
+
+
 def start_incremental_prep(
-    docs_stream: DataFrame, out_dir: str, checkpoint: str, **prep_kwargs
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    cross_batch_threshold: float | None = 0.8,
+    **prep_kwargs,
 ):
-    """Start the incremental prep stream; returns the StreamingQuery."""
+    """Start the incremental prep stream; returns the StreamingQuery.
+
+    ``cross_batch_threshold`` — estimated-Jaccard cutoff for suppressing
+    near-duplicates of ALREADY-LANDED documents (None disables, leaving
+    only within-batch near-dup and cross-batch exact dedup).
+    """
 
     def process_batch(batch_docs: DataFrame, batch_id: int) -> None:
         if eo.is_committed(out_dir, batch_id):
@@ -57,8 +81,28 @@ def start_incremental_prep(
         landed_ids = _landed_doc_ids(spark, out_dir)
         if landed_ids is not None:
             fresh = batch_docs.join(landed_ids, "doc_id", "left_anti")
+        if cross_batch_threshold is not None:
+            landed_sigs = _landed_signatures(spark, out_dir)
+            if landed_sigs is not None:
+                new_sigs = dd.minhash_table(fresh)
+                cand = dd.lsh_cross_candidates(new_sigs, landed_sigs)
+                near = (
+                    dd.minhash_estimate(new_sigs, landed_sigs, cand)
+                    .where(F.col("est_jaccard") >= cross_batch_threshold)
+                    .select("doc_id")
+                    .distinct()
+                )
+                fresh = fresh.join(near, "doc_id", "left_anti")
         packed = batch_pipeline.prepare_training_data(fresh, **prep_kwargs)
         packed.write.mode("overwrite").parquet(eo.batch_dir(out_dir, batch_id))
+        # signature store: 16 longs per KEPT doc, written before the
+        # marker so store and output commit (or vanish) together
+        kept = fresh.join(
+            packed.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+        dd.minhash_table(kept).write.mode("overwrite").parquet(
+            eo.batch_dir(_sig_store(out_dir), batch_id)
+        )
         eo.commit(out_dir, batch_id)
 
     return (
@@ -79,6 +123,21 @@ def _landed_doc_ids(spark: SparkSession, out_dir: str):
         .select("doc_id")
         .distinct()
     )
+
+
+def _landed_signatures(spark: SparkSession, out_dir: str):
+    """Signatures of every doc landed by a COMMITTED batch — the store
+    shares out_dir's markers (written before them), so a crash-partial
+    store directory is exactly as invisible as its output twin."""
+    sig_dir = _sig_store(out_dir)
+    dirs = [
+        os.path.join(sig_dir, os.path.basename(d))
+        for d in eo.committed_batch_dirs(out_dir)
+    ]
+    dirs = [d for d in dirs if glob.glob(os.path.join(d, "*.parquet"))]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
 
 
 def read_prepared(spark: SparkSession, out_dir: str) -> DataFrame:

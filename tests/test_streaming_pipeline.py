@@ -34,6 +34,62 @@ def test_incremental_prep_matches_batch_and_is_idempotent(spark, tmp_path):
     assert sp.read_prepared(spark, out).count() == len(grows)
 
 
+def test_cross_batch_near_dup_suppressed_via_signature_store(spark, tmp_path):
+    """A later batch's NEAR duplicate of an already-landed document is
+    dropped against the persistent MinHash signature store; distinct
+    documents in the same batch land normally."""
+    from parallel_inverted_index_map_reduce_spark.operators import dedup as dd
+
+    base = " ".join(f"w{i}" for i in range(200))
+    near = " ".join(f"w{i}" for i in range(199)) + " CHANGED"
+    other = " ".join(f"x{i} y{i}" for i in range(60))
+
+    # the estimator must actually fire for this pair — sanity-check the
+    # data property the test depends on, so a hashing change fails loud
+    two = spark.createDataFrame([(1, base), (2, near)], ["doc_id", "text"])
+    sigs = dd.minhash_table(two)
+    est = dd.minhash_estimate(
+        sigs.where("doc_id = 2"),
+        sigs.where("doc_id = 1"),
+        spark.createDataFrame([(2, 1)], ["doc_id", "landed_id"]),
+    ).first()
+    assert est.est_jaccard >= 0.8, est
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame([(1, base)], ["doc_id", "text"]).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(2, near), (3, other)], ["doc_id", "text"]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out, ckpt = str(tmp_path / "prep"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sp.start_incremental_prep(stream, out, ckpt, min_quality=0.0)
+    assert q.awaitTermination(180)
+
+    # the input really split into two micro-batches — otherwise the
+    # within-batch dedup could mask the cross-batch mechanism under test
+    dirs = sp.eo.committed_batch_dirs(out)
+    assert len(dirs) == 2, dirs
+    batch0_ids = {
+        r.doc_id
+        for r in spark.read.parquet(dirs[0]).select("doc_id").distinct().collect()
+    }
+    assert batch0_ids == {1}  # doc 1 landed alone before docs 2/3 arrived
+
+    landed = {
+        r.doc_id for r in sp.read_prepared(spark, out).select("doc_id").distinct().collect()
+    }
+    assert landed == {1, 3}  # near-dup doc 2 suppressed, doc 3 kept
+
+    # the signature store carries exactly the landed docs' signatures
+    store = sp._landed_signatures(spark, out)
+    assert {r.doc_id for r in store.select("doc_id").collect()} == {1, 3}
+
+
 def test_crash_between_write_and_marker_recovers(spark, tmp_path):
     """The reviewed failure mode: a batch that wrote data but died
     before its commit marker. Readers must not see the partial
