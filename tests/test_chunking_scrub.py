@@ -97,6 +97,39 @@ def test_scrub_masks_and_counts(spark):
     assert (by_id[2].c.n_emails, by_id[2].c.n_ips, by_id[2].c.n_phones) == (0, 0, 0)
 
 
+def test_scrub_idempotent_and_composes(spark):
+    """scrub(scrub(x)) == scrub(x) over a grid of interleaved PII and
+    benign-numeric snippets — replacement sentinels must never re-match
+    any pattern, and masking one kind must not expose another."""
+    pii = [
+        "mail alice@example.com",
+        "ip 10.0.0.1",
+        "call (555) 123-4567",
+        "intl +40 721 234 567",
+    ]
+    benign = ["year 2020-2021", "pi 3.14159265", "count 1000000", "plain words"]
+    rows = []
+    i = 0
+    for a in pii + benign:
+        for b in pii + benign:
+            rows.append((i, f"{a} then {b} end"))
+            i += 1
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = df.select(
+        "id",
+        scrub_text(F.col("text")).alias("once"),
+        scrub_text(scrub_text(F.col("text"))).alias("twice"),
+    )
+    diverged = out.where(F.col("once") != F.col("twice"))
+    assert diverged.count() == 0, diverged.take(3)
+    # every PII-bearing row got masked; benign-only rows are untouched
+    masked = {r.id: r.once for r in out.collect()}
+    for rid, text in rows:
+        has_pii = any(p.split(" ", 1)[1] in text for p in pii)
+        tokens_present = any(t in masked[rid] for t in ("<EMAIL>", "<IP>", "<PHONE>"))
+        assert tokens_present == has_pii, (text, masked[rid])
+
+
 def test_scrub_phone_requires_phone_structure(spark):
     """PHONE_RE masks structured phone shapes only — benign numeric text
     (dates, year ranges, decimals, plain integers) must survive."""
