@@ -31,6 +31,45 @@ def test_sql_matches_dataframe_aggregate(spark):
     )
 
 
+def test_sql_expresses_full_index_pipeline(spark):
+    """The reference's ENTIRE pipeline as one SQL statement (the ~15-line
+    claim in SURVEY.md §3): tokenize -> normalize -> distinct ->
+    group-collect -> df -> letter bucket -> per-letter rank — proven
+    row-identical to the DataFrame build. Users who speak only SQL get
+    full engine parity."""
+    from pyspark.sql import functions as F
+
+    from parallel_inverted_index_map_reduce_spark.operators.index import build_index
+    from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+    register_views(spark, SF_ORACLE)
+    got = spark.sql(
+        """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_replace(lower(tok), '[^a-z]', '') AS word
+            FROM documents
+            LATERAL VIEW explode(split(text, '\\\\s+')) AS tok
+        ),
+        postings AS (
+            SELECT word,
+                   sort_array(collect_set(doc_id)) AS postings
+            FROM toks WHERE word != '' GROUP BY word
+        )
+        SELECT substring(word, 1, 1) AS letter, word,
+               CAST(size(postings) AS BIGINT) AS df, postings,
+               CAST(row_number() OVER (
+                   PARTITION BY substring(word, 1, 1)
+                   ORDER BY size(postings) DESC, word ASC
+               ) AS BIGINT) AS rank
+        FROM postings
+        """
+    )
+    want = build_index(load_table(spark, SF_ORACLE, "documents"))
+    key = lambda r: (r.letter, r.word, r.df, tuple(r.postings), r.rank)
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
 def test_sql_join_over_views(spark):
     register_views(spark, SF_ORACLE)
     got = spark.sql(
