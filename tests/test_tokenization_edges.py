@@ -38,6 +38,29 @@ def test_repeated_word_one_posting(spark):
     assert idx["echo"] == (2, [1, 2])
 
 
+def test_non_ascii_letters_are_stripped(spark):
+    """SURVEY.md §4.3: the reference's tolower/isalpha on signed char is
+    UB for non-ASCII bytes and its corpus is pre-cleaned ASCII; our
+    defined semantics — normalization is regexp_replace(lower(t),
+    '[^a-z]', '') — treats every non-ASCII letter as stripped, so
+    accented words keep only their ASCII-letter skeleton."""
+    idx = _index(
+        spark,
+        [
+            (1, "naïve café über Γεια résumé"),
+            (2, "naive cafe uber resume"),
+        ],
+    )
+    assert idx["nave"] == (1, [1])  # ï stripped, not transliterated
+    assert idx["caf"] == (1, [1])
+    assert idx["ber"] == (1, [1])
+    assert idx["rsum"] == (1, [1])
+    assert "γεια" not in idx  # all-Greek token strips to empty: dropped
+    # the ASCII twins are distinct words, never conflated
+    assert idx["naive"] == (1, [2])
+    assert idx["cafe"] == (1, [2])
+
+
 def test_whitespace_variants(spark):
     idx = _index(spark, [(1, "a\tb\nc   d")])
     assert set(idx) == {"a", "b", "c", "d"}
