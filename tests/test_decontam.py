@@ -1,0 +1,77 @@
+"""Train/eval decontamination: embedded eval text is flagged at full
+containment, partial overlap respects the threshold, and clean
+documents survive."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parallel_inverted_index_map_reduce_spark.operators.decontam import (
+    contamination_report,
+    decontaminate,
+)
+from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+from .conftest import SF_ORACLE
+
+EVAL_TEXT = "the quick brown fox jumps over the lazy dog tonight"
+
+
+def _corpora(spark):
+    train = spark.createDataFrame(
+        [
+            # eval text verbatim inside a longer document: containment 1.0
+            (1, "some preamble text here " + EVAL_TEXT + " and a closing line"),
+            # roughly half the eval shingles (first 6 tokens)
+            (2, "the quick brown fox jumps over a completely different river"),
+            # clean
+            (3, "entirely unrelated training content about mountains and seas"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_docs = spark.createDataFrame([(100, EVAL_TEXT)], ["doc_id", "text"])
+    return train, eval_docs
+
+
+def test_containment_flags_embedded_eval_text(spark):
+    train, eval_docs = _corpora(spark)
+    report = {
+        r.train_id: (r.n_common, float(r.containment))
+        for r in contamination_report(train, eval_docs, threshold=0.9).collect()
+    }
+    assert set(report) == {1}
+    n_common, containment = report[1]
+    assert containment == 1.0  # all 8 eval shingles present
+    assert n_common == len(EVAL_TEXT.split()) - 2
+
+    # at a mid threshold the partial-overlap doc is flagged too
+    mid = {
+        r.train_id
+        for r in contamination_report(train, eval_docs, threshold=0.4).collect()
+    }
+    assert mid == {1, 2}
+
+
+def test_decontaminate_removes_only_flagged(spark):
+    train, eval_docs = _corpora(spark)
+    kept = {r.doc_id for r in decontaminate(train, eval_docs, 0.9).collect()}
+    assert kept == {2, 3}
+    kept_mid = {r.doc_id for r in decontaminate(train, eval_docs, 0.4).collect()}
+    assert kept_mid == {3}
+
+
+def test_decontaminate_against_real_fixture_is_self_consistent(spark):
+    """Using a slice of the documents table as the 'eval set', every
+    eval member doc (identical text) must be flagged against itself at
+    threshold 1.0, and survivors carry no full-containment pair."""
+    docs = load_table(spark, SF_ORACLE, "documents").limit(200).cache()
+    eval_docs = docs.where(F.col("doc_id") % 37 == 0)
+    n_eval_shinglable = eval_docs.where(
+        F.size(F.expr("filter(split(text, ' '), t -> t != '')")) >= 3
+    ).count()
+    report = contamination_report(docs, eval_docs, threshold=1.0)
+    # every shinglable eval doc is contained in at least itself
+    self_pairs = report.where(F.col("train_id") == F.col("eval_id"))
+    assert self_pairs.count() == n_eval_shinglable
+    clean = decontaminate(docs, eval_docs, threshold=1.0)
+    assert clean.count() <= docs.count() - n_eval_shinglable
