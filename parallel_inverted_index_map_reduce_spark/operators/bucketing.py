@@ -24,9 +24,16 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 8,
     sort_col: str | None = None,
+    partition_cols: tuple[str, ...] = (),
 ) -> None:
     """Persist a DataFrame as a bucketed (+optionally sorted) managed
-    parquet table, replacing any previous version."""
+    parquet table, replacing any previous version.
+
+    ``partition_cols`` adds hive partitioning ABOVE the buckets: a
+    filter on a partition column prunes whole directories
+    (PartitionFilters) while an equality filter on the bucket column
+    still prunes to one bucket file within each surviving directory —
+    the two-level layout a serving-side index store wants."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # the in-memory catalog forgets tables between sessions but leaves
@@ -35,9 +42,10 @@ def write_bucketed(
     loc = os.path.join(warehouse.removeprefix("file:"), table)
     if os.path.isdir(loc):
         shutil.rmtree(loc)
-    writer = df.write.format("parquet").mode("overwrite").bucketBy(
-        n_buckets, bucket_col
-    )
+    writer = df.write.format("parquet").mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer = writer.bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)

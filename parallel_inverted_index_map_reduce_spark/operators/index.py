@@ -298,15 +298,25 @@ def merge_index_chunked(
 def store_chunked_index(
     chunked: DataFrame, table: str, n_buckets: int = 8
 ) -> None:
-    """Persist the chunked index bucketed + sorted by word — the 100 TB
-    storage layout: a term lookup reads ONE bucket (bucket pruning:
-    the scan reports SelectedBucketsCount 1/N) and the word-sorted files
-    keep a term's chunks contiguous. Write once, serve point lookups
-    and per-letter scans without ever rebuilding posting arrays.
+    """Persist the chunked index partitioned by letter, bucketed +
+    sorted by word — the 100 TB serving layout with two pruning levels:
+    a letter scan prunes to one directory (PartitionFilters, the
+    reference's own 26-way layout made physical), a term lookup
+    additionally prunes to ONE bucket inside it (SelectedBucketsCount
+    1/N), and word-sorted files keep a term's chunks contiguous. Write
+    once, serve point lookups and per-letter scans without ever
+    rebuilding posting arrays.
     """
     from .bucketing import write_bucketed
 
-    write_bucketed(chunked, table, "word", n_buckets, sort_col="word")
+    write_bucketed(
+        chunked,
+        table,
+        "word",
+        n_buckets,
+        sort_col="word",
+        partition_cols=("letter",),
+    )
 
 
 def lookup_stored_terms(spark, table: str, terms: list[str]) -> DataFrame:

@@ -72,3 +72,12 @@ def test_stored_chunked_lookup_prunes_and_matches(spark):
         r.word: (r.letter, r.df, tuple(r.postings)) for r in got.collect()
     }
     assert have == want
+
+    # the second pruning level: a letter scan prunes to its partition
+    letter = next(iter(want.values()))[0]
+    scan = spark.table("chunked_index").where(F.col("letter") == letter)
+    lp = _plan(scan)
+    assert "PartitionFilters" in lp and "letter" in lp.split("PartitionFilters")[1][:120], lp
+    rows = scan.select("word").distinct().count()
+    full = build_index(docs).where(F.col("letter") == letter).count()
+    assert rows == full
