@@ -40,6 +40,8 @@ def prepare_training_data(
     chunk_tokens: int = 128,
     overlap: int = 16,
     budget: int = 256,
+    eval_docs: DataFrame | None = None,
+    contamination_threshold: float = 0.5,
 ) -> DataFrame:
     """documents(doc_id, text, ...) -> packed chunks
     (doc_id, chunk_id, n_tokens, chunk, bin_id).
@@ -47,6 +49,12 @@ def prepare_training_data(
     ``languages`` filters on the corpus's language label when one exists
     (the heuristic guesser in operators/textstats.py fills it upstream
     for unlabeled corpora); empty tuple disables the filter.
+
+    ``eval_docs`` (optional) enables benchmark decontamination: training
+    documents containing >= ``contamination_threshold`` of any eval
+    document's shingles are dropped before dedup (cheapest point — the
+    eval join runs on the already-quality-filtered survivors, and
+    removed docs never pay for shingling twice downstream).
 
     Returns a DataFrame so callers can inspect before writing;
     :func:`run_and_land` adds the sink.
@@ -61,6 +69,13 @@ def prepare_training_data(
         "doc_id",
         "left_semi",
     )
+
+    if eval_docs is not None:
+        from .operators.decontam import decontaminate
+
+        kept_quality = decontaminate(
+            kept_quality, eval_docs, threshold=contamination_threshold
+        )
 
     keep = near_dup_keep_list(kept_quality, threshold=dedup_threshold)
     deduped = kept_quality.join(

@@ -60,6 +60,31 @@ def test_decontaminate_removes_only_flagged(spark):
     assert kept_mid == {3}
 
 
+def test_pipeline_decontaminates_when_eval_set_given(spark):
+    """The composed pipeline drops contaminated training docs before
+    dedup when an eval set is supplied, and is unchanged without one."""
+    from parallel_inverted_index_map_reduce_spark.pipeline import (
+        prepare_training_data,
+    )
+
+    train, eval_docs = _corpora(spark)
+    without = {
+        r.doc_id
+        for r in prepare_training_data(train, min_quality=0.0).select("doc_id").distinct().collect()
+    }
+    assert 1 in without  # no eval set: the contaminated doc flows through
+    with_eval = {
+        r.doc_id
+        for r in prepare_training_data(
+            train, min_quality=0.0, eval_docs=eval_docs, contamination_threshold=0.9
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert 1 not in with_eval and 3 in with_eval
+
+
 def test_decontaminate_against_real_fixture_is_self_consistent(spark):
     """Using a slice of the documents table as the 'eval set', every
     eval member doc (identical text) must be flagged against itself at
