@@ -28,6 +28,59 @@ def _rows(df):
     )
 
 
+def test_index_stream_crash_before_marker_recovers(spark, tmp_path, monkeypatch):
+    """Crash injected between the version write and its commit marker:
+    readers keep serving the previous committed version (the partial
+    one is invisible), and a restart from the SAME checkpoint — the
+    protocol's only supported resume — redelivers the failed batch,
+    overwrites its own partial directory, and converges."""
+    from parallel_inverted_index_map_reduce_spark.streaming import sinks as eo_mod
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    src = str(tmp_path / "docs_in")
+    docs.repartition(2).write.parquet(src)
+    index_dir = str(tmp_path / "index_versions")
+    ckpt = str(tmp_path / "ckpt")
+
+    real_commit = eo_mod.commit
+    state = {"crashed": False}
+
+    def commit_once_crashing(path, batch_id):
+        if batch_id == 1 and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash before commit marker")
+        real_commit(path, batch_id)
+
+    monkeypatch.setattr(eo_mod, "commit", commit_once_crashing)
+
+    def _stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    q = ixs.start_incremental_index(_stream(), index_dir, ckpt, chunk_size=CHUNK)
+    try:
+        q.awaitTermination(180)
+    except Exception:
+        pass  # the injected crash fails the query mid-stream
+    assert state["crashed"]
+
+    # only batch 0 committed; its version is a complete index of batch 0
+    dirs = ixs.eo.committed_batch_dirs(index_dir)
+    assert [d.rsplit("=", 1)[1] for d in dirs] == ["0"]
+    assert ixs.read_index_version(spark, index_dir) is not None
+
+    # same-checkpoint restart: offsets never advanced past the failed
+    # batch, so it redelivers, overwrites its partial dir, and commits
+    q2 = ixs.start_incremental_index(_stream(), index_dir, ckpt, chunk_size=CHUNK)
+    assert q2.awaitTermination(180)
+    final = ixs.read_index_version(spark, index_dir)
+    want = build_index_chunked(docs, chunk_size=CHUNK)
+    assert _rows(final) == _rows(want)
+
+
 def test_streamed_index_converges_to_batch_build(spark, tmp_path):
     docs = load_table(spark, SF_ORACLE, "documents")
     src = str(tmp_path / "docs_in")
