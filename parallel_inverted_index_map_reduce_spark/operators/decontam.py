@@ -49,9 +49,18 @@ def contamination_report(
         .groupBy("train_id", "eval_id")
         .agg(F.count("*").alias("n_common"))
     )
+    # decimal comparison, not n_common >= n_eval * double(threshold):
+    # 30 * 0.1 is 3.0000000000000004 in IEEE doubles, so a doc at
+    # exactly the threshold would silently evade flagging. str() gives
+    # the threshold's shortest decimal repr; the integer ratio divides
+    # exactly at scale 12.
+    reaches = (
+        F.col("n_common").cast("decimal(28,12)")
+        / F.col("n_eval").cast("decimal(28,12)")
+    ) >= F.lit(str(threshold)).cast("decimal(28,12)")
     return (
         common.join(ev_sizes, "eval_id")
-        .where(F.col("n_common") >= F.col("n_eval") * F.lit(threshold))
+        .where(reaches)
         .select(
             "train_id",
             "eval_id",

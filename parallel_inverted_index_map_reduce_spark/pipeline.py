@@ -73,8 +73,14 @@ def prepare_training_data(
     if eval_docs is not None:
         from .operators.decontam import decontaminate
 
+        # the train side was scrubbed above, so the eval side must be
+        # scrubbed IDENTICALLY before shingling: otherwise each masked
+        # PII token in a train doc kills up to 3 of a raw eval doc's
+        # shingles and a verbatim embedding of a PII-bearing benchmark
+        # prompt slips under the containment threshold
+        eval_scrubbed = eval_docs.withColumn("text", scrub_text(F.col("text")))
         kept_quality = decontaminate(
-            kept_quality, eval_docs, threshold=contamination_threshold
+            kept_quality, eval_scrubbed, threshold=contamination_threshold
         )
 
     keep = near_dup_keep_list(kept_quality, threshold=dedup_threshold)

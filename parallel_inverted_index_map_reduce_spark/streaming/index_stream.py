@@ -76,9 +76,19 @@ def start_incremental_index(
 
 
 def prune_index_versions(index_dir: str, keep: int = 1) -> int:
-    """Delete all but the newest ``keep`` committed versions (markers
-    included); uncommitted directories are left for their replaying
-    batch. Returns the number of versions removed."""
+    """Delete all but the newest ``keep`` committed versions; uncommitted
+    directories are left for their replaying batch. Returns the number
+    of versions removed.
+
+    Deletion order is the invariant: the MARKER goes first, the data
+    directory second. A crash between the two then leaves an
+    uncommitted (invisible) directory — the state the protocol already
+    tolerates — instead of a marker without data, which would make
+    ``is_committed`` lie and let the replay guard silently drop a
+    redelivered batch.
+    """
+    import os
+
     dirs = sorted(
         eo.committed_batch_dirs(index_dir),
         key=lambda d: int(d.rsplit("=", 1)[1]),
@@ -86,12 +96,10 @@ def prune_index_versions(index_dir: str, keep: int = 1) -> int:
     removed = 0
     for d in dirs[:-keep] if keep else dirs:
         bid = int(d.rsplit("=", 1)[1])
-        shutil.rmtree(d, ignore_errors=True)
         try:
-            import os
-
             os.remove(eo.marker_path(index_dir, bid))
         except FileNotFoundError:
             pass
+        shutil.rmtree(d, ignore_errors=True)
         removed += 1
     return removed

@@ -81,13 +81,14 @@ def start_incremental_prep(
         landed_ids = _landed_doc_ids(spark, out_dir)
         if landed_ids is not None:
             fresh = batch_docs.join(landed_ids, "doc_id", "left_anti")
+        batch_sigs = None
         if cross_batch_threshold is not None:
             landed_sigs = _landed_signatures(spark, out_dir)
             if landed_sigs is not None:
-                new_sigs = dd.minhash_table(fresh)
-                cand = dd.lsh_cross_candidates(new_sigs, landed_sigs)
+                batch_sigs = dd.minhash_table(fresh)
+                cand = dd.lsh_cross_candidates(batch_sigs, landed_sigs)
                 near = (
-                    dd.minhash_estimate(new_sigs, landed_sigs, cand)
+                    dd.minhash_estimate(batch_sigs, landed_sigs, cand)
                     .where(F.col("est_jaccard") >= cross_batch_threshold)
                     .select("doc_id")
                     .distinct()
@@ -96,13 +97,22 @@ def start_incremental_prep(
         packed = batch_pipeline.prepare_training_data(fresh, **prep_kwargs)
         packed.write.mode("overwrite").parquet(eo.batch_dir(out_dir, batch_id))
         # signature store: 16 longs per KEPT doc, written before the
-        # marker so store and output commit (or vanish) together
-        kept = fresh.join(
-            packed.select("doc_id").distinct(), "doc_id", "left_semi"
+        # marker so store and output commit (or vanish) together. Kept
+        # ids come from the parquet JUST WRITTEN — not from `packed`,
+        # whose semi-join would re-execute the whole prep lineage a
+        # second time — and the batch's signatures are reused when the
+        # cross-batch stage already computed them (a superset of the
+        # kept docs; the semi-join narrows it).
+        kept_ids = (
+            spark.read.parquet(eo.batch_dir(out_dir, batch_id))
+            .select("doc_id")
+            .distinct()
         )
-        dd.minhash_table(kept).write.mode("overwrite").parquet(
-            eo.batch_dir(_sig_store(out_dir), batch_id)
-        )
+        if batch_sigs is None:
+            batch_sigs = dd.minhash_table(fresh)
+        batch_sigs.join(kept_ids, "doc_id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(eo.batch_dir(_sig_store(out_dir), batch_id))
         eo.commit(out_dir, batch_id)
 
     return (

@@ -60,6 +60,58 @@ def test_decontaminate_removes_only_flagged(spark):
     assert kept_mid == {3}
 
 
+def test_containment_exact_threshold_boundary(spark):
+    """containment == threshold must flag: 3 of 30 shingles at
+    threshold 0.1 (30 * 0.1 is 3.0000000000000004 in doubles — the
+    decimal comparison must not let the boundary doc evade)."""
+    eval_tokens = [f"e{i}" for i in range(32)]  # 30 distinct shingles
+    eval_docs = spark.createDataFrame(
+        [(100, " ".join(eval_tokens))], ["doc_id", "text"]
+    )
+    # first 5 eval tokens -> exactly shingles (e0 e1 e2), (e1 e2 e3),
+    # (e2 e3 e4); the unique tail adds no shared shingles
+    train = spark.createDataFrame(
+        [(1, " ".join(eval_tokens[:5]) + " qq ww ee rr tt")],
+        ["doc_id", "text"],
+    )
+    got = contamination_report(train, eval_docs, threshold=0.1).collect()
+    assert len(got) == 1
+    assert (got[0].n_common, float(got[0].containment)) == (3, 0.1)
+
+
+def test_pipeline_decontaminates_pii_bearing_eval_text(spark):
+    """The pipeline scrubs train text before decontamination, so the
+    eval side must be scrubbed identically — a verbatim embedding of a
+    PII-bearing benchmark prompt must still be flagged (regression:
+    raw-eval shingles around masked tokens broke containment)."""
+    from parallel_inverted_index_map_reduce_spark.pipeline import (
+        prepare_training_data,
+    )
+
+    pii_eval = (
+        "please email alice@example.com or call (555) 123-4567 about "
+        "the quarterly report today before the deadline passes"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "some preamble " + pii_eval + " and a closing line"),
+            (2, "entirely unrelated content about mountains and seas"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_docs = spark.createDataFrame([(100, pii_eval)], ["doc_id", "text"])
+    kept = {
+        r.doc_id
+        for r in prepare_training_data(
+            train, min_quality=0.0, eval_docs=eval_docs, contamination_threshold=0.8
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert kept == {2}
+
+
 def test_pipeline_decontaminates_when_eval_set_given(spark):
     """The composed pipeline drops contaminated training docs before
     dedup when an eval set is supplied, and is unchanged without one."""

@@ -124,6 +124,21 @@ def test_streamed_index_converges_to_batch_build(spark, tmp_path):
     assert removed == 2
     assert len(ixs.eo.committed_batch_dirs(index_dir)) == 1
     assert _rows(ixs.read_index_version(spark, index_dir)) == _rows(want)
+    # protocol invariant after pruning: no marker without its data dir
+    # (a marker-only state would make is_committed lie to the replay
+    # guard and silently drop a redelivered batch)
+    import glob as _glob
+    import os as _os
+
+    markers = {
+        m.rsplit("_", 1)[1]
+        for m in _glob.glob(_os.path.join(index_dir, "_committed_*"))
+    }
+    data = {
+        d.rsplit("=", 1)[1]
+        for d in _glob.glob(_os.path.join(index_dir, "batch_id=*"))
+    }
+    assert markers <= data, (markers, data)
 
     # and the streamed artifact serves the same queries as the plain
     # batch index (spot-check via the df ranking source of truth)
