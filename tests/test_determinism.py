@@ -19,9 +19,17 @@ PARTITION_COUNTS = (2, 7, 32)
 
 # Order-sensitive or shuffle-heavy representatives of each family: the
 # full index pipeline (groupBy + window + formatting), position-weighted
-# fingerprints, MinHash banding (multi-stage shuffles), and a decimal
-# aggregate (partition-order-independent summation claim).
-CASES = ("index_lines", "doc_fingerprints", "minhash_lsh_pairs", "pricing_summary")
+# fingerprints, MinHash banding (multi-stage shuffles), a decimal
+# aggregate (partition-order-independent summation claim), and the
+# labeled ANN entry — whose IVF part claims an RNG-free,
+# partition-order-independent k-means fit (decimal means, stable seeds).
+CASES = (
+    "index_lines",
+    "doc_fingerprints",
+    "minhash_lsh_pairs",
+    "pricing_summary",
+    "ann_topk",
+)
 
 
 def _rows(spark, name):
