@@ -109,12 +109,16 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     from ..sources.tables import spread
 
     docs = spread(docs)
+    # NULL text is defined as an EMPTY payload (coalesce) — without it a
+    # NULL propagates through encode/concat into the Arrow batches and
+    # the decode path sees None instead of bytes
+    txt = F.coalesce(F.col("text"), F.lit(""))
     return docs.select(
         "doc_id",
-        F.encode("text", "UTF-8").alias("payload"),
+        F.encode(txt, "UTF-8").alias("payload"),
         F.struct(
             F.lit("fake/bytes").alias("mime"),
-            F.length("text").cast("long").alias("n_chars"),
+            F.length(txt).cast("long").alias("n_chars"),
         ).alias("meta"),
     )
 
@@ -178,11 +182,12 @@ def with_ppm_payload(docs: DataFrame) -> DataFrame:
 
     header = f"P6\n{PPM_W} {PPM_H}\n255\n".encode()
     n = PPM_W * PPM_H * 3
+    txt = F.coalesce(F.col("text"), F.lit(""))  # NULL text = empty image text
     return spread(docs).select(
         "doc_id",
         F.concat(
             F.lit(header),
-            F.encode(F.rpad(F.substring("text", 1, n), n, "x"), "UTF-8"),
+            F.encode(F.rpad(F.substring(txt, 1, n), n, "x"), "UTF-8"),
         ).alias("payload"),
     )
 

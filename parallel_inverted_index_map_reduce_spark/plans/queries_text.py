@@ -103,17 +103,20 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     oracle="""
-WITH plane AS (
+WITH tx AS (
+    SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+plane AS (
     SELECT doc_id,
-           rpad(substr(text, 1, 144), 144, 'x') AS px
-    FROM documents
+           rpad(substr(t, 1, 144), 144, 'x') AS px
+    FROM tx
 )
 SELECT d.doc_id,
-       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
-       CAST(CASE WHEN length(d.text) > 0 THEN ascii(substr(d.text, 1, 1)) ELSE -1 END AS BIGINT) AS first_byte,
-       CAST(CASE WHEN length(d.text) > 0 THEN ascii(substr(d.text, length(d.text), 1)) ELSE -1 END AS BIGINT) AS last_byte,
-       CAST(list_aggregate(list_transform(range(1, length(d.text) + 1),
-                           i -> ascii(substr(d.text, i, 1))), 'sum') AS BIGINT) AS byte_sum,
+       CAST(octet_length(encode(d.t)) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN length(d.t) > 0 THEN ascii(substr(d.t, 1, 1)) ELSE -1 END AS BIGINT) AS first_byte,
+       CAST(CASE WHEN length(d.t) > 0 THEN ascii(substr(d.t, length(d.t), 1)) ELSE -1 END AS BIGINT) AS last_byte,
+       CAST(coalesce(list_aggregate(list_transform(range(1, length(d.t) + 1),
+                           i -> ascii(substr(d.t, i, 1))), 'sum'), 0) AS BIGINT) AS byte_sum,
        CAST(8 AS BIGINT) AS width,
        CAST(6 AS BIGINT) AS height,
        CAST(3 AS BIGINT) AS channels,
@@ -121,7 +124,7 @@ SELECT d.doc_id,
        CAST(list_aggregate(list_transform(range(1, 145),
                            i -> ascii(substr(p.px, i, 1))), 'sum') AS BIGINT) AS pixel_sum,
        CAST(144 AS BIGINT) AS n_pixel_bytes
-FROM documents d JOIN plane p ON p.doc_id = d.doc_id
+FROM tx d JOIN plane p ON p.doc_id = d.doc_id
 """,
     tags=("multimodal",),
     doc="Arrow-batched (mapInPandas) multimodal path, BOTH halves real: "

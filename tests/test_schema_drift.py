@@ -81,6 +81,49 @@ def test_queries_survive_float64_embeddings(spark, drifted_dir):
     assert _compare(spark, drifted_dir, "ann_topk") > 0
 
 
+def test_document_queries_tolerate_null_and_empty_text(spark, tmp_path):
+    """Content drift, not type drift: a regenerated corpus could carry
+    NULL or empty text rows. Every document-table query must stay
+    cross-engine consistent on them (regression: a NULL payload crashed
+    the multimodal Arrow batch before NULL text was defined as empty)."""
+    d = str(tmp_path)
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([None, "", "hello world hello"], pa.string()),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([0, 0, 17], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    import __spark_entry__ as entry
+
+    q, o = entry.queries(), entry.oracle_sql()
+    conn = duckdb.connect()
+    conn.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    for name in (
+        "postings_flat",
+        "dedup_exact",
+        "text_quality",
+        "language_guess",
+        "doc_fingerprints",
+        "inverted_index",
+        "simhash_fingerprints",
+        "multimodal_features",
+    ):
+        sdf = q[name](spark, d)
+        cols = sorted(sdf.columns)
+        srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+        rel = conn.sql(o[name])
+        idx = [rel.columns.index(c) for c in sorted(rel.columns)]
+        drows = sorted(tuple(str(r[i]) for i in idx) for r in rel.fetchall())
+        assert cols == sorted(rel.columns), name
+        assert srows == drows, f"{name} diverges on null/empty text"
+
+
 def test_pipeline_survives_int32_doc_ids(spark, drifted_dir):
     """The training pipeline end-to-end on int32 ids — the packer's
     composite key casts to long instead of shifting raw int32 bits."""
