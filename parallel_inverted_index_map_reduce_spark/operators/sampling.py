@@ -62,6 +62,54 @@ def stratified_sample(
     return df.where(_unit_hash(F.col(key), salt) < frac)
 
 
+def mix_to_proportions(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key: str,
+    salt: str = "mix",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Downsample strata so the output mixture matches ``weights``
+    (a domain-mixing pass: e.g. {"web": 0.6, "code": 0.3, "books": 0.1}).
+
+    Solves for the LARGEST achievable output: the binding stratum (the
+    one whose corpus runs out first relative to its target share) keeps
+    fraction 1.0 and every other stratum downsamples to match, so no
+    stratum is ever upsampled (duplication belongs to the trainer's
+    epoch logic, not the corpus). Strata absent from ``weights`` drop.
+
+    Expected output size per stratum s: scale * w_s where
+    scale = min_s(count_s / w_s); keep fractions are exact expectations,
+    realized by the same deterministic content-hash filter the other
+    samplers use, so the mixture is reproducible bit-for-bit across
+    runs, partitionings, and cluster sizes.
+
+    The per-stratum counts are ONE tiny aggregate (strata cardinality ~
+    dozens) collected to the driver — the same driver-scalar pattern as
+    the k-means centroids; the data-scale pass stays a per-row filter.
+
+    Returns (mixed_df, fractions) so callers can log the realized plan.
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of positive shares")
+    total_w = sum(weights.values())
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.where(F.col(strata_col).isin(*weights))
+        .groupBy(strata_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    missing = sorted(set(weights) - set(counts))
+    if missing:
+        raise ValueError(f"strata absent from the data: {missing}")
+    scale = min(counts[s] / (w / total_w) for s, w in weights.items())
+    fractions = {
+        s: min(1.0, scale * (w / total_w) / counts[s]) for s, w in weights.items()
+    }
+    return stratified_sample(df, strata_col, fractions, key, salt), fractions
+
+
 def train_test_split(
     df: DataFrame, key: str, test_fraction: float = 0.1, salt: str = "split"
 ) -> tuple[DataFrame, DataFrame]:

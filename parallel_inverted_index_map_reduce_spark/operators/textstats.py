@@ -88,6 +88,99 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     return scored.join(bpe, "doc_id")
 
 
+def _tok_array(text: Column) -> Column:
+    """Whitespace token array with empties dropped — the array twin of
+    :func:`token_positions` (same tokens, no explode)."""
+    return F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of an already-filtered token array, as
+    a per-row ``transform`` (narrow, codegen) — empty array when the doc
+    has fewer than ``n`` tokens."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.concat_ws(" ", *[F.get(toks, i + F.lit(k)) for k in range(n)])
+    return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _longest_equal_run(arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements (0 for an
+    empty array), as a fold — a pure per-row expression. Sentinel-free:
+    the fold seeds ``prev`` with NULL, which never equals a real
+    element."""
+    zero = F.lit(0).cast("long")
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+    )
+    return F.aggregate(arr, init, step)["best"]
+
+
+def _max_freq(arr: Column) -> Column:
+    """Count of the most frequent element of ``arr`` (0 for empty):
+    sort, then longest-equal-run — the whole mode computation is one
+    per-row codegen expression, no shuffle."""
+    return _longest_equal_run(F.array_sort(arr))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality filters,
+    Rae et al. 2021 §A1.1 — gram-count variants of its character-fraction
+    filters):
+
+    - ``top2_frac`` / ``top3_frac``: occurrences of the most frequent
+      word 2-/3-gram over the total 2-/3-gram count;
+    - ``dup5_frac``: fraction of 5-grams that are repeats of an earlier
+      5-gram (1 - distinct/total);
+    - ``max_token_run``: longest run of one token repeated back-to-back.
+
+    Every signal is a per-row array fold over the token array — zero
+    shuffles, unlike the groupBy formulation, so at 100 TB this is a
+    pure map stage that chains onto the scan. Docs with fewer tokens
+    than the gram width score 0.0 by definition. The DuckDB oracle uses
+    the windowed lead/gaps-and-islands formulation, proving the fold
+    equivalent.
+    """
+    toks = _tok_array(F.col("text"))
+    d = docs.select("doc_id", toks.alias("_toks")).where(F.size("_toks") > 0)
+    t = F.col("_toks")
+
+    def top_frac(n: int) -> Column:
+        grams = _grams(t, n)
+        total = F.size(grams)
+        return F.when(
+            total > 0, _max_freq(grams).cast("double") / total.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    g5 = _grams(t, 5)
+    dup5 = F.when(
+        F.size(g5) > 0,
+        (F.size(g5) - F.size(F.array_distinct(g5))).cast("double")
+        / F.size(g5).cast("double"),
+    ).otherwise(F.lit(0.0))
+    from ..plans.exprs import stable_round6 as _stable6
+
+    return d.select(
+        "doc_id",
+        _stable6(top_frac(2)).alias("top2_frac"),
+        _stable6(top_frac(3)).alias("top3_frac"),
+        _stable6(dup5).alias("dup5_frac"),
+        _longest_equal_run(t).alias("max_token_run"),
+    )
+
+
 def language_guess(docs: DataFrame) -> DataFrame:
     """Stopword-marker language ID: count en/es marker hits per doc,
     guess the majority language, report agreement with the labeled

@@ -36,20 +36,68 @@ SELECT doc_id, count(*) AS n_tokens,
             AS DECIMAL(18,6)) AS VARCHAR) AS quality_score
 FROM tokpos GROUP BY doc_id
 )
+, g2 AS (
+    SELECT doc_id, g FROM (
+        SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS g
+        FROM tokpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE g IS NOT NULL
+), g3 AS (
+    SELECT doc_id, g FROM (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+        FROM tokpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE g IS NOT NULL
+), g5 AS (
+    SELECT doc_id, g FROM (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS g
+        FROM tokpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE g IS NOT NULL
+), c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+t2 AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS f FROM c2 GROUP BY doc_id),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+t3 AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS f FROM c3 GROUP BY doc_id),
+t5 AS (SELECT doc_id,
+              (count(*) - count(DISTINCT g)) * 1.0 / count(*) AS f
+       FROM g5 GROUP BY doc_id),
+runs AS (
+    SELECT doc_id, tok,
+           pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+    FROM tokpos
+), rl AS (SELECT doc_id, count(*) AS n FROM runs GROUP BY doc_id, tok, grp),
+mr AS (SELECT doc_id, max(n) AS max_token_run FROM rl GROUP BY doc_id)
 SELECT a.*,
        CAST(len(regexp_extract_all(d.text,
             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
-            AS BIGINT) AS n_bpeish_tokens
-FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+            AS BIGINT) AS n_bpeish_tokens,
+       CAST(CAST(round(CAST(COALESCE(t2.f, 0.0) AS DECIMAL(28,12)), 6)
+            AS DECIMAL(18,6)) AS VARCHAR) AS top2_frac,
+       CAST(CAST(round(CAST(COALESCE(t3.f, 0.0) AS DECIMAL(28,12)), 6)
+            AS DECIMAL(18,6)) AS VARCHAR) AS top3_frac,
+       CAST(CAST(round(CAST(COALESCE(t5.f, 0.0) AS DECIMAL(28,12)), 6)
+            AS DECIMAL(18,6)) AS VARCHAR) AS dup5_frac,
+       CAST(mr.max_token_run AS BIGINT) AS max_token_run
+FROM agg a
+JOIN documents d ON d.doc_id = a.doc_id
+LEFT JOIN t2 ON t2.doc_id = a.doc_id
+LEFT JOIN t3 ON t3.doc_id = a.doc_id
+LEFT JOIN t5 ON t5.doc_id = a.doc_id
+JOIN mr ON mr.doc_id = a.doc_id
 """,
     tags=("text",),
     doc="Token counting + heuristic quality scoring in ONE aggregation "
     "per document: n_tokens, distinct tokens, average token length, "
     "stopword ratio, combined quality score, plus the BPE-ish "
-    "pretokenizer token count (second counting mode) per row.",
+    "pretokenizer token count (second counting mode) per row — and the "
+    "Gopher-style repetition filters (top-2/3-gram fraction, duplicate "
+    "5-gram fraction, longest back-to-back token run), computed Spark-"
+    "side as zero-shuffle per-row array folds while the oracle uses the "
+    "windowed lead / gaps-and-islands formulation, proving equivalence.",
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts.quality_scores(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    return ts.quality_scores(docs).join(ts.repetition_stats(docs), "doc_id")
 
 
 @register(
