@@ -6,10 +6,15 @@ shrinks or shapes the data the next stage pays for):
 
     scrub (mask PII-shaped text)
     -> quality + language filter (cheap column math drops junk early)
+    -> repetition filter          (optional: Gopher dup5 predicate)
+    -> decontaminate vs eval sets (optional: n-gram containment)
     -> near-dup dedup keep-list   (exact -> MinHash/LSH -> verify)
+    -> mix to domain proportions  (optional: post-dedup, so dedup
+                                   can't skew the target ratios)
     -> chunk (split long docs into overlapping token windows)
     -> pack  (FFD-bin chunks into fixed token budgets)
-    -> write (hive-partitioned parquet, bounded file counts)
+    -> write (hive-partitioned parquet, bounded file counts; or
+              deterministic hash-ordered training shards)
 
 Every stage is the already-tested operator; this module only wires
 them. At 100 TB the stage ORDER is the optimization: scrubbing and
@@ -42,6 +47,8 @@ def prepare_training_data(
     budget: int = 256,
     eval_docs: DataFrame | None = None,
     contamination_threshold: float = 0.5,
+    max_dup5_frac: float | None = None,
+    source_weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """documents(doc_id, text, ...) -> packed chunks
     (doc_id, chunk_id, n_tokens, chunk, bin_id).
@@ -56,6 +63,18 @@ def prepare_training_data(
     eval join runs on the already-quality-filtered survivors, and
     removed docs never pay for shingling twice downstream).
 
+    ``max_dup5_frac`` (optional) drops documents whose duplicate-5-gram
+    fraction exceeds it (the Gopher repetition filter,
+    operators/textstats.py repetition_stats) — a per-row codegen
+    predicate, so it rides the same pre-shuffle stage as the quality
+    filter.
+
+    ``source_weights`` (optional) mixes the DEDUPED corpus to a target
+    domain mixture (operators/sampling.py mix_to_proportions). It runs
+    after dedup on purpose: dedup removes documents non-uniformly across
+    sources, so mixing any earlier would let dedup skew the final
+    ratios.
+
     Returns a DataFrame so callers can inspect before writing;
     :func:`run_and_land` adds the sink.
     """
@@ -69,6 +88,15 @@ def prepare_training_data(
         "doc_id",
         "left_semi",
     )
+    if max_dup5_frac is not None:
+        from .operators.textstats import repetition_stats
+
+        rep = repetition_stats(scrubbed).where(
+            F.col("dup5_frac").cast("double") <= max_dup5_frac
+        )
+        kept_quality = kept_quality.join(
+            rep.select("doc_id"), "doc_id", "left_semi"
+        )
 
     if eval_docs is not None:
         from .operators.decontam import decontaminate
@@ -87,6 +115,13 @@ def prepare_training_data(
     deduped = kept_quality.join(
         keep.where("keep").select("doc_id"), "doc_id", "left_semi"
     )
+
+    if source_weights is not None:
+        from .operators.sampling import mix_to_proportions
+
+        deduped, _ = mix_to_proportions(
+            deduped, "source", source_weights, key="doc_id"
+        )
 
     # The packer carries the (doc_id, chunk_id) composite key through
     # unchanged — no bit-packed single key, which would collide for
@@ -115,4 +150,30 @@ def run_and_land(
         "shard", (F.col("bin_id") % 16).cast("int")
     )
     write_partitioned(landed, out_dir, ["shard"])
+    return packed
+
+
+def land_training_shards(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 16,
+    salt: str = "export",
+    **kwargs,
+) -> DataFrame:
+    """Prepare and land as DETERMINISTIC, globally-shuffled training
+    shards (operators/export.py): shard membership and within-shard
+    order are pure functions of each chunk's (doc_id, chunk_id) key, so
+    re-running the pipeline replays byte-identical shards — unlike
+    :func:`run_and_land`'s bin-keyed layout, whose bin ids follow the
+    packer's partition layout. The composite key is carried as a
+    string join of the two id columns (no bit-packing, so any id width
+    is safe); returns the prepared frame for inspection."""
+    packed = prepare_training_data(docs, **kwargs)
+    keyed = packed.withColumn(
+        "chunk_key", F.concat_ws("#", F.col("doc_id"), F.col("chunk_id"))
+    )
+    from .operators.export import write_training_shards
+
+    write_training_shards(keyed, out_dir, key="chunk_key", n_shards=n_shards, salt=salt)
     return packed

@@ -42,3 +42,59 @@ def test_pipeline_end_to_end(spark, tmp_path):
     assert len(shards) > 0
     back = spark.read.parquet(out)
     assert back.count() == packed.count()
+
+
+def test_pipeline_repetition_filter(spark):
+    # synthetic corpus: both docs clear the quality gate (stopword-rich
+    # / long enough), only the looping one has duplicate 5-grams
+    clean = " ".join(f"the alpha{i} of beta{i}" for i in range(40))
+    looping = "the a of and to in is " * 20
+    docs = spark.createDataFrame(
+        [(1, clean, "en"), (2, looping, "en")],
+        "doc_id long, text string, lang string",
+    )
+    base = pl.prepare_training_data(docs, dedup_threshold=0.95)
+    strict = pl.prepare_training_data(
+        docs, dedup_threshold=0.95, max_dup5_frac=0.05
+    )
+    base_ids = {r["doc_id"] for r in base.select("doc_id").distinct().collect()}
+    strict_ids = {r["doc_id"] for r in strict.select("doc_id").distinct().collect()}
+    assert base_ids == {1, 2}
+    assert strict_ids == {1}
+
+
+def test_pipeline_mixing(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    # mixing: only weighted sources survive; binding stratum kept whole
+    sources = [
+        r["source"] for r in docs.select("source").distinct().collect()
+    ]
+    assert len(sources) >= 2
+    w = {sources[0]: 0.7, sources[1]: 0.3}
+    mixed = pl.prepare_training_data(docs, source_weights=w)
+    kept_sources = {
+        r["source"]
+        for r in mixed.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source")
+        .distinct()
+        .collect()
+    }
+    assert kept_sources <= set(w)
+
+
+def test_land_training_shards_deterministic(spark, tmp_path):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    pl.land_training_shards(spark, docs, out_a, n_shards=4)
+    # second run from a differently-partitioned input: same shards
+    pl.land_training_shards(spark, docs.repartition(7), out_b, n_shards=4)
+    read = lambda p: sorted(
+        (r["shard"], r["_train_ord"], r["doc_id"], r["chunk_id"])
+        for r in spark.read.parquet(p)
+        .select("shard", "_train_ord", "doc_id", "chunk_id")
+        .collect()
+    )
+    a, b = read(out_a), read(out_b)
+    assert a == b
+    assert len(a) > 0
