@@ -49,6 +49,7 @@ def prepare_training_data(
     contamination_threshold: float = 0.5,
     max_dup5_frac: float | None = None,
     source_weights: dict[str, float] | None = None,
+    dedup_policy: str = "one_pass",
 ) -> DataFrame:
     """documents(doc_id, text, ...) -> packed chunks
     (doc_id, chunk_id, n_tokens, chunk, bin_id).
@@ -68,6 +69,14 @@ def prepare_training_data(
     operators/textstats.py repetition_stats) — a per-row codegen
     predicate, so it rides the same pre-shuffle stage as the quality
     filter.
+
+    ``dedup_policy`` selects the duplicate-resolution rule on the same
+    candidate evidence: ``"one_pass"`` (default) drops any doc matching
+    a smaller id (operators/dedup.py near_dup_keep_list, no iteration);
+    ``"cluster_best"`` groups duplicates into connected components and
+    keeps each cluster's highest-quality member
+    (operators/components.py), reusing the quality scores this pipeline
+    already computed.
 
     ``source_weights`` (optional) mixes the DEDUPED corpus to a target
     domain mixture (operators/sampling.py mix_to_proportions). It runs
@@ -111,7 +120,18 @@ def prepare_training_data(
             kept_quality, eval_scrubbed, threshold=contamination_threshold
         )
 
-    keep = near_dup_keep_list(kept_quality, threshold=dedup_threshold)
+    if dedup_policy == "cluster_best":
+        from .operators.components import (
+            cluster_representatives,
+            near_dup_clusters,
+        )
+
+        clusters = near_dup_clusters(kept_quality, threshold=dedup_threshold)
+        keep = cluster_representatives(clusters, quality)
+    elif dedup_policy == "one_pass":
+        keep = near_dup_keep_list(kept_quality, threshold=dedup_threshold)
+    else:
+        raise ValueError(f"unknown dedup_policy: {dedup_policy!r}")
     deduped = kept_quality.join(
         keep.where("keep").select("doc_id"), "doc_id", "left_semi"
     )

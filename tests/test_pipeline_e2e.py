@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import glob
 
+import pytest
 from pyspark.sql import functions as F
 
 from parallel_inverted_index_map_reduce_spark import pipeline as pl
@@ -80,6 +81,23 @@ def test_pipeline_mixing(spark):
         .collect()
     }
     assert kept_sources <= set(w)
+
+
+def test_pipeline_cluster_best_dedup(spark):
+    # three byte-identical docs + one distinct: cluster policy keeps
+    # exactly one of the triplet (equal quality -> smallest id)
+    text = " ".join(f"the word{i} of thing{i}" for i in range(40))
+    other = " ".join(f"a item{i} to stuff{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, text, "en"), (2, text, "en"), (3, text, "en"), (9, other, "en")],
+        "doc_id long, text string, lang string",
+    )
+    packed = pl.prepare_training_data(docs, dedup_policy="cluster_best")
+    kept = {r["doc_id"] for r in packed.select("doc_id").distinct().collect()}
+    assert kept == {1, 9}
+
+    with pytest.raises(ValueError, match="dedup_policy"):
+        pl.prepare_training_data(docs, dedup_policy="nope")
 
 
 def test_land_training_shards_deterministic(spark, tmp_path):
