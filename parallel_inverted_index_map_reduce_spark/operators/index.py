@@ -456,6 +456,84 @@ def boolean_search(docs: DataFrame, t1: str, t2: str) -> DataFrame:
     )
 
 
+def positional_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, npos, word): normalized tokens with POST-FILTER
+    sequential positions — token i and token i+1 were adjacent in the
+    normalized stream, which is the adjacency phrase search needs.
+
+    Built as a narrow array pipeline (normalize + filter inside the
+    token array, then posexplode), so position assignment costs no
+    window re-rank shuffle; the whole thing fuses into the scan stage.
+    """
+    from ..functions.text import normalize_token, tokenize
+    from ..sources.tables import spread
+
+    arr = F.filter(
+        F.transform(tokenize(F.col("text")), normalize_token),
+        lambda w: w != F.lit(""),
+    )
+    return spread(docs).select(
+        "doc_id", F.posexplode(arr).alias("npos", "word")
+    )
+
+
+def positional_postings(docs: DataFrame) -> DataFrame:
+    """(word, doc_id, positions): the positional inverted index — the
+    classic extension the flat index cannot serve (phrase and proximity
+    queries need within-doc positions, cf. the positional-index chapter
+    of any IR text). One shuffle, same key as the flat build; positions
+    arrays are bounded by per-doc term frequency, not corpus size."""
+    return positional_tokens(docs).groupBy("word", "doc_id").agg(
+        F.sort_array(F.collect_list("npos")).alias("positions")
+    )
+
+
+def phrase_search(docs: DataFrame, phrase: str) -> DataFrame:
+    """(doc_id, match_positions): documents containing the exact phrase
+    (normalized-adjacent tokens), with every start position.
+
+    ONE scan + ONE aggregation, like :func:`boolean_search`: the token
+    stream is filtered to the phrase's words (predicate pushes into the
+    scan), each word's position set is gathered per doc in a single
+    groupBy, and adjacency is verified by a per-row array predicate
+    (``exists p in P0: p+i in Pi for all i``) — no n-way self-join, no
+    window. Shuffle volume is bounded by the phrase terms' total term
+    frequency, the positional-postings bound.
+    """
+    import re as _re
+
+    words = [
+        w
+        for w in (
+            _re.sub("[^a-z]", "", t.lower()) for t in _re.split(r"\s+", phrase)
+        )
+        if w
+    ]
+    if not words:
+        raise ValueError(f"phrase normalizes to nothing: {phrase!r}")
+    toks = positional_tokens(docs).where(F.col("word").isin(*set(words)))
+    per_doc = toks.groupBy("doc_id").agg(
+        *[
+            F.sort_array(
+                F.collect_set(F.when(F.col("word") == w, F.col("npos")))
+            ).alias(f"p{i}")
+            for i, w in enumerate(words)
+        ]
+    )
+
+    def adjacent(p: Column) -> Column:
+        cond = F.lit(True)
+        for i in range(1, len(words)):
+            cond = cond & F.array_contains(F.col(f"p{i}"), p + i)
+        return cond
+
+    matches = F.filter(F.col("p0"), adjacent)
+    return (
+        per_doc.select("doc_id", matches.alias("match_positions"))
+        .where(F.size("match_positions") > 0)
+    )
+
+
 def topk_terms_per_letter(index: DataFrame, k: int = 5) -> DataFrame:
     """Top-k terms by document frequency within each letter bucket —
     the windowed-rank view of reference O13 (main.cpp:225-231)."""

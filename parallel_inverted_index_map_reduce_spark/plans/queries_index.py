@@ -42,6 +42,28 @@ idx AS (
 """
 )
 
+# Positional tokenizer CTE: post-filter sequential positions, the
+# adjacency space operators/index.py positional_tokens() produces with
+# its narrow array pipeline (this re-rank formulation proves it).
+NTOKS_CTE = r""",
+ntoks AS (
+    SELECT doc_id, word,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS npos
+    FROM (
+        SELECT doc_id,
+               regexp_replace(lower(tok), '[^a-z]', '', 'g') AS word,
+               pos
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(text, '\s+')) AS tok,
+                   unnest(range(0, len(string_split_regex(text, '\s+')))) AS pos
+            FROM documents
+        )
+        WHERE regexp_replace(lower(tok), '[^a-z]', '', 'g') <> ''
+    )
+)
+"""
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
@@ -121,6 +143,7 @@ def q_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boolean_search",
     oracle="WITH "
     + INDEX_CTE
+    + NTOKS_CTE
     + r""",
 a AS (SELECT postings AS p1 FROM idx WHERE word = 'spark'),
 b AS (SELECT postings AS p2 FROM idx WHERE word = 'query')
@@ -135,15 +158,48 @@ UNION ALL
 SELECT 'not', 'spark', 'query',
        array_to_string(list_sort(list_filter(p1, x -> NOT list_contains(p2, x))), ' ')
 FROM a, b
+UNION ALL
+SELECT 'phrase', 'stream table hash', '', ds FROM (
+    SELECT array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS ds,
+           count(*) AS n
+    FROM (
+        SELECT a.doc_id
+        FROM ntoks a
+        JOIN ntoks b ON b.doc_id = a.doc_id AND b.npos = a.npos + 1
+                    AND b.word = 'table'
+        JOIN ntoks c ON c.doc_id = a.doc_id AND c.npos = a.npos + 2
+                    AND c.word = 'hash'
+        WHERE a.word = 'stream'
+    )
+) WHERE n > 0
 """,
     tags=("index", "search"),
-    doc="Boolean search over posting lists: AND (array_intersect), OR "
-    "(array_union), NOT (array_except) in one labeled result.",
+    doc="Boolean + phrase search over the index in one labeled result: "
+    "AND (array_intersect), OR (array_union), NOT (array_except), and "
+    "exact-phrase match via the positional index "
+    "(operators/index.py phrase_search — one scan + one aggregation, "
+    "adjacency checked by a per-row array predicate; the oracle uses "
+    "the n-way positional self-join formulation, proving equivalence).",
 )
 def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ix.boolean_search(_docs(spark, sf_dir), "spark", "query").select(
+    docs = _docs(spark, sf_dir)
+    bs = ix.boolean_search(docs, "spark", "query").select(
         "op", "term1", "term2", F.array_join("doc_ids", " ").alias("doc_ids")
     )
+    phrase = "stream table hash"
+    ph = (
+        ix.phrase_search(docs, phrase)
+        .groupBy()
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") > 0)
+        .select(
+            F.lit("phrase").alias("op"),
+            F.lit(phrase).alias("term1"),
+            F.lit("").alias("term2"),
+            F.array_join("ids", " ").alias("doc_ids"),
+        )
+    )
+    return bs.unionByName(ph)
 
 
 @register(
