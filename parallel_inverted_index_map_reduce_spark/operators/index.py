@@ -534,6 +534,127 @@ def phrase_search(docs: DataFrame, phrase: str) -> DataFrame:
     )
 
 
+def proximity_search(
+    docs: DataFrame, t1: str, t2: str, max_dist: int = 3
+) -> DataFrame:
+    """(doc_id, min_dist): documents where ``t1`` and ``t2`` occur within
+    ``max_dist`` normalized-token positions (unordered), with the actual
+    minimum distance — the NEAR/k operator of classic IR query
+    languages.
+
+    Same shape as :func:`phrase_search`: filter the positional token
+    stream to the two terms (pushes into the scan), gather each term's
+    position set per doc in one aggregation, then a nested per-row array
+    fold computes the min pairwise distance. The fold is O(tf1 * tf2)
+    per doc — bounded by term frequency, the positional-postings bound —
+    and never shuffles.
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    toks = positional_tokens(docs).where(F.col("word").isin(t1, t2))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.collect_set(F.when(F.col("word") == t1, F.col("npos"))).alias("p1"),
+        F.collect_set(F.when(F.col("word") == t2, F.col("npos"))).alias("p2"),
+    )
+    pairwise_min = F.aggregate(
+        F.col("p1"),
+        F.lit(None).cast("long"),
+        lambda acc, a: F.least(
+            F.coalesce(acc, F.lit(2**62)),
+            F.aggregate(
+                F.col("p2"),
+                F.lit(2**62),
+                lambda m, b: F.least(m, F.abs(a - b)),
+            ),
+        ),
+    )
+    return (
+        per_doc.where((F.size("p1") > 0) & (F.size("p2") > 0))
+        .select("doc_id", pairwise_min.alias("min_dist"))
+        .where(F.col("min_dist") <= max_dist)
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """(doc_id, score, rank): top-k documents for a free-text query under
+    BM25 (Robertson/Sparck Jones; the Okapi formulation with the
+    non-negative idf variant ln(1 + (N - df + 0.5)/(df + 0.5))) — the
+    ranked-retrieval closure of the index surface (build -> lookup ->
+    boolean -> phrase -> ranked).
+
+    Scale shape: term frequencies for the query's words only (predicate
+    pushes into the token stream), document lengths from one
+    corpus-wide aggregation, per-term idf broadcast (query cardinality
+    rows), one groupBy(doc_id) score sum, then a global top-k — Spark
+    plans order-by-limit as TakeOrdered (per-partition heaps + driver
+    merge of k rows), never a full sort. N and avgdl are driver scalars
+    (two counts), the documented driver-scalar pattern.
+
+    Rank is dense over (score desc, doc_id asc) so the output is total
+    and deterministic even on score ties.
+    """
+    import re as _re
+
+    words = sorted(
+        {
+            w
+            for w in (
+                _re.sub("[^a-z]", "", t.lower())
+                for t in _re.split(r"\s+", query)
+            )
+            if w
+        }
+    )
+    if not words:
+        raise ValueError(f"query normalizes to nothing: {query!r}")
+
+    toks = tokens_df(docs)
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs = docs.count()
+    avgdl = doclen.agg(F.avg("dl")).first()[0] or 1.0
+
+    tf = (
+        toks.where(F.col("word").isin(*words))
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df_")
+    ).select(
+        "word",
+        F.log(
+            1.0
+            + (F.lit(float(n_docs)) - F.col("df_") + 0.5) / (F.col("df_") + 0.5)
+        ).alias("idf"),
+    )
+
+    term_score = F.col("idf") * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / float(avgdl)))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "word")
+        .join(doclen, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    from ..plans.exprs import stable_round6 as _stable6
+
+    top = (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+        .select("doc_id", _stable6(F.col("score")).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").cast("double").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def topk_terms_per_letter(index: DataFrame, k: int = 5) -> DataFrame:
     """Top-k terms by document frequency within each letter bucket —
     the windowed-rank view of reference O13 (main.cpp:225-231)."""
