@@ -591,10 +591,15 @@ def bm25_search(
     Scale shape: term frequencies for the query's words only (predicate
     pushes into the token stream), document lengths from one
     corpus-wide aggregation, per-term idf broadcast (query cardinality
-    rows), one groupBy(doc_id) score sum, then a global top-k — Spark
-    plans order-by-limit as TakeOrdered (per-partition heaps + driver
-    merge of k rows), never a full sort. N and avgdl are driver scalars
-    (two counts), the documented driver-scalar pattern.
+    rows), one groupBy(doc_id) score sum, then a global top-k. Because
+    the deterministic ``rank`` window sits above the limit, Spark plans
+    the top-k as per-partition sort + LocalLimit(k) feeding a
+    single-partition merge (not TakeOrderedAndProject, which only
+    applies at the plan root) — the scale-critical property holds
+    either way: each partition truncates to k rows BEFORE the exchange,
+    so the merge moves at most k * partitions rows, and the rank window
+    itself runs over k rows. N and avgdl are driver scalars (two
+    counts), the documented driver-scalar pattern.
 
     Rank is dense over (score desc, doc_id asc) so the output is total
     and deterministic even on score ties.

@@ -168,6 +168,25 @@ def test_keep_list_pipeline_no_quadratic_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bm25_takeordered_and_broadcast_idf(spark):
+    """BM25's top-k must truncate per partition BEFORE the merge
+    exchange (LocalLimit(k) under the single-partition shuffle, so the
+    merge moves <= k * partitions rows — the rank window above the
+    limit rules out the root-only TakeOrderedAndProject form), and the
+    per-term idf side must broadcast (query-cardinality rows)."""
+    from parallel_inverted_index_map_reduce_spark.operators.index import (
+        bm25_search,
+    )
+    from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+    plan = _plan(bm25_search(load_table(spark, SF_ORACLE, "documents"), "spark query"))
+    assert "LocalLimit" in plan, plan
+    # the local truncation must sit below the global merge in the tree
+    assert plan.index("GlobalLimit") < plan.index("LocalLimit"), plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_quantized_topk_broadcasts_queries(spark):
     """Quantized shortlist search keeps the ann_topk_fast shape: the
     bounded query side broadcast, corpus scanned once, no explode."""
