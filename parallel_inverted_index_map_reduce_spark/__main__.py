@@ -1,4 +1,4 @@
-"""CLI mirroring the reference binary's interface.
+"""CLI mirroring the reference binary's interface, plus a query mode.
 
 Reference: ``./tema1 <mappers> <reducers> <manifest>`` writes
 ``a.txt .. z.txt`` into the working directory
@@ -11,6 +11,14 @@ Reference: ``./tema1 <mappers> <reducers> <manifest>`` writes
 schedules tasks itself, so they only size local parallelism and shuffle
 partitions (the reference's thread counts are physical-execution knobs
 its checker varies — SURVEY.md §4.2 maps them to Spark's scheduler).
+
+The reference only ever BUILDS the index; the ``search`` mode closes
+the loop it implies (term lookup, boolean ops, exact phrase, BM25
+ranking — operators/index.py), straight from a manifest corpus:
+
+    python -m parallel_inverted_index_map_reduce_spark search m.txt \
+        --term spark --and spark query --phrase "stream table hash" \
+        --bm25 "spark query" --k 5
 """
 
 from __future__ import annotations
@@ -19,17 +27,7 @@ import argparse
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
-    parser = argparse.ArgumentParser(
-        prog="parallel_inverted_index_map_reduce_spark",
-        description="Build the per-letter inverted index for a manifest corpus.",
-    )
-    parser.add_argument("manifest", help="manifest file: count then one path per line")
-    parser.add_argument("--mappers", type=int, default=4, help="parallelism hint")
-    parser.add_argument("--reducers", type=int, default=4, help="parallelism hint")
-    parser.add_argument("--out", default=".", help="output directory for a.txt..z.txt")
-    args = parser.parse_args(argv)
-
+def _build(args) -> int:
     from .operators.index import build_index
     from .session import get_spark
     from .sinks.text_index import write_index_text
@@ -50,6 +48,90 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     finally:
         spark.stop()
+
+
+def _search(args) -> int:
+    from .operators import index as ix
+    from .session import get_spark
+    from .sources.corpus import read_manifest_corpus
+
+    spark = get_spark(app_name="search-index", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        docs = read_manifest_corpus(spark, args.manifest)
+        ran = False
+        if args.term:
+            ran = True
+            idx = ix.build_index(docs)
+            for r in ix.term_lookup(idx, args.term).orderBy("word").collect():
+                print(f"term {r['word']}: [{' '.join(map(str, r['postings']))}]")
+        if args.boolean:
+            ran = True
+            t1, t2 = args.boolean
+            for r in ix.boolean_search(docs, t1, t2).orderBy("op").collect():
+                print(
+                    f"{r['op']} {t1} {t2}: [{' '.join(map(str, r['doc_ids']))}]"
+                )
+        if args.phrase:
+            ran = True
+            rows = (
+                ix.phrase_search(docs, args.phrase)
+                .orderBy("doc_id")
+                .collect()
+            )
+            for r in rows:
+                pos = " ".join(map(str, r["match_positions"]))
+                print(f"phrase {args.phrase!r} doc {r['doc_id']} at [{pos}]")
+            if not rows:
+                print(f"phrase {args.phrase!r}: no matches")
+        if args.bm25:
+            ran = True
+            for r in ix.bm25_search(docs, args.bm25, k=args.k).orderBy(
+                "rank"
+            ).collect():
+                print(
+                    f"bm25 {args.bm25!r} #{r['rank']}: "
+                    f"doc {r['doc_id']} score {r['score']}"
+                )
+        if not ran:
+            print(
+                "nothing to do: pass --term/--and/--phrase/--bm25",
+                file=sys.stderr,
+            )
+            return 2
+        return 0
+    finally:
+        spark.stop()
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    if argv and argv[0] == "search":
+        parser = argparse.ArgumentParser(
+            prog="parallel_inverted_index_map_reduce_spark search",
+            description="Query a manifest corpus's inverted index.",
+        )
+        parser.add_argument("manifest", help="manifest file: count then one path per line")
+        parser.add_argument("--term", nargs="+", help="posting-list lookups")
+        parser.add_argument(
+            "--and", dest="boolean", nargs=2, metavar=("T1", "T2"),
+            help="boolean AND/OR/NOT report for two terms",
+        )
+        parser.add_argument("--phrase", help="exact-phrase search")
+        parser.add_argument("--bm25", help="BM25 ranked free-text query")
+        parser.add_argument("--k", type=int, default=10, help="BM25 top-k")
+        return _search(parser.parse_args(argv[1:]))
+
+    parser = argparse.ArgumentParser(
+        prog="parallel_inverted_index_map_reduce_spark",
+        description="Build the per-letter inverted index for a manifest corpus.",
+    )
+    parser.add_argument("manifest", help="manifest file: count then one path per line")
+    parser.add_argument("--mappers", type=int, default=4, help="parallelism hint")
+    parser.add_argument("--reducers", type=int, default=4, help="parallelism hint")
+    parser.add_argument("--out", default=".", help="output directory for a.txt..z.txt")
+    return _build(parser.parse_args(argv))
 
 
 if __name__ == "__main__":

@@ -48,6 +48,70 @@ def test_cli_builds_reference_output(tmp_path):
         assert ours == golden, letter
 
 
+def test_cli_search_mode(tmp_path):
+    texts = {
+        "d1.txt": "spark makes indexes",
+        "d2.txt": "spark query engines rock",
+        "d3.txt": "a query about spark query",
+    }
+    for name, text in texts.items():
+        (tmp_path / name).write_text(text + "\n")
+    manifest = tmp_path / "m.txt"
+    manifest.write_text(
+        f"{len(texts)}\n" + "".join(f"{tmp_path}/{n}\n" for n in sorted(texts))
+    )
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "parallel_inverted_index_map_reduce_spark",
+            "search",
+            str(manifest),
+            "--term", "spark", "query",
+            "--and", "spark", "query",
+            "--phrase", "spark query",
+            "--bm25", "spark query",
+            "--k", "3",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = res.stdout
+    assert "term query: [2 3]" in out
+    assert "term spark: [1 2 3]" in out
+    assert "and spark query: [2 3]" in out
+    assert "or spark query: [1 2 3]" in out
+    assert "not spark query: [1]" in out
+    assert "phrase 'spark query' doc 2 at [0]" in out
+    assert "phrase 'spark query' doc 3 at [3]" in out
+    # doc 3 carries query twice -> top BM25 rank despite greater length
+    assert "bm25 'spark query' #1: doc 3" in out
+
+
+def test_cli_search_mode_requires_an_op(tmp_path):
+    manifest = tmp_path / "m.txt"
+    (tmp_path / "d.txt").write_text("hello\n")
+    manifest.write_text(f"1\n{tmp_path}/d.txt\n")
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "parallel_inverted_index_map_reduce_spark",
+            "search",
+            str(manifest),
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert res.returncode == 2
+    assert "nothing to do" in res.stderr
+
+
 @pytest.mark.parametrize("table", ["orders", "events", "nation"])
 def test_csv_roundtrip(spark, tmp_path, table):
     df = load_table(spark, SF_ORACLE, table)
