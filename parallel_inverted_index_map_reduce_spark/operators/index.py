@@ -404,7 +404,9 @@ def boolean_not(index: DataFrame, t1: str, t2: str) -> DataFrame:
     )
 
 
-def boolean_search(docs: DataFrame, t1: str, t2: str) -> DataFrame:
+def boolean_search(
+    docs: DataFrame, t1: str, t2: str, with_lookup: bool = False
+) -> DataFrame:
     """AND/OR/NOT posting-list search in ONE scan + ONE aggregation.
 
     The composed form of :func:`boolean_and`/``_or``/``_not``: instead
@@ -418,6 +420,14 @@ def boolean_search(docs: DataFrame, t1: str, t2: str) -> DataFrame:
     the cross-join-of-empty semantics of the per-op form. Shuffle
     volume: one partial row per scan partition, bounded by the terms'
     document frequency (the reference's own posting-list bound).
+
+    ``with_lookup=True`` additionally emits one ``op='lookup'`` row per
+    PRESENT term (term2 carrying the term's document frequency as a
+    string, doc_ids its full posting list) — projected from the same
+    single aggregate row, so the point-lookup surface costs zero extra
+    scans. Lookup rows follow per-term presence semantics (a present
+    term is reported even when the other is absent), unlike the
+    boolean rows which need both.
     """
     t = tokens_df(docs).where(F.col("word").isin(t1, t2))
     two = t.groupBy().agg(
@@ -430,27 +440,48 @@ def boolean_search(docs: DataFrame, t1: str, t2: str) -> DataFrame:
         F.max(F.col("word") == t1).alias("has1"),
         F.max(F.col("word") == t2).alias("has2"),
     )
-    ops = F.array(
+    both = F.col("has1") & F.col("has2")
+    entries = [
         F.struct(
             F.lit("and").alias("op"),
+            F.lit(t1).alias("term1"),
+            F.lit(t2).alias("term2"),
             F.sort_array(F.array_intersect("p1", "p2")).alias("doc_ids"),
+            both.alias("emit"),
         ),
         F.struct(
             F.lit("or").alias("op"),
+            F.lit(t1).alias("term1"),
+            F.lit(t2).alias("term2"),
             F.sort_array(F.array_union("p1", "p2")).alias("doc_ids"),
+            both.alias("emit"),
         ),
         F.struct(
             F.lit("not").alias("op"),
-            F.sort_array(F.array_except("p1", "p2")).alias("doc_ids"),
-        ),
-    )
-    return (
-        two.where(F.col("has1") & F.col("has2"))
-        .select(F.explode(ops).alias("kv"))
-        .select(
-            F.col("kv.op").alias("op"),
             F.lit(t1).alias("term1"),
             F.lit(t2).alias("term2"),
+            F.sort_array(F.array_except("p1", "p2")).alias("doc_ids"),
+            both.alias("emit"),
+        ),
+    ]
+    if with_lookup:
+        entries = [
+            F.struct(
+                F.lit("lookup").alias("op"),
+                F.lit(term).alias("term1"),
+                F.size(plist).cast("string").alias("term2"),
+                F.col(plist).alias("doc_ids"),
+                F.col(has).alias("emit"),
+            )
+            for term, plist, has in ((t1, "p1", "has1"), (t2, "p2", "has2"))
+        ] + entries
+    return (
+        two.select(F.explode(F.array(*entries)).alias("kv"))
+        .where(F.col("kv.emit"))
+        .select(
+            F.col("kv.op").alias("op"),
+            F.col("kv.term1").alias("term1"),
+            F.col("kv.term2").alias("term2"),
             F.col("kv.doc_ids").alias("doc_ids"),
         )
     )
@@ -591,18 +622,18 @@ def bm25_search(
     Scale shape: term frequencies for the query's words only (predicate
     pushes into the token stream), document lengths from one
     corpus-wide aggregation, per-term idf broadcast (query cardinality
-    rows), one groupBy(doc_id) score sum, then a global top-k. Because
-    the deterministic ``rank`` window sits above the limit, Spark plans
-    the top-k as per-partition sort + LocalLimit(k) feeding a
-    single-partition merge (not TakeOrderedAndProject, which only
-    applies at the plan root) — the scale-critical property holds
-    either way: each partition truncates to k rows BEFORE the exchange,
-    so the merge moves at most k * partitions rows, and the rank window
-    itself runs over k rows. N and avgdl are driver scalars (two
-    counts), the documented driver-scalar pattern.
+    rows), one groupBy(doc_id) score sum, then a global top-k that
+    Spark plans as TakeOrderedAndProject — each partition keeps a k-row
+    heap, the merge moves at most k rows per partition, and the rank
+    window runs over the k survivors only. N and avgdl are driver
+    scalars (two counts), the documented driver-scalar pattern.
 
-    Rank is dense over (score desc, doc_id asc) so the output is total
-    and deterministic even on score ties.
+    Scoring is order-independent and cross-engine exact: the one
+    libm-defined sub-expression (ln) is rounded to 9 decimals, every
+    other step is IEEE-exact, and the per-doc sum accumulates rounded
+    per-term scores in decimal — so the score, the top-k cut, and the
+    (score desc, doc_id asc) rank are deterministic under any
+    partitioning and reproducible against a SQL oracle.
     """
     import re as _re
 
@@ -629,13 +660,24 @@ def bm25_search(
         .groupBy("word", "doc_id")
         .agg(F.count("*").alias("tf"))
     )
+    # idf is the one sub-expression whose value is libm-defined (ln);
+    # round it to 9 decimals so every engine computing the same formula
+    # lands on the same number. Everything downstream is IEEE-exact
+    # (mul/div/add) until the per-term round(…, 9), and the per-doc sum
+    # accumulates in decimal — order-independent, so the score (and the
+    # top-k cut it drives) is deterministic under any partitioning and
+    # reproducible cross-engine.
     idf = tf.groupBy("word").agg(
         F.countDistinct("doc_id").alias("df_")
     ).select(
         "word",
-        F.log(
-            1.0
-            + (F.lit(float(n_docs)) - F.col("df_") + 0.5) / (F.col("df_") + 0.5)
+        F.round(
+            F.log(
+                1.0
+                + (F.lit(float(n_docs)) - F.col("df_") + 0.5)
+                / (F.col("df_") + 0.5)
+            ),
+            9,
         ).alias("idf"),
     )
 
@@ -647,17 +689,27 @@ def bm25_search(
         tf.join(F.broadcast(idf), "word")
         .join(doclen, "doc_id")
         .groupBy("doc_id")
-        .agg(F.sum(term_score).alias("score"))
+        .agg(
+            F.sum(F.round(term_score, 9).cast("decimal(28,12)")).alias(
+                "score_dec"
+            )
+        )
     )
     from ..plans.exprs import stable_round6 as _stable6
 
     top = (
-        scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+        scored.orderBy(F.col("score_dec").desc(), F.col("doc_id"))
         .limit(k)
-        .select("doc_id", _stable6(F.col("score")).alias("score"))
+        .select(
+            "doc_id",
+            F.col("score_dec"),
+            _stable6(F.col("score_dec")).alias("score"),
+        )
     )
-    w = Window.orderBy(F.col("score").cast("double").desc(), F.col("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+    w = Window.orderBy(F.col("score_dec").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "score", "rank"
+    )
 
 
 def topk_terms_per_letter(index: DataFrame, k: int = 5) -> DataFrame:

@@ -630,3 +630,52 @@ def lsh_bucketed_neighbors(
         .where(F.col("rank") <= k)
         .select("vec_a", "vec_b", "cosine", "rank", "bucket")
     )
+
+
+def knn_classify(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 5,
+    label_col: str = "label",
+) -> DataFrame:
+    """(vec_a, predicted_label, votes): k-NN majority-vote label
+    prediction for the first ``n_queries`` vectors — the application
+    closure of the similarity surface (nearest neighbors exist to serve
+    downstream labeling/retrieval, so the engine should demonstrate the
+    full loop, not just the neighbor lists).
+
+    Neighbors come from the exact decimal-cosine path
+    (:func:`ann_topk`, so the vote set is deterministic cross-engine);
+    labels join in from the corpus side; the winner is one ``max_by``
+    aggregation over a (votes, -label) struct — votes desc with
+    smallest-label tie-break, total and deterministic. The label join
+    is broadcast (labels are one scalar per corpus row); at scale the
+    neighbor stage dominates and this adds one map-side join plus a
+    groupBy on n_queries keys.
+    """
+    nn = ann_topk(emb, k=k, n_queries=n_queries)
+    labels = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col(label_col).cast("long").alias("nbr_label"),
+    )
+    votes = (
+        nn.join(F.broadcast(labels), "vec_b")
+        .groupBy("vec_a", "nbr_label")
+        .agg(F.count("*").alias("votes"))
+    )
+    rank = F.struct(
+        F.col("votes").alias("v"), (-F.col("nbr_label")).alias("neg_label")
+    )
+    best = votes.groupBy("vec_a").agg(
+        F.max_by(
+            F.struct(
+                F.col("nbr_label").alias("lbl"), F.col("votes").alias("v")
+            ),
+            rank,
+        ).alias("w")
+    )
+    return best.select(
+        "vec_a",
+        F.col("w.lbl").alias("predicted_label"),
+        F.col("w.v").alias("votes"),
+    )

@@ -149,6 +149,91 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    oracle="WITH RECURSIVE "
+    + MINHASH_CTE
+    + """,
+canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+exact_groups AS (
+    SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY md5(text)
+),
+exact_edges AS (
+    SELECT g.keep AS a, d.doc_id AS b
+    FROM documents d JOIN exact_groups g ON md5(d.text) = g.h
+    WHERE d.doc_id <> g.keep
+),
+ccand AS (
+    SELECT c.doc_a, c.doc_b FROM cand c
+    JOIN canon ka ON ka.doc_id = c.doc_a
+    JOIN canon kb ON kb.doc_id = c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM ccand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle_hash = sa.shingle_hash
+    GROUP BY c.doc_a, c.doc_b
+),
+near_edges AS (
+    SELECT c.doc_a AS a, c.doc_b AS b
+    FROM ccand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    WHERE CAST(CAST(round(CAST(COALESCE(i.n_common, 0) * 1.0
+              / (za.n_sh + zb.n_sh - COALESCE(i.n_common, 0)) AS DECIMAL(28,12)), 6)
+              AS DECIMAL(18,6)) AS DOUBLE) >= 0.8
+),
+edges0 AS (
+    SELECT a, b FROM exact_edges UNION SELECT a, b FROM near_edges
+),
+edges AS (SELECT a, b FROM edges0 UNION SELECT b AS a, a AS b FROM edges0),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+),
+comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+clusters AS (
+    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+best AS (
+    SELECT cluster_id, doc_id AS keep_doc_id FROM (
+        SELECT cl.cluster_id, cl.doc_id,
+               row_number() OVER (PARTITION BY cl.cluster_id
+                                  ORDER BY d.n_chars DESC, cl.doc_id ASC) AS r
+        FROM clusters cl JOIN documents d ON d.doc_id = cl.doc_id
+    ) WHERE r = 1
+)
+SELECT cl.doc_id, cl.cluster_id,
+       (cl.doc_id = b.keep_doc_id) AS keep
+FROM clusters cl JOIN best b ON b.cluster_id = cl.cluster_id
+""",
+    tags=("dedup", "graph"),
+    doc="Cluster-level dedup policy: equivalence classes under "
+    "'byte-identical OR verified Jaccard >= 0.8' via DataFrame-native "
+    "connected components (operators/components.py — hash-min label "
+    "propagation with pointer jumping, O(log L) shuffle rounds, "
+    "lineage truncated per round), then keep-the-longest-member per "
+    "cluster as one max_by aggregation (cluster_representatives). The "
+    "oracle recomputes the same graph and resolves components with a "
+    "recursive-CTE reachability closure — an independent formulation "
+    "proving the iterative propagation exact. Singletons keep "
+    "themselves; ties break to the smallest doc_id.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import cluster_representatives, near_dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    clusters = near_dup_clusters(docs, threshold=0.8)
+    scores = docs.select("doc_id", "n_chars")
+    return cluster_representatives(clusters, scores, score_col="n_chars")
+
+
+@register(
     "simhash_fingerprints",
     oracle="WITH "
     + TOKS_POS_CTE

@@ -9,7 +9,7 @@ split on \\s+, lower, strip [^a-z], drop empties
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import index as ix
@@ -122,24 +122,6 @@ def q_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "term_lookup",
-    oracle="WITH "
-    + INDEX_CTE
-    + r"""
-SELECT word, df, array_to_string(postings, ' ') AS postings
-FROM idx WHERE word IN ('spark', 'query')
-""",
-    tags=("index", "search"),
-    doc="Point lookup on the index (filter pushes to the stored-index scan).",
-)
-def q_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    idx = ix.build_index(_docs(spark, sf_dir))
-    return ix.term_lookup(idx, ["spark", "query"]).select(
-        "word", "df", F.array_join("postings", " ").alias("postings")
-    )
-
-
-@register(
     "boolean_search",
     oracle="WITH "
     + INDEX_CTE
@@ -147,6 +129,10 @@ def q_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     + r""",
 a AS (SELECT postings AS p1 FROM idx WHERE word = 'spark'),
 b AS (SELECT postings AS p2 FROM idx WHERE word = 'query')
+SELECT 'lookup' AS op, word AS term1, CAST(df AS VARCHAR) AS term2,
+       array_to_string(postings, ' ') AS doc_ids
+FROM idx WHERE word IN ('spark', 'query')
+UNION ALL
 SELECT 'and' AS op, 'spark' AS term1, 'query' AS term2,
        array_to_string(list_sort(list_intersect(p1, p2)), ' ') AS doc_ids
 FROM a, b
@@ -174,7 +160,12 @@ SELECT 'phrase', 'stream table hash', '', ds FROM (
 ) WHERE n > 0
 """,
     tags=("index", "search"),
-    doc="Boolean + phrase search over the index in one labeled result: "
+    doc="Point lookup + boolean + phrase search over the index in one "
+    "labeled result: 'lookup' rows are the per-term point lookup "
+    "(term2 carries df, doc_ids the posting list — projected from the "
+    "SAME single filtered aggregate as the boolean ops, zero extra "
+    "scans; against a stored index the word predicate instead pushes "
+    "into the bucket-pruned scan, see lookup_stored_terms), then "
     "AND (array_intersect), OR (array_union), NOT (array_except), and "
     "exact-phrase match via the positional index "
     "(operators/index.py phrase_search — one scan + one aggregation, "
@@ -183,7 +174,7 @@ SELECT 'phrase', 'stream table hash', '', ds FROM (
 )
 def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    bs = ix.boolean_search(docs, "spark", "query").select(
+    bs = ix.boolean_search(docs, "spark", "query", with_lookup=True).select(
         "op", "term1", "term2", F.array_join("doc_ids", " ").alias("doc_ids")
     )
     phrase = "stream table hash"
@@ -200,6 +191,91 @@ def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bs.unionByName(ph)
+
+
+@register(
+    "ranked_retrieval",
+    oracle="WITH "
+    + TOKS_CTE
+    + NTOKS_CTE
+    + r""",
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+qtf AS (
+    SELECT word, doc_id, count(*) AS tf FROM toks
+    WHERE word IN ('hash', 'query', 'spark') GROUP BY word, doc_id
+),
+qidf AS (
+    SELECT word,
+           round(ln(1.0 + ((CAST((SELECT n_docs FROM stats) AS DOUBLE)
+                            - count(DISTINCT doc_id)) + 0.5)
+                          / (count(DISTINCT doc_id) + 0.5)), 9) AS idf
+    FROM qtf GROUP BY word
+),
+bscore AS (
+    SELECT t.doc_id,
+           SUM(CAST(round(i.idf * (t.tf * (1.2 + 1.0))
+                          / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
+                                           / (SELECT avgdl FROM ad))), 9)
+               AS DECIMAL(28,12))) AS score_dec
+    FROM qtf t JOIN qidf i USING (word) JOIN dl d USING (doc_id)
+    GROUP BY t.doc_id
+),
+btop AS (
+    SELECT doc_id, score_dec,
+           row_number() OVER (ORDER BY score_dec DESC, doc_id) AS rk
+    FROM bscore
+),
+near AS (
+    SELECT a.doc_id, min(abs(a.npos - b.npos)) AS md
+    FROM ntoks a
+    JOIN ntoks b ON b.doc_id = a.doc_id AND b.word = 'query'
+    WHERE a.word = 'spark'
+    GROUP BY a.doc_id
+)
+SELECT 'bm25' AS op, 'spark query hash' AS query, doc_id,
+       CAST(CAST(round(CAST(score_dec AS DECIMAL(28,12)), 6)
+            AS DECIMAL(18,6)) AS VARCHAR) AS score,
+       rk AS "rank"
+FROM btop WHERE rk <= 10
+UNION ALL
+SELECT 'near3', 'spark query', doc_id, CAST(md AS VARCHAR),
+       row_number() OVER (ORDER BY doc_id)
+FROM near WHERE md <= 3
+""",
+    tags=("index", "search", "ranked"),
+    doc="Ranked retrieval over the corpus in one labeled result: 'bm25' "
+    "rows are Okapi BM25 top-10 for a free-text query (operators/"
+    "index.py bm25_search — per-term idf broadcast, one groupBy(doc_id) "
+    "decimal score sum so the total is order-independent, per-partition "
+    "truncation before the top-k merge), 'near3' rows are NEAR/3 "
+    "proximity matches (proximity_search — positional postings + "
+    "zero-shuffle per-doc min-distance array fold; the oracle's "
+    "positional self-join min() proves the fold). score is the "
+    "6-decimal BM25 score or the min token distance; rank is the BM25 "
+    "rank or a doc_id-ordered row number.",
+)
+def q_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    q = "spark query hash"
+    bm = ix.bm25_search(docs, q, k=10).select(
+        F.lit("bm25").alias("op"),
+        F.lit(q).alias("query"),
+        "doc_id",
+        F.col("score"),
+        "rank",
+    )
+    nr = ix.proximity_search(docs, "spark", "query", max_dist=3)
+    w = Window.orderBy("doc_id")
+    nr = nr.select(
+        F.lit("near3").alias("op"),
+        F.lit("spark query").alias("query"),
+        "doc_id",
+        F.col("min_dist").cast("string").alias("score"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    return bm.unionByName(nr)
 
 
 @register(

@@ -467,64 +467,59 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_intersect_except",
     oracle="""
-SELECT 'intersect' AS op, custkey FROM (
+SELECT 'intersect' AS op, custkey AS key, '' AS val FROM (
     SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     INTERSECT
     SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
 )
 UNION ALL
-SELECT 'except', custkey FROM (
+SELECT 'except', custkey, '' FROM (
     SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     EXCEPT
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 )
+UNION ALL
+SELECT 'union_customer', c_custkey, CAST(c_acctbal AS VARCHAR) FROM customer
+UNION ALL
+SELECT 'union_supplier', s_suppkey, CAST(s_acctbal AS VARCHAR) FROM supplier
 """,
     tags=("relational", "setop"),
-    doc="Distinct set operators in one labeled result: INTERSECT "
-    "(customers with both urgent and low-priority orders) and EXCEPT "
-    "(urgent-order customers minus finished-order customers). UNION ALL "
-    "is covered by union_account_holders.",
+    doc="ALL the set operators in one labeled result: INTERSECT "
+    "(customers with both urgent and low-priority orders), EXCEPT "
+    "(urgent-order customers minus finished-order customers), and "
+    "UNION ALL of two heterogeneous sources (customer + supplier "
+    "account holders) unified into one schema — val carries the "
+    "account balance for the union rows.",
 )
 def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_custkey").alias("custkey")
+        F.col("o_custkey").alias("key")
     )
     low = o.where(F.col("o_orderpriority") == "5-LOW").select(
-        F.col("o_custkey").alias("custkey")
+        F.col("o_custkey").alias("key")
     )
     finished = o.where(F.col("o_orderstatus") == "F").select(
-        F.col("o_custkey").alias("custkey")
+        F.col("o_custkey").alias("key")
     )
+    blank = F.lit("").alias("val")
     inter = urgent.intersect(low).select(
-        F.lit("intersect").alias("op"), "custkey"
+        F.lit("intersect").alias("op"), "key", blank
     )
-    exc = urgent.subtract(finished).select(F.lit("except").alias("op"), "custkey")
-    return inter.unionByName(exc)
-
-
-@register(
-    "union_account_holders",
-    oracle="""
-SELECT c_custkey AS acct_id, c_acctbal AS balance, 'customer' AS kind FROM customer
-UNION ALL
-SELECT s_suppkey AS acct_id, s_acctbal AS balance, 'supplier' AS kind FROM supplier
-""",
-    tags=("relational", "setop"),
-    doc="UNION ALL of two heterogeneous sources into one schema.",
-)
-def q_union_account_holders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exc = urgent.subtract(finished).select(
+        F.lit("except").alias("op"), "key", blank
+    )
     c = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("acct_id"),
-        F.col("c_acctbal").alias("balance"),
-        F.lit("customer").alias("kind"),
+        F.lit("union_customer").alias("op"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").cast("string").alias("val"),
     )
     s = _t(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("acct_id"),
-        F.col("s_acctbal").alias("balance"),
-        F.lit("supplier").alias("kind"),
+        F.lit("union_supplier").alias("op"),
+        F.col("s_suppkey").alias("key"),
+        F.col("s_acctbal").cast("string").alias("val"),
     )
-    return c.unionByName(s)
+    return inter.unionByName(exc).unionByName(c).unionByName(s)
 
 
 # --- scalar function families ---------------------------------------------

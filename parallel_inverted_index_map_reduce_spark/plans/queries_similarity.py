@@ -165,9 +165,24 @@ UNION ALL
 SELECT 'int8' AS op, vec_a, vec_b, CAST(NULL AS DOUBLE) AS score,
        rk AS "rank"
 FROM q_ranked WHERE rk <= 3
+UNION ALL
+SELECT 'knn' AS op, vec_a, lbl AS vec_b, CAST(NULL AS DOUBLE) AS score,
+       v AS "rank"
+FROM (
+    SELECT vec_a, lbl, v,
+           row_number() OVER (PARTITION BY vec_a
+                              ORDER BY v DESC, lbl ASC) AS r
+    FROM (
+        SELECT e.vec_a, CAST(l.label AS BIGINT) AS lbl, count(*) AS v
+        FROM exact_ranked e
+        JOIN embeddings l ON l.vec_id = e.vec_b
+        WHERE e.rk <= 5
+        GROUP BY 1, 2
+    )
+) WHERE r = 1
 """,
     tags=("similarity",),
-    doc="Three ANN top-k formulations in ONE labeled result (op column, "
+    doc="Four ANN formulations in ONE labeled result (op column, "
     "same pattern as boolean_search): 'exact' is the brute-force decimal "
     "cosine; 'ivf_full_probe' runs the full IVF coarse-quantizer path — "
     "deterministic RNG-free k-means fit, shuffle-free assignment, "
@@ -179,7 +194,10 @@ FROM q_ranked WHERE rk <= 3
     "— ranks order by raw IEEE doubles on both engines (score column "
     "NULL: a 6-decimal display rounding is the one step where Spark and "
     "DuckDB round differently at a boundary, so it stays out of the "
-    "hash).",
+    "hash); 'knn' closes the application loop — k=5 majority-vote label "
+    "prediction over the exact neighbors (operators/similarity.py "
+    "knn_classify), vec_b carrying the predicted label and rank the "
+    "winning vote count, tie-broken (votes desc, label asc).",
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -207,7 +225,14 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("score"),
         F.col("rk").alias("rank"),
     )
-    return exact.unionByName(ivf).unionByName(q8)
+    knn = sim.knn_classify(emb, k=5, n_queries=5).select(
+        F.lit("knn").alias("op"),
+        "vec_a",
+        F.col("predicted_label").alias("vec_b"),
+        F.lit(None).cast("double").alias("score"),
+        F.col("votes").alias("rank"),
+    )
+    return exact.unionByName(ivf).unionByName(q8).unionByName(knn)
 
 
 @register(

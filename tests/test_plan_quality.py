@@ -111,8 +111,17 @@ def test_ann_fast_no_component_explode(spark):
 
 
 def test_term_lookup_filter_pushed(spark):
-    plan = _spec_plan(spark, "term_lookup")
-    # the word IN (...) predicate must sit before the aggregation input scan
+    """The point-lookup operator (now surfaced via boolean_search's
+    'lookup' rows) keeps its word IN (...) predicate before the
+    aggregation input scan."""
+    from parallel_inverted_index_map_reduce_spark.operators.index import (
+        build_index,
+        term_lookup,
+    )
+    from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+    idx = build_index(load_table(spark, SF_ORACLE, "documents"))
+    plan = _plan(term_lookup(idx, ["spark", "query"]))
     assert "spark" in plan and "query" in plan
 
 
@@ -169,20 +178,24 @@ def test_keep_list_pipeline_no_quadratic_joins(spark):
 
 
 def test_bm25_takeordered_and_broadcast_idf(spark):
-    """BM25's top-k must truncate per partition BEFORE the merge
-    exchange (LocalLimit(k) under the single-partition shuffle, so the
-    merge moves <= k * partitions rows — the rank window above the
-    limit rules out the root-only TakeOrderedAndProject form), and the
-    per-term idf side must broadcast (query-cardinality rows)."""
+    """BM25's top-k must truncate per partition BEFORE the merge: either
+    TakeOrderedAndProject (per-partition top-k heap + driver merge —
+    what Spark plans for the decimal-scored form) or the
+    LocalLimit-under-GlobalLimit pair. Both move <= k rows per
+    partition across the merge; a global sort of every scored doc
+    would be the scale bug. The per-term idf side must broadcast
+    (query-cardinality rows)."""
     from parallel_inverted_index_map_reduce_spark.operators.index import (
         bm25_search,
     )
     from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
 
     plan = _plan(bm25_search(load_table(spark, SF_ORACLE, "documents"), "spark query"))
-    assert "LocalLimit" in plan, plan
-    # the local truncation must sit below the global merge in the tree
-    assert plan.index("GlobalLimit") < plan.index("LocalLimit"), plan
+    truncates_early = "TakeOrderedAndProject" in plan or (
+        "LocalLimit" in plan
+        and plan.index("GlobalLimit") < plan.index("LocalLimit")
+    )
+    assert truncates_early, plan
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan
 
