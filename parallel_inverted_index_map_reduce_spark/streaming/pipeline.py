@@ -103,8 +103,13 @@ def start_incremental_prep(
         # second time — and the batch's signatures are reused when the
         # cross-batch stage already computed them (a superset of the
         # kept docs; the semi-join narrows it).
+        # Explicit schema: a batch whose every doc was suppressed writes
+        # a data-less directory (marker only), and a schemaless read-back
+        # would fail inference and crash the stream BEFORE its commit —
+        # wedging the checkpoint on a legal zero-row batch.
         kept_ids = (
-            spark.read.parquet(eo.batch_dir(out_dir, batch_id))
+            spark.read.schema(packed.schema)
+            .parquet(eo.batch_dir(out_dir, batch_id))
             .select("doc_id")
             .distinct()
         )
@@ -124,7 +129,15 @@ def start_incremental_prep(
 
 
 def _landed_doc_ids(spark: SparkSession, out_dir: str):
-    dirs = eo.committed_batch_dirs(out_dir)
+    # A committed batch may have landed ZERO docs (every input doc
+    # suppressed as a duplicate) — its directory holds only the success
+    # marker and would poison schema inference if it were the only one
+    # (same failure class read_exactly_once_parquet guards against).
+    dirs = [
+        d
+        for d in eo.committed_batch_dirs(out_dir)
+        if glob.glob(os.path.join(d, "*.parquet"))
+    ]
     if not dirs:
         return None
     return (

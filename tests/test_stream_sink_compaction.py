@@ -23,7 +23,7 @@ def test_exactly_once_sink_no_duplicates_across_restart(spark, tmp_path):
     q = ssk.start_exactly_once_parquet(
         sev.read_events_stream(spark, SF_ORACLE), out, ckpt
     )
-    assert q.awaitTermination(120)
+    assert q.awaitTermination(420)
 
     batch = load_table(spark, SF_ORACLE, "events")
     landed = ssk.read_exactly_once_parquet(spark, out)
@@ -35,7 +35,7 @@ def test_exactly_once_sink_no_duplicates_across_restart(spark, tmp_path):
     q2 = ssk.start_exactly_once_parquet(
         sev.read_events_stream(spark, SF_ORACLE), out, ckpt
     )
-    assert q2.awaitTermination(120)
+    assert q2.awaitTermination(420)
     assert ssk.read_exactly_once_parquet(spark, out).count() == batch.count()
 
 

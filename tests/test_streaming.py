@@ -15,7 +15,7 @@ from .conftest import SF_ORACLE
 
 def _drain(spark, stream_df, name, mode="complete"):
     q = sev.run_to_memory(stream_df, name, output_mode=mode)
-    assert q.awaitTermination(120), "stream did not finish within 120s"
+    assert q.awaitTermination(420), "stream did not finish within 420s"
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -91,7 +91,7 @@ def test_stateful_running_totals(spark):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(120), "stream did not finish within 120s"
+    assert q.awaitTermination(420), "stream did not finish within 420s"
     # update mode emits one row per key per batch; cumulative state means
     # the max n_events row per key is the final answer
     got = {}

@@ -62,7 +62,7 @@ def test_index_stream_crash_before_marker_recovers(spark, tmp_path, monkeypatch)
 
     q = ixs.start_incremental_index(_stream(), index_dir, ckpt, chunk_size=CHUNK)
     try:
-        q.awaitTermination(180)
+        q.awaitTermination(420)
     except Exception:
         pass  # the injected crash fails the query mid-stream
     assert state["crashed"]
@@ -75,7 +75,7 @@ def test_index_stream_crash_before_marker_recovers(spark, tmp_path, monkeypatch)
     # same-checkpoint restart: offsets never advanced past the failed
     # batch, so it redelivers, overwrites its partial dir, and commits
     q2 = ixs.start_incremental_index(_stream(), index_dir, ckpt, chunk_size=CHUNK)
-    assert q2.awaitTermination(180)
+    assert q2.awaitTermination(420)
     final = ixs.read_index_version(spark, index_dir)
     want = build_index_chunked(docs, chunk_size=CHUNK)
     assert _rows(final) == _rows(want)
@@ -96,7 +96,7 @@ def test_streamed_index_converges_to_batch_build(spark, tmp_path):
         .parquet(src)
     )
     q = ixs.start_incremental_index(stream, index_dir, ckpt, chunk_size=CHUNK)
-    assert q.awaitTermination(180), "stream did not finish"
+    assert q.awaitTermination(420), "stream did not finish"
 
     versions = ixs.eo.committed_batch_dirs(index_dir)
     assert len(versions) == 3  # one committed version per micro-batch
@@ -116,7 +116,7 @@ def test_streamed_index_converges_to_batch_build(spark, tmp_path):
         ckpt,
         chunk_size=CHUNK,
     )
-    assert q2.awaitTermination(180)
+    assert q2.awaitTermination(420)
     assert len(ixs.eo.committed_batch_dirs(index_dir)) == 3
 
     # prune to the latest version; the surviving index is still complete

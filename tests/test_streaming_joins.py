@@ -13,7 +13,7 @@ from .conftest import SF_ORACLE
 
 def _drain(spark, stream_df, name, mode="append"):
     q = sev.run_to_memory(stream_df, name, output_mode=mode)
-    assert q.awaitTermination(120), "stream did not finish within 120s"
+    assert q.awaitTermination(420), "stream did not finish within 420s"
     return spark.sql(f"SELECT * FROM {name}")
 
 

@@ -16,7 +16,7 @@ def test_incremental_prep_matches_batch_and_is_idempotent(spark, tmp_path):
     q = sp.start_incremental_prep(
         sp.read_documents_stream(spark, SF_ORACLE), out, ckpt
     )
-    assert q.awaitTermination(180), "stream did not finish"
+    assert q.awaitTermination(420), "stream did not finish"
 
     got = sp.read_prepared(spark, out).drop("batch_id")
     want = bp.prepare_training_data(load_table(spark, SF_ORACLE, "documents"))
@@ -30,7 +30,7 @@ def test_incremental_prep_matches_batch_and_is_idempotent(spark, tmp_path):
     q2 = sp.start_incremental_prep(
         sp.read_documents_stream(spark, SF_ORACLE), out, ckpt
     )
-    assert q2.awaitTermination(180)
+    assert q2.awaitTermination(420)
     assert sp.read_prepared(spark, out).count() == len(grows)
 
 
@@ -68,7 +68,7 @@ def test_cross_batch_near_dup_suppressed_via_signature_store(spark, tmp_path):
         .parquet(src)
     )
     q = sp.start_incremental_prep(stream, out, ckpt, min_quality=0.0)
-    assert q.awaitTermination(180)
+    assert q.awaitTermination(420)
 
     # the input really split into two micro-batches — otherwise the
     # within-batch dedup could mask the cross-batch mechanism under test
@@ -102,7 +102,7 @@ def test_crash_between_write_and_marker_recovers(spark, tmp_path):
     q = sp.start_incremental_prep(
         sp.read_documents_stream(spark, SF_ORACLE), out, ckpt
     )
-    assert q.awaitTermination(180)
+    assert q.awaitTermination(420)
     full = sp.read_prepared(spark, out)
     n_rows = full.count()
     assert n_rows > 0
@@ -122,5 +122,49 @@ def test_crash_between_write_and_marker_recovers(spark, tmp_path):
     q2 = sp.start_incremental_prep(
         sp.read_documents_stream(spark, SF_ORACLE), out, str(tmp_path / "ckpt2")
     )
-    assert q2.awaitTermination(180)
+    assert q2.awaitTermination(420)
     assert sp.read_prepared(spark, out).count() == n_rows
+
+def test_empty_batch_commits_and_later_batches_land(spark, tmp_path):
+    """A batch whose EVERY document is suppressed (exact dup of an
+    already-landed doc) must still commit — data-less directory, marker
+    present — and must not wedge the stream: the read-back uses an
+    explicit schema (no inference over zero files) and later batches'
+    landed-id anti-join skips marker-only directories."""
+    text_a = " ".join(f"w{i}" for i in range(120))
+    text_c = " ".join(f"z{i} q{i}" for i in range(60))
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame([(1, text_a)], ["doc_id", "text"]).coalesce(
+        1
+    ).write.parquet(src)
+    # exact duplicate of doc 1 -> the whole batch suppresses to zero rows
+    spark.createDataFrame([(2, text_a)], ["doc_id", "text"]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame([(3, text_c)], ["doc_id", "text"]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    out, ckpt = str(tmp_path / "prep"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sp.start_incremental_prep(stream, out, ckpt, min_quality=0.0)
+    assert q.awaitTermination(420), "stream did not finish"
+
+    dirs = sp.eo.committed_batch_dirs(out)
+    assert len(dirs) == 3, dirs  # the empty batch IS committed
+
+    # doc 2's batch committed zero rows (whether Spark wrote an empty
+    # part file or none at all is a partitioning detail — the guards in
+    # _landed_doc_ids / the schema'd read-back cover the no-file case)
+    assert spark.read.parquet(dirs[1]).count() == 0
+
+    landed = {
+        r.doc_id
+        for r in sp.read_prepared(spark, out).select("doc_id").distinct().collect()
+    }
+    assert landed == {1, 3}  # dup suppressed, later doc still lands

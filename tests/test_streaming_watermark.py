@@ -92,7 +92,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(120), "stream did not finish within 120s"
+    assert q.awaitTermination(420), "stream did not finish within 420s"
 
     rows = spark.sql("SELECT * FROM t_late").collect()
     assert rows, "stream produced no output"
