@@ -54,3 +54,31 @@ def test_missing_term_yields_no_rows(spark):
     assert ix.boolean_search(docs, "spark", "absentterm").count() == 0
     assert _composed(idx, "spark", "absentterm").count() == 0
     assert ix.boolean_search(docs, "absentterm", "query").count() == 0
+
+
+def test_with_lookup_emits_per_present_term(spark):
+    """Lookup rows follow per-term presence: a present term is reported
+    (df + full postings) even when the other term is absent and every
+    boolean row is therefore suppressed."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+    out = ix.boolean_search(docs, "spark", "query", with_lookup=True)
+    by_term = {
+        r["term1"]: r for r in out.collect() if r["op"] == "lookup"
+    }
+    assert set(by_term) == {"spark", "query"}
+    assert list(by_term["spark"]["doc_ids"]) == [0, 1, 4]
+    assert by_term["spark"]["term2"] == "3"  # df as string
+    assert list(by_term["query"]["doc_ids"]) == [0, 2, 4]
+
+    # one term missing: its lookup row vanishes, the other survives,
+    # and no boolean rows are emitted (both-terms semantics unchanged)
+    out2 = ix.boolean_search(docs, "spark", "nosuchword", with_lookup=True)
+    rows2 = out2.collect()
+    assert [r["op"] for r in rows2] == ["lookup"]
+    assert rows2[0]["term1"] == "spark"
+
+    # default stays lookup-free
+    assert "lookup" not in {
+        r["op"] for r in ix.boolean_search(docs, "spark", "query").collect()
+    }

@@ -156,3 +156,44 @@ def test_ivf_recall_grows_with_nprobe(spark):
         recalls.append(len(got & want) / len(want))
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] >= 0.4, recalls
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    """Majority label wins; a split vote breaks to the SMALLEST label
+    (total, deterministic); the label column may be int (cast to long)."""
+    # query 0 at the origin-ish; neighbors engineered so its 3-NN are
+    # vecs 1,2,3 with labels 7,7,2 -> predict 7; then a 2/2 tie case.
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 6
+
+    rows = [
+        (0, vec(1.00, 0.00), 99),   # query
+        (1, vec(0.99, 0.10), 7),
+        (2, vec(0.98, 0.15), 7),
+        (3, vec(0.97, 0.20), 2),
+        (4, vec(-1.0, 0.00), 5),    # far away
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    from parallel_inverted_index_map_reduce_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    got = knn_classify(emb, k=3, n_queries=1).collect()
+    assert len(got) == 1
+    assert got[0]["predicted_label"] == 7 and got[0]["votes"] == 2
+
+    # 4-NN over labels {7,7,2,5}: 7 still wins with 2 votes
+    got4 = knn_classify(emb, k=4, n_queries=1).collect()
+    assert got4[0]["predicted_label"] == 7 and got4[0]["votes"] == 2
+
+    # tie: labels {7,7,2,2} -> smallest label (2) wins
+    rows_tie = [
+        (0, vec(1.00, 0.00), 99),
+        (1, vec(0.99, 0.10), 7),
+        (2, vec(0.98, 0.15), 7),
+        (3, vec(0.97, 0.20), 2),
+        (4, vec(0.96, 0.25), 2),
+    ]
+    emb_tie = spark.createDataFrame(rows_tie, ["vec_id", "embedding", "label"])
+    tie = knn_classify(emb_tie, k=4, n_queries=1).collect()
+    assert tie[0]["predicted_label"] == 2 and tie[0]["votes"] == 2
