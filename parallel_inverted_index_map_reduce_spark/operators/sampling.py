@@ -120,3 +120,42 @@ def train_test_split(
     test = df.where(h < F.lit(float(test_fraction)))
     train = df.where(h >= F.lit(float(test_fraction)))
     return train, test
+
+
+def temperature_weights(
+    df: DataFrame, strata_col: str, alpha: float
+) -> dict[str, float]:
+    """Temperature-based domain weights: w_s proportional to n_s^alpha —
+    the standard LLM corpus-mixing scheme (alpha=1 keeps the natural
+    mixture, alpha=0 equalizes every domain, alpha in between boosts
+    rare domains relative to their natural share; cf. the multilingual
+    sampling rule of Devlin et al. 2019 / the dataset-mixing setups of
+    GPT-3-era training recipes). One strata-cardinality aggregate, the
+    usual driver-scalar pattern."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+        if r[strata_col] is not None
+    }
+    if not counts:
+        raise ValueError(f"no non-null strata in {strata_col!r}")
+    raw = {s: float(n) ** alpha for s, n in counts.items()}
+    total = sum(raw.values())
+    return {s: w / total for s, w in raw.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float,
+    key: str,
+    salt: str = "tmix",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Downsample to the n^alpha temperature mixture (never upsamples —
+    same largest-achievable-output rule as mix_to_proportions, which
+    this composes). alpha=1 is the identity (every keep fraction 1.0);
+    alpha=0 levels every domain down to the rarest one's size."""
+    weights = temperature_weights(df, strata_col, alpha)
+    return mix_to_proportions(df, strata_col, weights, key, salt)
