@@ -1,4 +1,4 @@
-"""Source/sink format round-trips beyond parquet: CSV and JSON-lines.
+"""Source/sink format round-trips beyond parquet: CSV, JSON-lines, ORC.
 
 The reference reads whitespace-tokenized text files and writes a bespoke
 text format; a complete engine also ingests/emits the standard columnar
@@ -48,3 +48,14 @@ def write_jsonl(df: DataFrame, path: str) -> None:
 
 def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.options(**JSONL_OPTIONS).schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC is columnar + typed, so no format options to pin — the
+    round-trip hazard is TIMESTAMP semantics, which the tests assert
+    instead (ORC stores both TIMESTAMP and TIMESTAMP_NTZ natively)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.schema(schema).orc(path)

@@ -139,3 +139,17 @@ def test_embeddings_roundtrip_jsonl(spark, tmp_path):
     a = sorted((r.vec_id, tuple(r.embedding)) for r in df.collect())
     b = sorted((r.vec_id, tuple(r.embedding)) for r in back.collect())
     assert a == b
+
+
+@pytest.mark.parametrize("table", ["orders", "events", "embeddings"])
+def test_orc_roundtrip(spark, tmp_path, table):
+    """ORC round-trips every value type in the schema, including
+    TIMESTAMP_NTZ (events.ts) and array<float> (embeddings)."""
+    df = load_table(spark, SF_ORACLE, table)
+    path = str(tmp_path / f"{table}_orc")
+    formats.write_orc(df, path)
+    back = formats.read_orc(spark, path, df.schema)
+    assert back.schema == df.schema
+    a = sorted(map(lambda r: tuple(map(str, r)), df.collect()))
+    b = sorted(map(lambda r: tuple(map(str, r)), back.collect()))
+    assert a == b
