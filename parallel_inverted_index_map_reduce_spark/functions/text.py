@@ -20,6 +20,14 @@ from pyspark.sql import functions as F
 WHITESPACE_RE = r"\s+"
 NON_ALPHA_RE = "[^a-z]"
 
+# Python twins for the Arrow/driver-side paths (BPE segmenter, query
+# normalization): Java's \s is ASCII-only ([ \t\n\x0B\f\r]) while
+# Python's re \s is Unicode, so a literal r"\s+" in Python splits on
+# e.g. U+00A0 (non-breaking space) where the JVM tokenizer does not — the class below IS
+# Java's \s, keeping both sides of the engine on one tokenization rule.
+PY_WHITESPACE_RE = "[ \t\n\x0b\f\r]+"
+PY_NON_ALPHA_RE = NON_ALPHA_RE
+
 
 def normalize_token(col: Column) -> Column:
     """lower + strip non-[a-z] — the reference's O4+O5 fused."""

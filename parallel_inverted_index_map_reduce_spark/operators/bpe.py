@@ -42,7 +42,7 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n): the corpus collapsed to distinct normalized words —
     the single corpus-scale aggregation of the whole trainer."""
     return (
-        tokens_df(docs.withColumnRenamed(text_col, "text"))
+        tokens_df(docs, text_col=text_col)
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
@@ -122,6 +122,14 @@ def train_bpe(
             ),
             lambda b: b,
         )
+        # Checkpoint EVERY round: the merge projection references `sym`
+        # several times (the has_pair guard plus the fold), so stacking
+        # unmaterialized rounds multiplies the expression tree per round
+        # — a handful of stacked rounds already wedges the analyzer.
+        # Storage does not accumulate across thousands of rounds:
+        # rebinding `vocab` drops the only reference to the previous
+        # checkpoint, and Spark's ContextCleaner reclaims its blocks as
+        # those refs are collected, so live copies stay ~O(1).
         vocab = vocab.select(
             F.when(has_pair, _merge_once(F.col("sym"), left, right))
             .otherwise(F.col("sym"))
@@ -155,6 +163,8 @@ def apply_bpe(
     """
     import pandas as pd
 
+    from ..functions.text import PY_NON_ALPHA_RE, PY_WHITESPACE_RE
+
     ordered = [(left, right) for left, right, _ in merges]
 
     def segment(word: str) -> list[str]:
@@ -176,20 +186,37 @@ def apply_bpe(
     def run(batches):
         import re
 
+        # The Python twins of the JVM tokenizer (functions/text.py):
+        # a literal \s here would be Unicode-wide and split words the
+        # trainer saw as one token.
+        ws = re.compile(PY_WHITESPACE_RE)
+        non_alpha = re.compile(PY_NON_ALPHA_RE)
+        # word -> segmentation memo: corpora are Zipfian, so the top few
+        # thousand words cover most occurrences — without the memo the
+        # full O(n_merges * len(word)) fold reruns per OCCURRENCE. The
+        # cache lives for the task (all its batches) and is bounded by
+        # the task's distinct-word count.
+        memo: dict[str, list[str]] = {}
+
+        def segmented(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = segment(w)
+            return got
+
         for pdf in batches:
             toks: list[list[str]] = []
             for text in pdf["text"].fillna(""):
                 words = [
                     w
                     for w in (
-                        re.sub("[^a-z]", "", t.lower())
-                        for t in re.split(r"\s+", text)
+                        non_alpha.sub("", t.lower()) for t in ws.split(text)
                     )
                     if w
                 ]
                 flat: list[str] = []
                 for w in words:
-                    flat.extend(segment(w))
+                    flat.extend(segmented(w))
                 toks.append(flat)
             yield pd.DataFrame(
                 {

@@ -29,8 +29,15 @@ from pyspark.sql import functions as F
 def word_dictionary(index: DataFrame) -> DataFrame:
     """(word, word_id) for every distinct ``word`` in ``index`` —
     dense, bijective, lexicographically order-preserving ids."""
-    words = index.select("word").distinct().withColumn(
-        "letter", F.substring("word", 1, 1)
+    # One materialization serves both the ranking job and the counts
+    # collect: without it each would re-scan + re-distinct the whole
+    # index (2x the build cost), and a nondeterministic upstream could
+    # even hand the two jobs different row sets, breaking density.
+    words = (
+        index.select("word")
+        .distinct()
+        .withColumn("letter", F.substring("word", 1, 1))
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("letter").orderBy("word")
     ranked = words.withColumn("rk", F.row_number().over(w))

@@ -533,10 +533,13 @@ def phrase_search(docs: DataFrame, phrase: str) -> DataFrame:
     """
     import re as _re
 
+    from ..functions.text import PY_NON_ALPHA_RE, PY_WHITESPACE_RE
+
     words = [
         w
         for w in (
-            _re.sub("[^a-z]", "", t.lower()) for t in _re.split(r"\s+", phrase)
+            _re.sub(PY_NON_ALPHA_RE, "", t.lower())
+            for t in _re.split(PY_WHITESPACE_RE, phrase)
         )
         if w
     ]
@@ -637,12 +640,14 @@ def bm25_search(
     """
     import re as _re
 
+    from ..functions.text import PY_NON_ALPHA_RE, PY_WHITESPACE_RE
+
     words = sorted(
         {
             w
             for w in (
-                _re.sub("[^a-z]", "", t.lower())
-                for t in _re.split(r"\s+", query)
+                _re.sub(PY_NON_ALPHA_RE, "", t.lower())
+                for t in _re.split(PY_WHITESPACE_RE, query)
             )
             if w
         }

@@ -90,24 +90,46 @@ def mix_to_proportions(
 
     Returns (mixed_df, fractions) so callers can log the realized plan.
     """
-    if not weights or any(w <= 0 for w in weights.values()):
-        raise ValueError("weights must be a non-empty map of positive shares")
-    total_w = sum(weights.values())
-    counts = {
+    counts = _strata_counts(df, strata_col, strata=set(weights))
+    fractions = _mix_fractions(weights, counts)
+    return stratified_sample(df, strata_col, fractions, key, salt), fractions
+
+
+def _strata_counts(
+    df: DataFrame, strata_col: str, strata: set | None = None
+) -> dict[str, int]:
+    """Per-stratum row counts — ONE tiny aggregate (strata cardinality ~
+    dozens) collected to the driver. NULL strata are excluded (they can
+    neither be weighted nor sampled by value)."""
+    scoped = (
+        df.where(F.col(strata_col).isin(*strata))
+        if strata
+        else df.where(F.col(strata_col).isNotNull())
+    )
+    return {
         r[strata_col]: r["n"]
-        for r in df.where(F.col(strata_col).isin(*weights))
-        .groupBy(strata_col)
+        for r in scoped.groupBy(strata_col)
         .agg(F.count("*").alias("n"))
         .collect()
     }
+
+
+def _mix_fractions(
+    weights: dict[str, float], counts: dict[str, int]
+) -> dict[str, float]:
+    """Largest-achievable-output keep fractions for a target mixture
+    (the binding stratum keeps 1.0; nothing upsamples)."""
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of positive shares")
+    total_w = sum(weights.values())
     missing = sorted(set(weights) - set(counts))
     if missing:
         raise ValueError(f"strata absent from the data: {missing}")
     scale = min(counts[s] / (w / total_w) for s, w in weights.items())
-    fractions = {
-        s: min(1.0, scale * (w / total_w) / counts[s]) for s, w in weights.items()
+    return {
+        s: min(1.0, scale * (w / total_w) / counts[s])
+        for s, w in weights.items()
     }
-    return stratified_sample(df, strata_col, fractions, key, salt), fractions
 
 
 def train_test_split(
@@ -134,11 +156,14 @@ def temperature_weights(
     usual driver-scalar pattern."""
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-    counts = {
-        r[strata_col]: r["n"]
-        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
-        if r[strata_col] is not None
-    }
+    return _temperature_weights_from_counts(
+        _strata_counts(df, strata_col), strata_col, alpha
+    )
+
+
+def _temperature_weights_from_counts(
+    counts: dict[str, int], strata_col: str, alpha: float
+) -> dict[str, float]:
     if not counts:
         raise ValueError(f"no non-null strata in {strata_col!r}")
     raw = {s: float(n) ** alpha for s, n in counts.items()}
@@ -154,8 +179,18 @@ def temperature_mix(
     salt: str = "tmix",
 ) -> tuple[DataFrame, dict[str, float]]:
     """Downsample to the n^alpha temperature mixture (never upsamples —
-    same largest-achievable-output rule as mix_to_proportions, which
-    this composes). alpha=1 is the identity (every keep fraction 1.0);
-    alpha=0 levels every domain down to the rarest one's size."""
-    weights = temperature_weights(df, strata_col, alpha)
-    return mix_to_proportions(df, strata_col, weights, key, salt)
+    same largest-achievable-output rule as mix_to_proportions). alpha=1
+    is the identity over the non-null strata (every keep fraction 1.0);
+    alpha=0 levels every domain down to the rarest one's size. Rows
+    with a NULL ``strata_col`` are dropped (they have no domain to
+    weight — filter or impute upstream if they must survive).
+
+    ONE corpus pass for the strata counts feeds both the temperature
+    weights and the keep-fraction solve; the data-scale work is the
+    single hash-filter pass of stratified_sample."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = _strata_counts(df, strata_col)
+    weights = _temperature_weights_from_counts(counts, strata_col, alpha)
+    fractions = _mix_fractions(weights, counts)
+    return stratified_sample(df, strata_col, fractions, key, salt), fractions

@@ -111,3 +111,30 @@ def test_merges_table_roundtrip(spark):
     assert rows == [
         (i, left, right, c) for i, (left, right, c) in enumerate(merges)
     ]
+
+
+def test_train_apply_agree_on_unicode_whitespace(spark):
+    """U+00A0 is NOT whitespace to the JVM tokenizer (Java \\s is
+    ASCII-only): 'foo\\u00a0bar' is ONE word 'foobar' on the train side,
+    and the Python segmenter must see the same word — a literal \\s+ in
+    Python (Unicode-wide) would split it and segment across a boundary
+    the trainer never saw."""
+    nbsp = "\u00a0"
+    docs = spark.createDataFrame(
+        [(0, f"foo{nbsp}bar foo{nbsp}bar baz")], ["doc_id", "text"]
+    )
+    wf = {r["word"]: r["n"] for r in bpe.word_frequencies(docs).collect()}
+    assert wf == {"foobar": 2, "baz": 1}
+
+    merges = bpe.train_bpe(docs, n_merges=4)
+    row = bpe.apply_bpe(docs, merges).collect()[0]
+    want = []
+    for w in ["foobar", "foobar", "baz"]:
+        syms = list(w)
+        for left, right, _ in merges:
+            syms = _ref_merge_word(syms, left, right)
+        want.extend(syms)
+    assert (row["n_bpe_tokens"], row["bpe_tokens"]) == (
+        len(want),
+        " ".join(want),
+    )
