@@ -22,13 +22,19 @@ PARTITION_COUNTS = (2, 7, 32)
 # fingerprints, MinHash banding (multi-stage shuffles), a decimal
 # aggregate (partition-order-independent summation claim), and the
 # labeled ANN entry — whose IVF part claims an RNG-free,
-# partition-order-independent k-means fit (decimal means, stable seeds).
+# partition-order-independent k-means fit (decimal means, stable seeds)
+# and whose knn part claims deterministic vote tie-breaks; BM25's
+# decimal score sum + top-k cut (order-independence is the whole claim);
+# and the connected-components clustering (iterative label propagation
+# must converge to the same fixpoint on any partitioning).
 CASES = (
     "index_lines",
     "doc_fingerprints",
     "minhash_lsh_pairs",
     "pricing_summary",
     "ann_topk",
+    "ranked_retrieval",
+    "dedup_clusters",
 )
 
 
