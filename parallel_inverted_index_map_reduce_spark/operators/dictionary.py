@@ -9,15 +9,19 @@ back only at presentation time.
 
 Dense ids WITHOUT a global sort: a ``row_number`` over one global
 ordering would funnel the whole vocabulary through a single partition
-(the classic Window-without-PARTITION-BY scale bug). Instead ids reuse
-the reference's own letter decomposition (`ref:` src/main.cpp:180-181's
-26-way bucketing): rank words within their first-letter partition (a
-parallel window), collect the per-letter vocabulary COUNTS (bounded by
-the alphabet — the documented driver-scalar pattern, same as the
-k-means centroids), and add the letter's cumulative offset. The result
-is bijective, dense over [0, V), and globally ORDER-PRESERVING
-(word_id order == lexicographic word order), so range scans over ids
-correspond to prefix scans over terms.
+(the classic Window-without-PARTITION-BY scale bug). Instead ids use a
+prefix decomposition that generalizes the reference's 26-way letter
+bucketing (`ref:` src/main.cpp:180-181): rank words within their
+``prefix_len``-character prefix partition (a parallel window over
+26^prefix_len groups), collect the per-prefix vocabulary COUNTS
+(alphabet^p rows — driver-scale for small p, the documented
+driver-scalar pattern), and add each prefix's cumulative offset via a
+broadcast join. Prefix order dominates word order, so the result is
+bijective, dense over [0, V), and globally ORDER-PRESERVING (word_id
+order == lexicographic word order) at ANY prefix_len — range scans
+over ids correspond to prefix scans over terms. prefix_len=1 is the
+reference's own 26 buckets; prefix_len=2/3 lifts the window to
+~676/~17k partitions for vocabularies where 26 sorting tasks bind.
 """
 
 from __future__ import annotations
@@ -26,9 +30,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def word_dictionary(index: DataFrame) -> DataFrame:
+def word_dictionary(index: DataFrame, prefix_len: int = 1) -> DataFrame:
     """(word, word_id) for every distinct ``word`` in ``index`` —
-    dense, bijective, lexicographically order-preserving ids."""
+    dense, bijective, lexicographically order-preserving ids.
+
+    ``prefix_len`` sets the ranking-window fan-out (26^prefix_len
+    partitions); the id assignment is IDENTICAL for every value, so it
+    is purely a parallelism knob (proven in tests/test_dictionary.py).
+    """
+    if prefix_len < 1:
+        raise ValueError(f"prefix_len must be >= 1, got {prefix_len}")
     # One materialization serves both the ranking job and the counts
     # collect: without it each would re-scan + re-distinct the whole
     # index (2x the build cost), and a nondeterministic upstream could
@@ -36,32 +47,27 @@ def word_dictionary(index: DataFrame) -> DataFrame:
     words = (
         index.select("word")
         .distinct()
-        .withColumn("letter", F.substring("word", 1, 1))
+        .withColumn("prefix", F.substring("word", 1, prefix_len))
         .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy("letter").orderBy("word")
+    w = Window.partitionBy("prefix").orderBy("word")
     ranked = words.withColumn("rk", F.row_number().over(w))
 
     sizes = sorted(
-        (r["letter"], r["n"])
-        for r in words.groupBy("letter").agg(F.count("*").alias("n")).collect()
+        (r["prefix"], r["n"])
+        for r in words.groupBy("prefix").agg(F.count("*").alias("n")).collect()
     )
-    offsets: dict[str, int] = {}
+    offset_rows = []
     acc = 0
-    for letter, n in sizes:
-        offsets[letter] = acc
+    for prefix, n in sizes:
+        offset_rows.append((prefix, acc))
         acc += n
-    offset_expr = None
-    for letter, off in offsets.items():
-        cond = F.col("letter") == letter
-        offset_expr = (
-            F.when(cond, F.lit(off))
-            if offset_expr is None
-            else offset_expr.when(cond, F.lit(off))
-        )
-    return ranked.select(
+    offsets = words.sparkSession.createDataFrame(
+        offset_rows, "prefix string, off long"
+    )
+    return ranked.join(F.broadcast(offsets), "prefix").select(
         "word",
-        (offset_expr + F.col("rk") - 1).cast("long").alias("word_id"),
+        (F.col("off") + F.col("rk") - 1).cast("long").alias("word_id"),
     )
 
 

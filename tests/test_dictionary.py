@@ -61,3 +61,13 @@ def test_dictionary_partition_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_prefix_len_is_a_pure_parallelism_knob(spark):
+    """Identical ids at every prefix_len — the decomposition only
+    changes the ranking window's fan-out, never the assignment."""
+    idx = _index(spark)
+    base = sorted(map(tuple, word_dictionary(idx, prefix_len=1).collect()))
+    for p in (2, 3):
+        got = sorted(map(tuple, word_dictionary(idx, prefix_len=p).collect()))
+        assert got == base, f"prefix_len={p} changed the assignment"
