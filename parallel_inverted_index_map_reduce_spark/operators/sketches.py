@@ -1,0 +1,118 @@
+"""Count-min sketch over the token stream: mergeable frequency
+estimates in fixed space.
+
+The frequency twin of the engine's existing cardinality/quantile
+sketches (KMV threshold sketches in plans/queries_relational2.py,
+Spark-native HLL/KLL in tests/test_approx_sketches.py): estimate any
+term's occurrence count from a d x w counter table (Cormode &
+Muthukrishnan 2005), without keeping the full vocabulary.
+
+Why it matters at 100 TB: the sketch BUILD is one groupBy over
+(seed, slot) — d*w result rows regardless of corpus size — and two
+sketches MERGE by slot-wise addition, so per-partition / per-day /
+per-shard sketches roll up without touching the token stream again
+(the same commutative-monoid property that makes partial aggregation
+work). Estimates are one-sided: est >= true count always, and
+est <= true + eps*N with probability 1-delta for w = e/eps, d =
+ln(1/delta).
+
+Everything is md5-based column expressions (identical across engines
+and partitionings — the repo's standard determinism recipe), zero
+Python in the build path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_df
+
+DEFAULT_DEPTH = 4
+DEFAULT_WIDTH = 256
+
+
+def _slot(word_col, seed: int, width: int):
+    """Deterministic hash slot: first 8 md5 hex chars of 'seed_word'
+    as an unsigned int, mod width — the stable_hash32 recipe with a
+    per-row-of-counters seed."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.lit(str(seed)), word_col)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_build(
+    docs: DataFrame, depth: int = DEFAULT_DEPTH, width: int = DEFAULT_WIDTH
+) -> DataFrame:
+    """(seed, slot, c): the count-min counter table for the corpus's
+    token stream — at most depth*width rows, any corpus size."""
+    toks = tokens_df(docs)
+    # ONE corpus scan: each token explodes into its depth (seed, slot)
+    # coordinates (a union of per-seed projections would scan the token
+    # stream depth times).
+    coords = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(seed).alias("seed"),
+                        _slot(F.col("word"), seed, width).alias("slot"),
+                    )
+                    for seed in range(depth)
+                ]
+            )
+        ).alias("p")
+    )
+    return (
+        coords.select("p.seed", "p.slot")
+        .groupBy("seed", "slot")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Slot-wise sum — the mergeability that lets per-shard sketches
+    roll up into a corpus sketch without re-reading any shard."""
+    return (
+        a.unionByName(b)
+        .groupBy("seed", "slot")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    words: list[str],
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """(word, est): min over the depth rows of each word's slot counter
+    — an upper bound on the word's true occurrence count. The probe set
+    is a tiny literal frame joined against the (bounded) sketch, so
+    lookups never touch the corpus."""
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame([(w,) for w in words], "word string").select(
+        "word",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(seed).alias("seed"),
+                        _slot(F.col("word"), seed, width).alias("slot"),
+                    )
+                    for seed in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("word", "p.seed", "p.slot")
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "slot"], "left")
+        .na.fill({"c": 0})
+        .groupBy("word")
+        .agg(F.min("c").alias("est"))
+    )

@@ -1,0 +1,75 @@
+"""Count-min sketch: one-sided error, the rated error bound, EXACT
+mergeability (the roll-up property that matters at scale), and
+determinism under partitioning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parallel_inverted_index_map_reduce_spark.operators import sketches as sk
+from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+from .conftest import SF_ORACLE
+
+
+def _true_counts(spark, docs, words):
+    from parallel_inverted_index_map_reduce_spark.functions.text import tokens_df
+
+    rows = (
+        tokens_df(docs)
+        .where(F.col("word").isin(words))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    got = {r["word"]: r["n"] for r in rows}
+    return {w: got.get(w, 0) for w in words}
+
+
+def test_estimates_are_one_sided_and_bounded(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    sketch = sk.cms_build(docs)
+    n_tokens = sk.tokens_df(docs).count()
+
+    words = ["spark", "query", "hash", "table", "nosuchwordxyz"]
+    est = {r["word"]: r["est"] for r in sk.cms_estimate(sketch, words).collect()}
+    true = _true_counts(spark, docs, words)
+
+    # CMS guarantee: never underestimates; overestimate bounded by
+    # eps*N with eps = e/width (loose form; depth=4 makes the failure
+    # probability ~e^-4, and this corpus/width sits far inside it)
+    for w in words:
+        assert est[w] >= true[w], (w, est[w], true[w])
+        assert est[w] <= true[w] + (2.7183 / sk.DEFAULT_WIDTH) * n_tokens * 3, (
+            w,
+            est[w],
+            true[w],
+        )
+
+
+def test_merge_equals_whole_corpus_sketch(spark):
+    """sketch(A) + sketch(B) must equal sketch(A union B) EXACTLY —
+    counter tables are a commutative monoid, the property that lets
+    per-shard sketches roll up without re-reading shards."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    merged = sk.cms_merge(sk.cms_build(a), sk.cms_build(b))
+    whole = sk.cms_build(docs)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_sketch_partition_invariant(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    one = sorted(map(tuple, sk.cms_build(docs).collect()))
+    two = sorted(map(tuple, sk.cms_build(docs.repartition(11)).collect()))
+    assert one == two
+
+
+def test_sketch_size_is_bounded(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    sketch = sk.cms_build(docs, depth=3, width=64)
+    assert sketch.count() <= 3 * 64
+    assert set(sketch.columns) == {"seed", "slot", "c"}
