@@ -9,6 +9,8 @@ shrinks or shapes the data the next stage pays for):
     -> repetition filter          (optional: Gopher dup5 predicate)
     -> decontaminate vs eval sets (optional: n-gram containment)
     -> near-dup dedup keep-list   (exact -> MinHash/LSH -> verify)
+    -> span-level dedup           (optional: cut repeated cross-doc
+                                   spans the doc-level pass can't see)
     -> mix to domain proportions  (optional: post-dedup, so dedup
                                    can't skew the target ratios)
     -> chunk (split long docs into overlapping token windows)
@@ -50,6 +52,7 @@ def prepare_training_data(
     max_dup5_frac: float | None = None,
     source_weights: dict[str, float] | None = None,
     dedup_policy: str = "one_pass",
+    span_dedup_width: int | None = None,
 ) -> DataFrame:
     """documents(doc_id, text, ...) -> packed chunks
     (doc_id, chunk_id, n_tokens, chunk, bin_id).
@@ -77,6 +80,14 @@ def prepare_training_data(
     keeps each cluster's highest-quality member
     (operators/components.py), reusing the quality scores this pipeline
     already computed.
+
+    ``span_dedup_width`` (optional) additionally cuts repeated
+    ``span_dedup_width``-token spans ACROSS the deduped survivors
+    (operators/spandedup.py — boilerplate that doc-level dedup cannot
+    see). It runs AFTER doc-level dedup so whole-document duplicates
+    are resolved by the cheaper keep-list first, and the cut documents
+    re-enter the flow in normalized token space (the same space
+    chunking uses).
 
     ``source_weights`` (optional) mixes the DEDUPED corpus to a target
     domain mixture (operators/sampling.py mix_to_proportions). It runs
@@ -135,6 +146,20 @@ def prepare_training_data(
     deduped = kept_quality.join(
         keep.where("keep").select("doc_id"), "doc_id", "left_semi"
     )
+
+    if span_dedup_width is not None:
+        from .operators.spandedup import remove_duplicate_spans
+
+        cut = remove_duplicate_spans(deduped, n=span_dedup_width).select(
+            "doc_id", "text"
+        )
+        # re-attach the non-text columns (lang/source survive for the
+        # mixing stage); drop docs cut to nothing
+        deduped = (
+            deduped.drop("text")
+            .join(cut, "doc_id")
+            .where(F.col("text") != "")
+        )
 
     if source_weights is not None:
         from .operators.sampling import mix_to_proportions

@@ -116,3 +116,35 @@ def test_land_training_shards_deterministic(spark, tmp_path):
     a, b = read(out_a), read(out_b)
     assert a == b
     assert len(a) > 0
+
+
+def test_pipeline_span_dedup_stage(spark):
+    """The optional span-dedup stage cuts a shared boilerplate span
+    from every doc but its first occurrence, while doc-level dedup
+    (which sees the docs as distinct) leaves them all alive."""
+    boiler = " ".join(f"license term{i} clause{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + " ".join(f"alpha word{i}" for i in range(60)), "en"),
+            (2, boiler + " " + " ".join(f"beta item{i}" for i in range(60)), "en"),
+            (3, " ".join(f"gamma thing{i} stuff{i}" for i in range(60)), "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    base = pl.prepare_training_data(docs, min_quality=0.0)
+    cut = pl.prepare_training_data(docs, min_quality=0.0, span_dedup_width=8)
+
+    # all three docs survive both ways (they are not near-dups)
+    for out in (base, cut):
+        assert {r["doc_id"] for r in out.select("doc_id").distinct().collect()} == {
+            1,
+            2,
+            3,
+        }
+    # doc 2 lost its boilerplate tokens: fewer total tokens than base
+    tokens = lambda df, d: df.where(f"doc_id = {d}").agg(
+        {"n_tokens": "sum"}
+    ).first()[0]
+    assert tokens(cut, 2) < tokens(base, 2)
+    assert tokens(cut, 1) == tokens(base, 1)  # canonical doc untouched
+    assert tokens(cut, 3) == tokens(base, 3)  # unshared doc untouched
