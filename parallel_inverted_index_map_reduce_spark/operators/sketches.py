@@ -49,8 +49,13 @@ def _slot(word_col, seed: int, width: int):
 def cms_build(
     docs: DataFrame, depth: int = DEFAULT_DEPTH, width: int = DEFAULT_WIDTH
 ) -> DataFrame:
-    """(seed, slot, c): the count-min counter table for the corpus's
-    token stream — at most depth*width rows, any corpus size."""
+    """(seed, slot, width, c): the count-min counter table for the
+    corpus's token stream — at most depth*width rows, any corpus size.
+    The sketch is SELF-DESCRIBING: width rides along as a column and
+    depth is derivable from the seeds, so estimates can never silently
+    probe with mismatched geometry."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
     toks = tokens_df(docs)
     # ONE corpus scan: each token explodes into its depth (seed, slot)
     # coordinates (a union of per-seed projections would scan the token
@@ -71,30 +76,40 @@ def cms_build(
     return (
         coords.select("p.seed", "p.slot")
         .groupBy("seed", "slot")
-        .agg(F.count("*").alias("c"))
+        .agg(F.lit(width).alias("width"), F.count("*").alias("c"))
     )
 
 
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Slot-wise sum — the mergeability that lets per-shard sketches
-    roll up into a corpus sketch without re-reading any shard."""
+    roll up into a corpus sketch without re-reading any shard. Both
+    sides must share a geometry; the carried width column makes a
+    mismatch a loud error (grouping by width would silently keep the
+    sketches apart, so it is checked instead)."""
+    wa = {r["width"] for r in a.select("width").distinct().collect()}
+    wb = {r["width"] for r in b.select("width").distinct().collect()}
+    if wa != wb:
+        raise ValueError(f"cannot merge sketches of widths {wa} and {wb}")
     return (
         a.unionByName(b)
-        .groupBy("seed", "slot")
+        .groupBy("seed", "slot", "width")
         .agg(F.sum("c").alias("c"))
     )
 
 
-def cms_estimate(
-    sketch: DataFrame,
-    words: list[str],
-    depth: int = DEFAULT_DEPTH,
-    width: int = DEFAULT_WIDTH,
-) -> DataFrame:
+def cms_estimate(sketch: DataFrame, words: list[str]) -> DataFrame:
     """(word, est): min over the depth rows of each word's slot counter
     — an upper bound on the word's true occurrence count. The probe set
     is a tiny literal frame joined against the (bounded) sketch, so
-    lookups never touch the corpus."""
+    lookups never touch the corpus. Geometry (depth, width) is read
+    FROM the sketch — a caller cannot probe with mismatched parameters
+    and silently get zeros."""
+    geom = sketch.agg(
+        F.max("seed").alias("max_seed"), F.max("width").alias("width")
+    ).first()
+    if geom["max_seed"] is None:
+        raise ValueError("empty sketch: no counter rows to probe")
+    depth, width = int(geom["max_seed"]) + 1, int(geom["width"])
     spark = sketch.sparkSession
     probes = spark.createDataFrame([(w,) for w in words], "word string").select(
         "word",

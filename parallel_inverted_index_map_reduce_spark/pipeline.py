@@ -85,9 +85,10 @@ def prepare_training_data(
     ``span_dedup_width``-token spans ACROSS the deduped survivors
     (operators/spandedup.py — boilerplate that doc-level dedup cannot
     see). It runs AFTER doc-level dedup so whole-document duplicates
-    are resolved by the cheaper keep-list first, and the cut documents
-    re-enter the flow in normalized token space (the same space
-    chunking uses).
+    are resolved by the cheaper keep-list first. Surviving tokens are
+    the ORIGINAL raw tokens (digits/case/punctuation intact; only
+    inter-token whitespace collapses), and only documents cut to
+    nothing drop out.
 
     ``source_weights`` (optional) mixes the DEDUPED corpus to a target
     domain mixture (operators/sampling.py mix_to_proportions). It runs
@@ -150,15 +151,16 @@ def prepare_training_data(
     if span_dedup_width is not None:
         from .operators.spandedup import remove_duplicate_spans
 
-        cut = remove_duplicate_spans(deduped, n=span_dedup_width).select(
-            "doc_id", "text"
-        )
+        cut = remove_duplicate_spans(deduped, n=span_dedup_width)
         # re-attach the non-text columns (lang/source survive for the
-        # mixing stage); drop docs cut to nothing
+        # mixing stage); drop ONLY docs the cut emptied — a doc whose
+        # text was already empty/whitespace passes through, same as the
+        # span-dedup-off path would treat it
         deduped = (
             deduped.drop("text")
             .join(cut, "doc_id")
-            .where(F.col("text") != "")
+            .where((F.col("text") != "") | (F.col("n_tokens_removed") == 0))
+            .drop("n_tokens_removed")
         )
 
     if source_weights is not None:

@@ -72,4 +72,27 @@ def test_sketch_size_is_bounded(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
     sketch = sk.cms_build(docs, depth=3, width=64)
     assert sketch.count() <= 3 * 64
-    assert set(sketch.columns) == {"seed", "slot", "c"}
+    assert set(sketch.columns) == {"seed", "slot", "width", "c"}
+
+
+def test_estimate_reads_geometry_from_sketch(spark):
+    """A non-default-geometry sketch estimates correctly because depth
+    and width come FROM the sketch — the silent-zeros failure mode of
+    caller-supplied mismatched parameters cannot happen."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    sketch = sk.cms_build(docs, depth=3, width=64)
+    words = ["spark", "query"]
+    est = {r["word"]: r["est"] for r in sk.cms_estimate(sketch, words).collect()}
+    true = _true_counts(spark, docs, words)
+    for w in words:
+        assert est[w] >= true[w] > 0, (w, est[w], true[w])
+
+
+def test_merge_rejects_mismatched_widths(spark):
+    import pytest
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    a = sk.cms_build(docs, depth=2, width=64)
+    b = sk.cms_build(docs, depth=2, width=128)
+    with pytest.raises(ValueError, match="widths"):
+        sk.cms_merge(a, b)

@@ -77,10 +77,32 @@ def test_short_and_empty_docs_pass_through(spark):
         for r in sd.remove_duplicate_spans(_docs(spark, rows), n=N).collect()
     }
     assert out[0] == ("tiny doc", 0)
-    assert out[1] == ("", 0)  # digits normalize away -> empty token space
+    # raw tokens are PRESERVED (digits are not span content but they
+    # are corpus content — cutting must not rewrite survivors)
+    assert out[1] == ("12345 67890", 0)
     # docs 2 and 3 share the span; smaller doc_id keeps it
     assert out[2] == (SPAN, 0)
     assert out[3] == ("q", 7)
+
+
+def test_matching_is_normalized_but_cutting_is_raw(spark):
+    """Spans match case/punctuation-insensitively (the engine's one
+    normalization rule) but each occurrence cuts or keeps its OWN raw
+    tokens — the canonical doc keeps its capitals and punctuation, and
+    the copy's surviving tokens keep theirs."""
+    rows = [
+        (0, "Alpha, BETA gamma! delta (epsilon) zeta eta" + " tail0 $3.50"),
+        (1, "Don't repeat: " + SPAN + " own-words 42"),
+    ]
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in sd.remove_duplicate_spans(_docs(spark, rows), n=N).collect()
+    }
+    # doc 0 is canonical (its normalized span == doc 1's): untouched,
+    # raw punctuation and case intact
+    assert out[0] == (rows[0][1], 0)
+    # doc 1 loses the 7 matching raw tokens, keeps its raw survivors
+    assert out[1] == ("Don't repeat: own-words 42", 7)
 
 
 def test_partition_invariant(spark):
