@@ -19,6 +19,13 @@ ranking — operators/index.py), straight from a manifest corpus:
     python -m parallel_inverted_index_map_reduce_spark search m.txt \
         --term spark --and spark query --phrase "stream table hash" \
         --bm25 "spark query" --k 5
+
+and the ``prep`` mode drives the composed training-data pipeline
+(pipeline.py) over a documents parquet, landing deterministic
+hash-ordered shards:
+
+    python -m parallel_inverted_index_map_reduce_spark prep docs.parquet \
+        --out ./shards --min-quality 0.3 --span-width 20 --shards 16
 """
 
 from __future__ import annotations
@@ -104,8 +111,54 @@ def _search(args) -> int:
         spark.stop()
 
 
+def _prep(args) -> int:
+    from . import pipeline as pl
+    from .session import get_spark
+
+    spark = get_spark(app_name="prep-training-data")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        docs = spark.read.parquet(args.documents)
+        packed = pl.prepare_training_data(
+            docs,
+            min_quality=args.min_quality,
+            span_dedup_width=args.span_width,
+        )
+        from .operators.export import write_training_shards
+
+        write_training_shards(
+            packed.selectExpr(
+                "concat_ws('#', doc_id, chunk_id) AS chunk_key", "*"
+            ),
+            args.out,
+            key="chunk_key",
+            n_shards=args.shards,
+        )
+        print(f"landed training shards under {args.out}")
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+
+    if argv and argv[0] == "prep":
+        parser = argparse.ArgumentParser(
+            prog="parallel_inverted_index_map_reduce_spark prep",
+            description="Run the training-data pipeline (scrub -> filter "
+            "-> dedup -> chunk -> pack) over a documents parquet and land "
+            "deterministic hash-ordered shards.",
+        )
+        parser.add_argument("documents", help="documents parquet path")
+        parser.add_argument("--out", required=True, help="shard output dir")
+        parser.add_argument("--min-quality", type=float, default=0.3)
+        parser.add_argument(
+            "--span-width", type=int, default=None,
+            help="also cut repeated cross-document spans of this width",
+        )
+        parser.add_argument("--shards", type=int, default=16)
+        return _prep(parser.parse_args(argv[1:]))
 
     if argv and argv[0] == "search":
         parser = argparse.ArgumentParser(

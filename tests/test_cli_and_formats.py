@@ -153,3 +153,36 @@ def test_orc_roundtrip(spark, tmp_path, table):
     a = sorted(map(lambda r: tuple(map(str, r)), df.collect()))
     b = sorted(map(lambda r: tuple(map(str, r)), back.collect()))
     assert a == b
+
+
+def test_cli_prep_mode(spark, tmp_path):
+    """`prep` runs the training pipeline end-to-end from the shell and
+    lands deterministic training shards."""
+    src = str(tmp_path / "docs_parquet")
+    load_table(spark, SF_ORACLE, "documents").write.parquet(src)
+    out = str(tmp_path / "shards")
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "parallel_inverted_index_map_reduce_spark",
+            "prep",
+            src,
+            "--out",
+            out,
+            "--min-quality",
+            "0.0",
+            "--shards",
+            "4",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    landed = spark.read.parquet(out)
+    assert landed.count() > 0
+    assert {"chunk", "n_tokens", "shard"} <= set(landed.columns)
+    shards = {r["shard"] for r in landed.select("shard").distinct().collect()}
+    assert shards <= set(range(4)) and len(shards) >= 2
