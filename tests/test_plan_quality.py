@@ -211,3 +211,32 @@ def test_quantized_topk_broadcasts_queries(spark):
     plan = _plan(quantized_topk(load_table(spark, SF_ORACLE, "embeddings")))
     assert "BroadcastExchange" in plan
     assert "Generate" not in plan
+
+
+def test_span_dedup_no_quadratic_joins(spark):
+    """The span-dedup flow must stay equi-join shaped end to end: gram
+    stats join back by hash, cuts join back by doc_id — never a
+    cartesian/BNLJ, whatever sizes the sides have."""
+    from parallel_inverted_index_map_reduce_spark.operators.spandedup import (
+        remove_duplicate_spans,
+    )
+    from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+    plan = _plan(remove_duplicate_spans(load_table(spark, SF_ORACLE, "documents"), n=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_build_single_corpus_scan(spark):
+    """The sketch build reads the corpus ONCE — each token explodes into
+    its depth coordinates instead of a per-seed union re-scanning the
+    token stream depth times."""
+    from parallel_inverted_index_map_reduce_spark.operators.sketches import (
+        cms_build,
+    )
+    from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+    plan = _plan(cms_build(load_table(spark, SF_ORACLE, "documents")))
+    assert _count_scans(plan) == 1, plan
+    # one aggregation exchange (+ the scan-spread repartition)
+    assert _count_exchanges(plan) <= 2, plan
