@@ -140,8 +140,32 @@ def _prep(args) -> int:
         spark.stop()
 
 
+def _stats(args) -> int:
+    from .operators.report import corpus_report
+    from .session import get_spark
+
+    spark = get_spark(app_name="corpus-stats", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        docs = spark.read.parquet(args.documents)
+        for r in corpus_report(docs).orderBy("metric").collect():
+            print(f"{r['metric']}\t{r['value']}")
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+
+    if argv and argv[0] == "stats":
+        parser = argparse.ArgumentParser(
+            prog="parallel_inverted_index_map_reduce_spark stats",
+            description="Profile a documents parquet: counts, length "
+            "quantiles, quality median, dup rate, label shares.",
+        )
+        parser.add_argument("documents", help="documents parquet path")
+        return _stats(parser.parse_args(argv[1:]))
 
     if argv and argv[0] == "prep":
         parser = argparse.ArgumentParser(

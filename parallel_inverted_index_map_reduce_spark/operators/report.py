@@ -1,0 +1,95 @@
+"""One-call corpus profiling: the stats report a data pipeline runs
+before committing compute to a corpus.
+
+Composes the engine's tested operators into a single (metric, value)
+DataFrame — document/token/vocab counts, length quantiles, quality and
+language mix, exact-duplicate rate, and per-source share. Everything is
+aggregation-shaped (no joins back to the corpus, no collect of data
+rows); the report frame itself is a few dozen rows whatever the corpus
+size.
+
+Values render as strings so the report has ONE schema regardless of
+metric type — the same scalar-typing rule the query registry follows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_df
+from .textstats import quality_scores
+
+
+def _kv(df: DataFrame, metric, value) -> DataFrame:
+    return df.select(
+        metric.alias("metric"), value.cast("string").alias("value")
+    )
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """(metric, value) rows profiling the corpus.
+
+    Metrics: n_docs, n_tokens, n_distinct_words, exact_dup_docs,
+    len_p25/p50/p75/p95 (token-length quantiles via approx_percentile),
+    quality_p50, share per language (lang=<x>) and per source
+    (source=<x>) when those columns exist.
+    """
+    toks = tokens_df(docs)
+
+    parts: list[DataFrame] = [
+        _kv(docs.agg(F.count("*").alias("v")), F.lit("n_docs"), F.col("v")),
+        _kv(toks.agg(F.count("*").alias("v")), F.lit("n_tokens"), F.col("v")),
+        _kv(
+            toks.agg(F.countDistinct("word").alias("v")),
+            F.lit("n_distinct_words"),
+            F.col("v"),
+        ),
+        _kv(
+            docs.groupBy(F.md5(F.col("text").cast("binary")))
+            .agg(F.count("*").alias("n"))
+            .agg(F.sum(F.col("n") - 1).alias("v")),
+            F.lit("exact_dup_docs"),
+            F.coalesce(F.col("v"), F.lit(0)),
+        ),
+    ]
+
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    for q in (25, 50, 75, 95):
+        parts.append(
+            _kv(
+                doclen.agg(
+                    F.percentile_approx("dl", q / 100.0).alias("v")
+                ),
+                F.lit(f"len_p{q}"),
+                F.col("v"),
+            )
+        )
+
+    parts.append(
+        _kv(
+            quality_scores(docs).agg(
+                F.percentile_approx(
+                    F.col("quality_score").cast("double"), 0.5
+                ).alias("v")
+            ),
+            F.lit("quality_p50"),
+            F.round(F.col("v"), 6),
+        )
+    )
+
+    for col, prefix in (("lang", "lang"), ("source", "source")):
+        if col in docs.columns:
+            parts.append(
+                docs.groupBy(col)
+                .agg(F.count("*").alias("n"))
+                .select(
+                    F.concat(F.lit(prefix + "="), F.col(col)).alias("metric"),
+                    F.col("n").cast("string").alias("value"),
+                )
+            )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

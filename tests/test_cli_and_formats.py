@@ -186,3 +186,27 @@ def test_cli_prep_mode(spark, tmp_path):
     assert {"chunk", "n_tokens", "shard"} <= set(landed.columns)
     shards = {r["shard"] for r in landed.select("shard").distinct().collect()}
     assert shards <= set(range(4)) and len(shards) >= 2
+
+
+def test_cli_stats_mode(spark, tmp_path):
+    src = str(tmp_path / "docs_pq")
+    load_table(spark, SF_ORACLE, "documents").write.parquet(src)
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "parallel_inverted_index_map_reduce_spark",
+            "stats",
+            src,
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    got = dict(
+        line.split("\t") for line in res.stdout.strip().splitlines() if "\t" in line
+    )
+    assert int(got["n_docs"]) > 0
+    assert "len_p50" in got and "quality_p50" in got
