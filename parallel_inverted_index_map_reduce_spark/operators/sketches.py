@@ -131,3 +131,71 @@ def cms_estimate(sketch: DataFrame, words: list[str]) -> DataFrame:
         .groupBy("word")
         .agg(F.min("c").alias("est"))
     )
+
+
+def frequent_terms(
+    docs: DataFrame, k: int = 100, min_count: int | None = None
+) -> DataFrame:
+    """(word, n): every term with global count > N/k, with its EXACT
+    count — distributed heavy hitters via per-partition Misra-Gries
+    summaries (Misra & Gries 1982; the "space-saving" family).
+
+    Three stages, none corpus-vocabulary-sized:
+
+    1. Each partition streams its tokens through a k-counter
+       Misra-Gries summary (Arrow ``mapInPandas``, counters dict per
+       partition — O(k) state however many tokens pass).
+    2. The surviving words union into a candidate set (at most
+       k x partitions rows). COMPLETENESS is the pigeonhole argument:
+       if a word's global count exceeds N/k, then on SOME partition its
+       local count exceeds that partition's N_p/k (otherwise the sum
+       could not exceed N/k), and Misra-Gries never evicts such a word
+       from that partition's summary — so every global heavy hitter
+       reaches the candidate set.
+    3. One exact count of JUST the candidates (semi-join pushes the
+       word filter into the token stream) removes the false positives
+       Misra-Gries tolerates; the final threshold keeps count > N/k
+       (or ``min_count`` when given).
+
+    The full groupBy(word) this replaces shuffles the whole vocabulary;
+    here the shuffle carries candidates only.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import pandas as pd
+
+    toks = tokens_df(docs)
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:
+                    # decrement-all: evict zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"word": list(counters.keys())})
+
+    candidates = (
+        toks.select("word")
+        .mapInPandas(mg, "word string")
+        .distinct()
+    )
+    exact = (
+        toks.join(candidates, "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    if min_count is not None:
+        return exact.where(F.col("n") >= min_count)
+    n_tokens = toks.count()
+    return exact.where(F.col("n") > n_tokens / k)

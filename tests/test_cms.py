@@ -96,3 +96,42 @@ def test_merge_rejects_mismatched_widths(spark):
     b = sk.cms_build(docs, depth=2, width=128)
     with pytest.raises(ValueError, match="widths"):
         sk.cms_merge(a, b)
+
+
+def test_frequent_terms_exact_and_partition_invariant(spark):
+    """frequent_terms must return EXACTLY the words with global count
+    > N/k, with exact counts, under any partitioning: Misra-Gries
+    candidates over-approximate differently per partitioning, but the
+    exact verification pass makes the final answer deterministic."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    from parallel_inverted_index_map_reduce_spark.functions.text import tokens_df
+
+    toks = tokens_df(docs)
+    n = toks.count()
+    k = 50
+    want = {
+        (r["word"], r["n"])
+        for r in toks.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > n / k)
+        .collect()
+    }
+    assert want  # the fixture must actually have heavy hitters
+
+    got = {
+        (r["word"], r["n"])
+        for r in sk.frequent_terms(docs, k=k).collect()
+    }
+    assert got == want
+
+    got7 = {
+        (r["word"], r["n"])
+        for r in sk.frequent_terms(docs.repartition(7), k=k).collect()
+    }
+    assert got7 == want
+
+
+def test_frequent_terms_min_count_threshold(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = sk.frequent_terms(docs, k=50, min_count=10_000_000).collect()
+    assert out == []  # nothing is that frequent at sf0.001
