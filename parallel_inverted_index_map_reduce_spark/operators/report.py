@@ -37,9 +37,22 @@ def corpus_report(docs: DataFrame) -> DataFrame:
     """
     toks = tokens_df(docs)
 
+    # ONE token-stream scan feeds the whole length family: doclen is a
+    # docs-sized frame materialized once (localCheckpoint), and
+    # n_tokens is its sum — without this, n_tokens plus each of the
+    # four quantiles would re-derive doclen from the full token stream
+    # (five corpus-scale scans for one metric family).
+    doclen = (
+        toks.groupBy("doc_id").agg(F.count("*").alias("dl")).localCheckpoint()
+    )
+
     parts: list[DataFrame] = [
         _kv(docs.agg(F.count("*").alias("v")), F.lit("n_docs"), F.col("v")),
-        _kv(toks.agg(F.count("*").alias("v")), F.lit("n_tokens"), F.col("v")),
+        _kv(
+            doclen.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("v")),
+            F.lit("n_tokens"),
+            F.col("v"),
+        ),
         _kv(
             toks.agg(F.countDistinct("word").alias("v")),
             F.lit("n_distinct_words"),
@@ -54,17 +67,28 @@ def corpus_report(docs: DataFrame) -> DataFrame:
         ),
     ]
 
-    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    for q in (25, 50, 75, 95):
-        parts.append(
-            _kv(
-                doclen.agg(
-                    F.percentile_approx("dl", q / 100.0).alias("v")
-                ),
-                F.lit(f"len_p{q}"),
-                F.col("v"),
-            )
+    # All four quantiles in ONE aggregation (percentile_approx takes an
+    # array of percentages), exploded into labeled rows.
+    qs = (25, 50, 75, 95)
+    parts.append(
+        doclen.agg(
+            F.percentile_approx(
+                "dl", F.array(*[F.lit(q / 100.0) for q in qs])
+            ).alias("vals")
         )
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(f"len_p{q}") for q in qs]).alias("m"),
+                    F.col("vals").alias("v"),
+                )
+            ).alias("z")
+        )
+        .select(
+            F.col("z.m").alias("metric"),
+            F.col("z.v").cast("string").alias("value"),
+        )
+    )
 
     parts.append(
         _kv(

@@ -90,6 +90,11 @@ def mix_to_proportions(
 
     Returns (mixed_df, fractions) so callers can log the realized plan.
     """
+    # Fail fast BEFORE the strata-count job: a bad weights map must not
+    # cost a corpus aggregation (and an empty set would make
+    # _strata_counts fall through to counting ALL non-null strata).
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of positive shares")
     counts = _strata_counts(df, strata_col, strata=set(weights))
     fractions = _mix_fractions(weights, counts)
     return stratified_sample(df, strata_col, fractions, key, salt), fractions

@@ -649,9 +649,12 @@ def knn_classify(
     labels join in from the corpus side; the winner is one ``max_by``
     aggregation over a (votes, -label) struct — votes desc with
     smallest-label tie-break, total and deterministic. The label join
-    is broadcast (labels are one scalar per corpus row); at scale the
-    neighbor stage dominates and this adds one map-side join plus a
-    groupBy on n_queries keys.
+    broadcasts the NEIGHBOR side — at most k * n_queries rows by
+    construction — against the corpus-scale labels frame (one map-side
+    join, no shuffle of labels; broadcasting labels instead would ship
+    one row per corpus vector, unbounded). At scale the neighbor stage
+    dominates and this adds one map-side join plus a groupBy on
+    n_queries keys.
     """
     nn = ann_topk(emb, k=k, n_queries=n_queries)
     labels = emb.select(
@@ -659,7 +662,7 @@ def knn_classify(
         F.col(label_col).cast("long").alias("nbr_label"),
     )
     votes = (
-        nn.join(F.broadcast(labels), "vec_b")
+        F.broadcast(nn).join(labels, "vec_b")
         .groupBy("vec_a", "nbr_label")
         .agg(F.count("*").alias("votes"))
     )

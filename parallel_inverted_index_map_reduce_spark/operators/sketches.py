@@ -138,21 +138,29 @@ def frequent_terms(
 ) -> DataFrame:
     """(word, n): every term with global count > N/k, with its EXACT
     count — distributed heavy hitters via per-partition Misra-Gries
-    summaries (Misra & Gries 1982; the "space-saving" family).
+    summaries (Misra & Gries 1982; merged batch-at-a-time with the
+    summary-reduction step of Agarwal et al. 2012, "Mergeable
+    Summaries").
 
-    Three stages, none corpus-vocabulary-sized:
+    TWO corpus scans, no stage corpus-vocabulary-sized:
 
-    1. Each partition streams its tokens through a k-counter
-       Misra-Gries summary (Arrow ``mapInPandas``, counters dict per
-       partition — O(k) state however many tokens pass).
-    2. The surviving words union into a candidate set (at most
-       k x partitions rows). COMPLETENESS is the pigeonhole argument:
-       if a word's global count exceeds N/k, then on SOME partition its
-       local count exceeds that partition's N_p/k (otherwise the sum
-       could not exceed N/k), and Misra-Gries never evicts such a word
-       from that partition's summary — so every global heavy hitter
-       reaches the candidate set.
-    3. One exact count of JUST the candidates (semi-join pushes the
+    1. Each partition folds its tokens into a k-counter summary — but
+       VECTORIZED: each Arrow batch is counted exactly with
+       ``value_counts`` (C speed), merged into the running counters,
+       then reduced back to k entries by subtracting the (k+1)-th
+       largest counter from all and dropping the non-positive
+       (the mergeable-summaries reduction). Each reduction removes at
+       least (k+1) * cut total mass, so the sum of cuts — the most any
+       word's counter can be under its true partition count — is at
+       most N_p/(k+1). COMPLETENESS follows by pigeonhole: a word with
+       global count > N/k exceeds N_p/(k+1) on some partition
+       (otherwise the global sum could not reach N/k), so its counter
+       there stays positive and it reaches the candidate set (at most
+       k x partitions rows). The same pass emits each partition's
+       token count as a sentinel row (word NULL), so N needs no extra
+       corpus scan; the tiny summary frame is materialized once
+       (localCheckpoint) and serves both the candidate set and N.
+    2. One exact count of JUST the candidates (semi-join pushes the
        word filter into the token stream) removes the false positives
        Misra-Gries tolerates; the final threshold keeps count > N/k
        (or ``min_count`` when given).
@@ -168,28 +176,33 @@ def frequent_terms(
 
     def mg(batches):
         counters: dict[str, int] = {}
+        n_part = 0
         for pdf in batches:
-            for w in pdf["word"]:
-                if w in counters:
-                    counters[w] += 1
-                elif len(counters) < k:
-                    counters[w] = 1
-                else:
-                    # decrement-all: evict zeroed counters
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
-        yield pd.DataFrame({"word": list(counters.keys())})
+            n_part += len(pdf)
+            for w, c in pdf["word"].value_counts().items():
+                counters[w] = counters.get(w, 0) + int(c)
+            if len(counters) > k:
+                # subtract the (k+1)-th largest count from every
+                # counter, drop the non-positive: at most k survive,
+                # and >= (k+1) counters each lose `cut`, so total cuts
+                # across the partition sum to <= N_p/(k+1)
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {w: c - cut for w, c in counters.items() if c > cut}
+        yield pd.DataFrame(
+            {
+                "word": list(counters.keys()) + [None],
+                "n_part": pd.array(
+                    [None] * len(counters) + [n_part], dtype="Int64"
+                ),
+            }
+        )
 
-    candidates = (
+    summary = (
         toks.select("word")
-        .mapInPandas(mg, "word string")
-        .distinct()
+        .mapInPandas(mg, "word string, n_part long")
+        .localCheckpoint()
     )
+    candidates = summary.where(F.col("word").isNotNull()).select("word").distinct()
     exact = (
         toks.join(candidates, "word", "left_semi")
         .groupBy("word")
@@ -197,5 +210,7 @@ def frequent_terms(
     )
     if min_count is not None:
         return exact.where(F.col("n") >= min_count)
-    n_tokens = toks.count()
+    n_tokens = (
+        summary.agg(F.coalesce(F.sum("n_part"), F.lit(0)).alias("n")).first()["n"]
+    )
     return exact.where(F.col("n") > n_tokens / k)

@@ -80,15 +80,21 @@ def _tokenized(docs: DataFrame) -> DataFrame:
 def _gram_hash(tks, i, n: int):
     """Full md5 of the normalized n-token join starting at i —
     case/punctuation-insensitive span identity, 128-bit so the hash
-    alone can safely drive the cut."""
-    return F.md5(
-        F.concat_ws(" ", F.transform(F.slice(tks, i + 1, n), normalize_token))
+    alone can safely drive the cut. Shuffled as 16-byte BINARY
+    (``unhex``), not the 32-char hex string: the gram groupBy is the
+    pass's dominant exchange and the binary form halves its key bytes."""
+    return F.unhex(
+        F.md5(
+            F.concat_ws(
+                " ", F.transform(F.slice(tks, i + 1, n), normalize_token)
+            )
+        )
     )
 
 
 def span_grams(docs: DataFrame, n: int = 20) -> DataFrame:
-    """(doc_id, pos, gram_hash): the hash of each n-token span at each
-    start position — narrow array pipeline, fused into the scan."""
+    """(doc_id, pos, gram_hash): the 16-byte md5 of each n-token span at
+    each start position — narrow array pipeline, fused into the scan."""
     if n < 2:
         raise ValueError(f"span width must be >= 2, got {n}")
     return _span_grams_from(_tokenized(docs), n)
@@ -101,7 +107,7 @@ def _span_grams_from(toks: DataFrame, n: int) -> DataFrame:
             F.sequence(F.lit(0), F.size("tks") - n),
             lambda i: _gram_hash(F.col("tks"), i, n),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<binary>"))
     return toks.select("doc_id", F.posexplode(grams).alias("pos", "gram_hash"))
 
 
