@@ -17,7 +17,7 @@ from ..functions.hashing import (
     MINHASH_P,
 )
 from ..operators import dedup as dd
-from .exprs import stable_round6
+from .exprs import sql_stable_round6, stable_round6
 from ..sources.tables import load_table
 from .registry import register
 
@@ -231,6 +231,132 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = near_dup_clusters(docs, threshold=0.8)
     scores = docs.select("doc_id", "n_chars")
     return cluster_representatives(clusters, scores, score_col="n_chars")
+
+
+# Span width for the pipeline_hygiene entry: small enough that the
+# synthetic corpus's near-dup documents actually share spans (the
+# production default of 20 also fires on this corpus, but 8 exercises
+# overlap-unioning much harder), large enough to stay cross-document
+# boilerplate rather than common phrases.
+_SPAN_N = 8
+
+SPAN_DEDUP_CTE = rf"""
+rawtok AS (
+    SELECT doc_id, tok,
+           row_number() OVER (PARTITION BY doc_id ORDER BY rp) - 1 AS pos
+    FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(text, '\s+')) AS tok,
+               unnest(range(0, len(string_split_regex(text, '\s+')))) AS rp
+        FROM documents
+    ) WHERE tok <> ''
+),
+arr AS (SELECT doc_id, list(tok ORDER BY pos) AS tks FROM rawtok GROUP BY doc_id),
+grams AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(list_transform(
+               list_slice(tks, i + 1, i + {_SPAN_N}),
+               t -> regexp_replace(lower(t), '[^a-z]', '', 'g')), ' ')) AS gh
+    FROM arr, unnest(range(0, greatest(len(tks) - {_SPAN_N} + 1, 0))) AS u(i)
+),
+dupg AS (
+    SELECT gh, min(doc_id) AS canon_doc
+    FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+),
+cuts AS (
+    SELECT g.doc_id, g.pos FROM grams g JOIN dupg d USING (gh)
+    WHERE g.doc_id <> d.canon_doc
+),
+covered AS (
+    SELECT DISTINCT c.doc_id, c.pos + u.j AS tokpos
+    FROM cuts c, unnest(range(0, {_SPAN_N})) AS u(j)
+),
+kept AS (
+    SELECT r.doc_id, r.pos, r.tok
+    FROM rawtok r LEFT JOIN covered cv
+      ON cv.doc_id = r.doc_id AND cv.tokpos = r.pos
+    WHERE cv.tokpos IS NULL
+),
+keptagg AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id
+),
+rawn AS (SELECT doc_id, count(*) AS n_raw FROM rawtok GROUP BY doc_id)
+"""
+
+
+@register(
+    "pipeline_hygiene",
+    oracle="WITH "
+    + SHINGLES_CTE
+    + ",\n"
+    + SPAN_DEDUP_CTE
+    + f""",
+tr AS (SELECT doc_id AS train_id, shingle_hash FROM shingles WHERE doc_id < 400),
+ev AS (SELECT doc_id AS eval_id, shingle_hash FROM shingles WHERE doc_id >= 400),
+evs AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY eval_id),
+common AS (
+    SELECT train_id, eval_id, count(*) AS n_common
+    FROM tr JOIN ev USING (shingle_hash) GROUP BY 1, 2
+)
+SELECT 'span_dedup' AS op, d.doc_id AS id_a, CAST(0 AS BIGINT) AS id_b,
+       CAST(coalesce(rn.n_raw, 0) - coalesce(ka.n_kept, 0) AS BIGINT) AS n,
+       md5(coalesce(ka.text, '')) AS metric
+FROM documents d
+LEFT JOIN rawn rn ON rn.doc_id = d.doc_id
+LEFT JOIN keptagg ka ON ka.doc_id = d.doc_id
+UNION ALL
+SELECT 'decontam', c.train_id, c.eval_id, CAST(c.n_common AS BIGINT),
+       {sql_stable_round6('c.n_common * 1.0 / e.n_eval')}
+FROM common c JOIN evs e USING (eval_id)
+WHERE CAST(c.n_common AS DECIMAL(28,12)) / CAST(e.n_eval AS DECIMAL(28,12))
+      >= CAST('0.3' AS DECIMAL(28,12))
+""",
+    tags=("dedup", "pipeline", "hygiene"),
+    doc="The two destructive hygiene passes of the training pipeline in "
+    "one labeled result. 'span_dedup' rows (operators/spandedup.py "
+    "remove_duplicate_spans, the ExactSubstr variant of Lee et al. 2022 "
+    "over 8-token grams): one row per document with the md5 of its "
+    "reconstructed text after every cross-document duplicated span "
+    "outside its canonical (smallest doc_id) occurrence is cut, plus "
+    "the exact token count removed — the engine's linear sorted-starts "
+    "sweep is proven by the oracle's independent interval-cover "
+    "formulation (each cut start covers [pos, pos+n); a token survives "
+    "iff no cut covers it). 'decontam' rows (operators/decontam.py "
+    "contamination_report): every (train, eval) pair whose 3-token "
+    "shingle containment — the fraction of the EVAL doc's distinct "
+    "shingles present in the train doc — reaches 0.3, over the "
+    "doc_id<400 / >=400 split; the threshold compares in decimal so an "
+    "exactly-at-threshold pair cannot evade flagging. Scale shape: "
+    "both passes are equi-joins on md5 identities (gram groupBy + "
+    "cut-list join; shingle join bounded by shared vocabulary) — "
+    "never a cross join, no Python in either hot path.",
+)
+def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import contamination_report
+    from ..operators.spandedup import remove_duplicate_spans
+
+    docs = _docs(spark, sf_dir)
+    sd = remove_duplicate_spans(docs, n=_SPAN_N).select(
+        F.lit("span_dedup").alias("op"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.lit(0).cast("long").alias("id_b"),
+        F.col("n_tokens_removed").cast("long").alias("n"),
+        F.md5(F.col("text").cast("binary")).alias("metric"),
+    )
+    dc = contamination_report(
+        docs.where(F.col("doc_id") < 400),
+        docs.where(F.col("doc_id") >= 400),
+        threshold=0.3,
+    ).select(
+        F.lit("decontam").alias("op"),
+        F.col("train_id").cast("long").alias("id_a"),
+        F.col("eval_id").cast("long").alias("id_b"),
+        F.col("n_common").cast("long").alias("n"),
+        F.col("containment").alias("metric"),
+    )
+    return sd.unionByName(dc)
 
 
 @register(

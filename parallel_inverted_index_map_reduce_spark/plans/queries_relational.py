@@ -101,13 +101,27 @@ SELECT 'events_gsets',
        CAST(grouping(date_trunc('day', ts)) AS BIGINT)
 FROM events
 GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+UNION ALL
+SELECT 'orders_buckets',
+       CASE WHEN o_totalprice < 100000 THEN 'small'
+            WHEN o_totalprice < 300000 THEN 'medium'
+            ELSE 'large' END,
+       '',
+       count(*),
+       CAST(SUM(CAST(round(o_totalprice, 6) AS DECIMAL(38,8))) AS VARCHAR),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM orders
+GROUP BY 2
 """,
     tags=("relational", "agg"),
     doc="The multi-dimensional aggregation family in one labeled result: "
     "ROLLUP (hierarchical subtotals over orders), CUBE (all combinations "
-    "over lineitem), and explicit GROUPING SETS (by type / by day / "
-    "grand total over events), each with grouping() indicators. HAVING "
-    "is covered by large_volume_orders.",
+    "over lineitem), explicit GROUPING SETS (by type / by day / "
+    "grand total over events), each with grouping() indicators, and "
+    "CASE WHEN bucketing + aggregate as the 'orders_buckets' rows "
+    "(folded in from the former case_when_buckets entry — same "
+    "operators, one registry slot per family). HAVING is covered by "
+    "large_volume_orders.",
 )
 def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -149,7 +163,25 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
         """
     )
-    return rollup.unionByName(cube).unionByName(gsets)
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    buckets = (
+        o.groupBy(bucket.alias("key1"))
+        .agg(F.count("*").alias("n_rows"), dsum(F.col("o_totalprice"), "sum_measure"))
+        .select(
+            F.lit("orders_buckets").alias("source"),
+            "key1",
+            F.lit("").alias("key2"),
+            "n_rows",
+            "sum_measure",
+            F.lit(0).cast("long").alias("g1"),
+            F.lit(0).cast("long").alias("g2"),
+        )
+    )
+    return rollup.unionByName(cube).unionByName(gsets).unionByName(buckets)
 
 
 @register(
@@ -703,31 +735,10 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "case_when_buckets",
-    oracle="""
-SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
-            WHEN o_totalprice < 300000 THEN 'medium'
-            ELSE 'large' END AS bucket,
-       count(*) AS n_orders,
-       CAST(SUM(CAST(round(o_totalprice, 6) AS DECIMAL(38,8))) AS VARCHAR) AS total
-FROM orders
-GROUP BY 1
-""",
-    tags=("relational", "functions"),
-    doc="CASE WHEN bucketing + aggregate.",
-)
-def q_case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    bucket = (
-        F.when(F.col("o_totalprice") < 100000, "small")
-        .when(F.col("o_totalprice") < 300000, "medium")
-        .otherwise("large")
-    )
-    return (
-        o.groupBy(bucket.alias("bucket"))
-        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice"), "total"))
-    )
+# case_when_buckets was folded into grouping_analytics as the
+# 'orders_buckets' labeled source — same CASE WHEN bucketing + decimal
+# aggregate, one registry slot per aggregation family (the freed slot
+# went to pipeline_hygiene in queries_dedup.py).
 
 
 @register(

@@ -122,51 +122,125 @@ _HO = sql_stable_hash32("CAST(l_orderkey AS VARCHAR)")
 _HR = sql_stable_hash32("l_orderkey || '-' || l_linenumber")
 _SAMPLED = f"CASE WHEN {_HR} < {_SAMPLE_T} THEN l_extendedprice END"
 
+# Count-min / heavy-hitter parameters for the 'cms' and 'heavy' parts:
+# probes include a guaranteed-absent word (its CMS estimate is whatever
+# collisions put in its slots — the oracle reproduces it exactly) and
+# k=50 puts ~30 words over the N/k exact-verification threshold on the
+# synthetic corpus.
+_CMS_PROBES = ("join", "hash", "customer", "nosuchwordxyz")
+_HH_K = 50
+
 
 @register(
     "approx_aggregates",
     oracle=f"""
-SELECT CAST(64 * COUNT(DISTINCT CASE WHEN {_HP} < {_KMV_T} THEN l_partkey END) AS BIGINT) AS est_parts,
-       CAST(64 * COUNT(DISTINCT CASE WHEN {_HO} < {_KMV_T} THEN l_orderkey END) AS BIGINT) AS est_orders,
-       {sql_stable_round6(f"quantile_cont({_SAMPLED}, 0.5)")} AS sample_median_price,
-       {sql_stable_round6(f"quantile_cont({_SAMPLED}, 0.95)")} AS sample_p95_price
-FROM lineitem
+WITH toks AS (
+    SELECT doc_id, regexp_replace(lower(tok), '[^a-z]', '', 'g') AS word
+    FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+          FROM documents)
+    WHERE regexp_replace(lower(tok), '[^a-z]', '', 'g') <> ''
+),
+base AS (
+    SELECT CAST(64 * COUNT(DISTINCT CASE WHEN {_HP} < {_KMV_T} THEN l_partkey END) AS BIGINT) AS est_parts,
+           CAST(64 * COUNT(DISTINCT CASE WHEN {_HO} < {_KMV_T} THEN l_orderkey END) AS BIGINT) AS est_orders,
+           {sql_stable_round6(f"quantile_cont({_SAMPLED}, 0.5)")} AS median_price,
+           {sql_stable_round6(f"quantile_cont({_SAMPLED}, 0.95)")} AS p95_price
+    FROM lineitem
+),
+coords AS (
+    SELECT seed,
+           CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '_' || word), 1, 8) AS BIGINT) % 256 AS slot
+    FROM toks, unnest([0, 1, 2, 3]) AS s(seed)
+),
+cms AS (SELECT seed, slot, count(*) AS c FROM coords GROUP BY seed, slot),
+probes(word) AS (VALUES {", ".join(f"('{w}')" for w in _CMS_PROBES)}),
+pcoords AS (
+    SELECT word, seed,
+           CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '_' || word), 1, 8) AS BIGINT) % 256 AS slot
+    FROM probes, unnest([0, 1, 2, 3]) AS s(seed)
+),
+est AS (
+    SELECT p.word, min(coalesce(c.c, 0)) AS est
+    FROM pcoords p LEFT JOIN cms c ON c.seed = p.seed AND c.slot = p.slot
+    GROUP BY p.word
+),
+ntok AS (SELECT count(*) AS n FROM toks),
+hh AS (
+    SELECT word, count(*) AS n FROM toks GROUP BY word
+    HAVING count(*) > (SELECT n FROM ntok) / {_HH_K}.0
+)
+SELECT 'kmv' AS part, 'est_parts' AS metric, CAST(est_parts AS VARCHAR) AS value FROM base
+UNION ALL SELECT 'kmv', 'est_orders', CAST(est_orders AS VARCHAR) FROM base
+UNION ALL SELECT 'sample', 'median_price', median_price FROM base
+UNION ALL SELECT 'sample', 'p95_price', p95_price FROM base
+UNION ALL SELECT 'cms', word, CAST(est AS VARCHAR) FROM est
+UNION ALL SELECT 'heavy', word, CAST(n AS VARCHAR) FROM hh
 """,
-    tags=("relational", "agg", "approx"),
-    doc="DETERMINISTIC approximate aggregates, hash-verified across "
-    "engines: threshold-KMV distinct estimates (count distinct values "
-    "whose md5-hash falls under 1/64 of hash space, scaled back up) and "
-    "exact percentiles over a deterministic 1/16 row sample. Unlike "
-    "HLL/KLL sketches — whose internals legitimately differ per engine "
-    "and which are covered by accuracy-bound tests in "
-    "tests/test_approx_sketches.py — these estimators are reproducible "
-    "bit-for-bit on any engine with md5, so the oracle hash-checks them. "
-    "Scale shape: one filtered distinct-count (shuffles only the 1/64 "
-    "hash-sampled values) and one filtered percentile (1/16 of rows).",
+    tags=("relational", "agg", "approx", "sketch"),
+    doc="The DETERMINISTIC approximate-aggregate family, hash-verified "
+    "across engines as labeled (part, metric, value) rows. 'kmv': "
+    "threshold-KMV distinct estimates over lineitem (count distinct "
+    "values whose md5-hash falls under 1/64 of hash space, scaled back "
+    "up). 'sample': exact percentiles over a deterministic 1/16 row "
+    "sample. 'cms': count-min sketch estimates (operators/sketches.py "
+    "cms_build/cms_estimate — d=4 x w=256 md5-slotted counters, ONE "
+    "corpus scan, probes join the bounded counter table, never the "
+    "corpus; the probe set includes an absent word whose "
+    "collision-floor estimate the oracle reproduces exactly). 'heavy': "
+    "every term with global count > N/50 with its EXACT count "
+    "(frequent_terms — per-partition vectorized Misra-Gries summaries, "
+    "candidates exact-verified via semi-join; the oracle is the plain "
+    "full-vocabulary groupBy the MG pass avoids, so a hash match "
+    "proves the sketch path loses nothing). Unlike HLL/KLL — whose "
+    "internals legitimately differ per engine and which are covered by "
+    "accuracy-bound tests in tests/test_approx_sketches.py — every "
+    "part here is reproducible bit-for-bit on any engine with md5. "
+    "Scale shape: one filtered distinct-count, one filtered "
+    "percentile, one token-stream explode into d*w counter rows, and "
+    "a candidates-only exact count — no full-vocabulary shuffle "
+    "anywhere.",
 )
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import stable_hash32
+    from ..operators import sketches as sk
     from .exprs import stable_round6
 
     l = _t(spark, sf_dir, "lineitem")
+    docs = _t(spark, sf_dir, "documents")
     hpart = stable_hash32(F.col("l_partkey").cast("string"))
     hord = stable_hash32(F.col("l_orderkey").cast("string"))
     hrow = stable_hash32(F.concat_ws("-", "l_orderkey", "l_linenumber"))
     sampled_price = F.when(hrow < _SAMPLE_T, F.col("l_extendedprice"))
-    return l.agg(
+    one = l.agg(
         (F.countDistinct(F.when(hpart < _KMV_T, F.col("l_partkey"))) * 64)
         .cast("long")
+        .cast("string")
         .alias("est_parts"),
         (F.countDistinct(F.when(hord < _KMV_T, F.col("l_orderkey"))) * 64)
         .cast("long")
+        .cast("string")
         .alias("est_orders"),
-        stable_round6(F.percentile(sampled_price, 0.5)).alias(
-            "sample_median_price"
-        ),
-        stable_round6(F.percentile(sampled_price, 0.95)).alias(
-            "sample_p95_price"
-        ),
+        stable_round6(F.percentile(sampled_price, 0.5)).alias("median_price"),
+        stable_round6(F.percentile(sampled_price, 0.95)).alias("p95_price"),
     )
+    kmv_sample = one.unpivot([], one.columns, "metric", "value").select(
+        F.when(F.col("metric").isin("est_parts", "est_orders"), "kmv")
+        .otherwise("sample")
+        .alias("part"),
+        "metric",
+        "value",
+    )
+    cms = sk.cms_estimate(sk.cms_build(docs), list(_CMS_PROBES)).select(
+        F.lit("cms").alias("part"),
+        F.col("word").alias("metric"),
+        F.col("est").cast("string").alias("value"),
+    )
+    heavy = sk.frequent_terms(docs, k=_HH_K).select(
+        F.lit("heavy").alias("part"),
+        F.col("word").alias("metric"),
+        F.col("n").cast("string").alias("value"),
+    )
+    return kmv_sample.unionByName(cms).unionByName(heavy)
 
 
 @register(

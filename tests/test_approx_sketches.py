@@ -48,13 +48,24 @@ def test_threshold_sketch_estimates_near_exact(spark):
     """
     sf = "/root/testdata/sf0.01"
     l = load_table(spark, sf, "lineitem")
-    est = all_specs()["approx_aggregates"].fn(spark, sf).first()
+    rows = all_specs()["approx_aggregates"].fn(spark, sf).collect()
+    est = {(r["part"], r["metric"]): r["value"] for r in rows}
     exact = l.agg(
         F.countDistinct("l_partkey").alias("parts"),
         F.countDistinct("l_orderkey").alias("orders"),
         F.percentile("l_extendedprice", 0.5).alias("median"),
     ).first()
     # 1/64 value sampling at ~1-2e3 distinct values: generous bounds
-    assert abs(est.est_parts - exact.parts) / exact.parts < 0.6
-    assert abs(est.est_orders - exact.orders) / exact.orders < 0.6
-    assert abs(float(est.sample_median_price) - exact.median) / exact.median < 0.25
+    est_parts = int(est[("kmv", "est_parts")])
+    est_orders = int(est[("kmv", "est_orders")])
+    median = float(est[("sample", "median_price")])
+    assert abs(est_parts - exact.parts) / exact.parts < 0.6
+    assert abs(est_orders - exact.orders) / exact.orders < 0.6
+    assert abs(median - exact.median) / exact.median < 0.25
+    # the cms part carries estimates for every probe, and the heavy part
+    # only words that actually clear the N/k threshold (exact counts)
+    assert {m for p, m in est if p == "cms"} == {
+        "join", "hash", "customer", "nosuchwordxyz"
+    }
+    heavy = {m: int(v) for (p, m), v in est.items() if p == "heavy"}
+    assert heavy and all(n > 0 for n in heavy.values())
