@@ -51,6 +51,19 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_table(df: DataFrame, table: str) -> None:
+    """Persist a small unbucketed managed parquet table (stats rows,
+    scalar companions), replacing any previous version — same
+    table-replacement hygiene as :func:`write_bucketed`."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table)
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
+    df.write.format("parquet").mode("overwrite").saveAsTable(table)
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, key_left: str, key_right: str
 ) -> DataFrame:

@@ -531,18 +531,7 @@ def phrase_search(docs: DataFrame, phrase: str) -> DataFrame:
     window. Shuffle volume is bounded by the phrase terms' total term
     frequency, the positional-postings bound.
     """
-    import re as _re
-
-    from ..functions.text import PY_NON_ALPHA_RE, PY_WHITESPACE_RE
-
-    words = [
-        w
-        for w in (
-            _re.sub(PY_NON_ALPHA_RE, "", t.lower())
-            for t in _re.split(PY_WHITESPACE_RE, phrase)
-        )
-        if w
-    ]
+    words = normalize_query_tokens(phrase)
     if not words:
         raise ValueError(f"phrase normalizes to nothing: {phrase!r}")
     toks = positional_tokens(docs).where(F.col("word").isin(*set(words)))
@@ -554,10 +543,19 @@ def phrase_search(docs: DataFrame, phrase: str) -> DataFrame:
             for i, w in enumerate(words)
         ]
     )
+    return phrase_adjacency_filter(per_doc, len(words))
+
+
+def phrase_adjacency_filter(per_doc: DataFrame, n_words: int) -> DataFrame:
+    """The phrase-match tail shared by the corpus-scan and stored-index
+    paths: a (doc_id, p0..p{n-1}) frame of per-word sorted position
+    arrays -> (doc_id, match_positions). Adjacency is a per-row array
+    predicate (``exists p in p0: p+i in p_i for all i``) — no n-way
+    self-join, no window, no shuffle beyond the input's."""
 
     def adjacent(p: Column) -> Column:
         cond = F.lit(True)
-        for i in range(1, len(words)):
+        for i in range(1, n_words):
             cond = cond & F.array_contains(F.col(f"p{i}"), p + i)
         return cond
 
@@ -590,6 +588,15 @@ def proximity_search(
         F.collect_set(F.when(F.col("word") == t1, F.col("npos"))).alias("p1"),
         F.collect_set(F.when(F.col("word") == t2, F.col("npos"))).alias("p2"),
     )
+    return proximity_min_filter(per_doc, max_dist)
+
+
+def proximity_min_filter(per_doc: DataFrame, max_dist: int) -> DataFrame:
+    """The NEAR/k tail shared by the corpus-scan and stored-index paths:
+    a (doc_id, p1, p2) frame of the two terms' position arrays ->
+    (doc_id, min_dist) where both occur within ``max_dist``. The nested
+    fold is O(tf1 * tf2) per doc — bounded by term frequency — and
+    never shuffles."""
     pairwise_min = F.aggregate(
         F.col("p1"),
         F.lit(None).cast("long"),
@@ -638,20 +645,7 @@ def bm25_search(
     (score desc, doc_id asc) rank are deterministic under any
     partitioning and reproducible against a SQL oracle.
     """
-    import re as _re
-
-    from ..functions.text import PY_NON_ALPHA_RE, PY_WHITESPACE_RE
-
-    words = sorted(
-        {
-            w
-            for w in (
-                _re.sub(PY_NON_ALPHA_RE, "", t.lower())
-                for t in _re.split(PY_WHITESPACE_RE, query)
-            )
-            if w
-        }
-    )
+    words = sorted(set(normalize_query_tokens(query)))
     if not words:
         raise ValueError(f"query normalizes to nothing: {query!r}")
 
@@ -665,13 +659,52 @@ def bm25_search(
         .groupBy("word", "doc_id")
         .agg(F.count("*").alias("tf"))
     )
-    # idf is the one sub-expression whose value is libm-defined (ln);
-    # round it to 9 decimals so every engine computing the same formula
-    # lands on the same number. Everything downstream is IEEE-exact
-    # (mul/div/add) until the per-term round(…, 9), and the per-doc sum
-    # accumulates in decimal — order-independent, so the score (and the
-    # top-k cut it drives) is deterministic under any partitioning and
-    # reproducible cross-engine.
+    return bm25_rank(tf, doclen, n_docs, avgdl, k1=k1, b=b, k=k)
+
+
+def normalize_query_tokens(text: str) -> list[str]:
+    """Driver-side twin of the engine's one tokenization rule (split on
+    ASCII whitespace, lower, strip non-[a-z], drop empties) for query
+    strings — order and duplicates preserved (phrase semantics need
+    both; set-shaped callers dedup themselves)."""
+    import re as _re
+
+    from ..functions.text import PY_NON_ALPHA_RE, PY_WHITESPACE_RE
+
+    return [
+        w
+        for w in (
+            _re.sub(PY_NON_ALPHA_RE, "", t.lower())
+            for t in _re.split(PY_WHITESPACE_RE, text)
+        )
+        if w
+    ]
+
+
+def bm25_rank(
+    tf: DataFrame,
+    doclen: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """The BM25 scoring tail shared by the corpus-scan and stored-index
+    paths: (word, doc_id, tf) + (doc_id, dl) + corpus scalars ->
+    (doc_id, score, rank) top-k. Keeping this ONE implementation is
+    what lets the stored path (operators/serving.py) be proven
+    row-identical to the corpus-scan form — only tf/doclen SOURCING
+    differs between them.
+
+    idf is the one sub-expression whose value is libm-defined (ln);
+    round it to 9 decimals so every engine computing the same formula
+    lands on the same number. Everything downstream is IEEE-exact
+    (mul/div/add) until the per-term round(…, 9), and the per-doc sum
+    accumulates in decimal — order-independent, so the score (and the
+    top-k cut it drives) is deterministic under any partitioning and
+    reproducible cross-engine.
+    """
     idf = tf.groupBy("word").agg(
         F.countDistinct("doc_id").alias("df_")
     ).select(

@@ -1,0 +1,234 @@
+"""Index SERVING: run the search surface against stored tables instead
+of re-tokenizing the corpus per query.
+
+The corpus-scan forms in operators/index.py (bm25_search,
+phrase_search, proximity_search, boolean_search) are the right shape
+for batch analytics — one job that happens to include tokenization.
+They are the WRONG cost model for a query engine: at 100 TB every
+query would re-read and re-tokenize the whole corpus. This module is
+the other half the reference's design implies but never builds
+(ref: src/main.cpp:310-317 persists the index as 26 text files and
+stops — it has no query side at all): persist the index ONCE in a
+pruned layout, then serve each query at lookup cost.
+
+Layout written by :func:`store_search_index` under a ``base`` name:
+
+- ``<base>_chunks``    — the chunked flat index (letter-partitioned,
+  word-bucketed+sorted; operators/index.py store_chunked_index): point
+  lookups and boolean ops read ONE bucket of one letter directory.
+- ``<base>_positions`` — positional postings (word, doc_id, positions),
+  same two-level layout: phrase/proximity/BM25 read only the query
+  terms' buckets. tf = size(positions), so BM25 needs no separate tf
+  table.
+- ``<base>_doclen``    — (doc_id, dl), bucketed by doc_id: the BM25
+  length-normalization join co-locates without an exchange when the
+  candidate side is shuffled to match, and AQE broadcasts the (tiny,
+  term-bounded) candidate side regardless.
+- ``<base>_stats``     — ONE row (n_docs, avgdl): the corpus scalars
+  BM25 needs, precomputed at build time instead of two corpus
+  aggregations per query.
+
+Every query operator here is proven ROW-IDENTICAL to its corpus-scan
+twin (tests/test_index_storage.py) because both share the same scoring
+or matching tail (index.py bm25_rank / phrase_adjacency_filter /
+proximity_min_filter) — only the tf/position SOURCING differs. Plan
+tests assert the stored reads actually prune (PushedFilters +
+SelectedBucketsCount), which is the entire point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_df
+from .bucketing import write_bucketed, write_table
+from .index import (
+    bm25_rank,
+    build_index_chunked,
+    lookup_stored_terms,
+    normalize_query_tokens,
+    phrase_adjacency_filter,
+    positional_postings,
+    proximity_min_filter,
+    store_chunked_index,
+)
+
+
+def store_search_index(
+    docs: DataFrame,
+    base: str,
+    n_buckets: int = 8,
+    chunk_size: int = 4096,
+) -> None:
+    """Build and persist the full serving layout for ``docs`` under
+    ``base`` (four tables, see module docstring). One tokenization of
+    the corpus feeds all four writes; everything downstream of this
+    call is lookup-cost."""
+    spark = docs.sparkSession
+    store_chunked_index(
+        build_index_chunked(docs, chunk_size=chunk_size),
+        f"{base}_chunks",
+        n_buckets=n_buckets,
+    )
+    pos = positional_postings(docs).withColumn(
+        "letter", F.substring("word", 1, 1)
+    )
+    write_bucketed(
+        pos,
+        f"{base}_positions",
+        "word",
+        n_buckets,
+        sort_col="word",
+        partition_cols=("letter",),
+    )
+    doclen = tokens_df(docs).groupBy("doc_id").agg(F.count("*").alias("dl"))
+    write_bucketed(doclen, f"{base}_doclen", "doc_id", n_buckets, sort_col="doc_id")
+    # n_docs counts ALL documents (token-less ones contribute to BM25's
+    # N exactly as in the corpus-scan form); avgdl averages over
+    # tokenized docs, matching bm25_search's doclen aggregate.
+    n_docs = docs.count()
+    stats = spark.table(f"{base}_doclen").agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.coalesce(F.avg("dl"), F.lit(1.0)).alias("avgdl"),
+    )
+    write_table(stats, f"{base}_stats")
+
+
+def _positions_for(
+    spark: SparkSession, base: str, words: set[str]
+) -> DataFrame:
+    """The query terms' positional postings, double-pruned: the derived
+    letter predicate prunes whole partition DIRECTORIES
+    (PartitionFilters — always applies), and the word IN filter pushes
+    into the parquet scan (PushedFilters; it additionally prunes to the
+    terms' buckets whenever the planner keeps the bucketed scan — it
+    drops bucketing when no downstream operation is word-keyed, e.g.
+    the phrase path's doc_id aggregation, and the pushed filter plus
+    word-sorted files then still skip row groups)."""
+    letters = sorted({w[0] for w in words})
+    return (
+        spark.table(f"{base}_positions")
+        .where(F.col("letter").isin(*letters))
+        .where(F.col("word").isin(*sorted(words)))
+    )
+
+
+def bm25_search_stored(
+    spark: SparkSession,
+    base: str,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """(doc_id, score, rank): BM25 top-k served from the stored index —
+    row-identical to index.py bm25_search (same bm25_rank tail), but
+    per-query cost is the query terms' pruned positional buckets plus
+    one column-pruned doclen read, NOT a corpus re-tokenization. tf
+    comes free as size(positions); df derives from the same pruned
+    read inside bm25_rank; N and avgdl are the precomputed stats row."""
+    words = sorted(set(normalize_query_tokens(query)))
+    if not words:
+        raise ValueError(f"query normalizes to nothing: {query!r}")
+    tf = _positions_for(spark, base, set(words)).select(
+        "word", "doc_id", F.size("positions").cast("long").alias("tf")
+    )
+    doclen = spark.table(f"{base}_doclen")
+    st = spark.table(f"{base}_stats").first()
+    return bm25_rank(
+        tf, doclen, int(st["n_docs"]), float(st["avgdl"]), k1=k1, b=b, k=k
+    )
+
+
+def phrase_search_stored(
+    spark: SparkSession, base: str, phrase: str
+) -> DataFrame:
+    """(doc_id, match_positions): exact-phrase match served from the
+    stored positional index — row-identical to index.py phrase_search
+    (same phrase_adjacency_filter tail). The per-word position arrays
+    are ALREADY aggregated in storage, so the only work is the pruned
+    read plus one groupBy(doc_id) over rows bounded by the phrase
+    terms' document frequency."""
+    words = normalize_query_tokens(phrase)
+    if not words:
+        raise ValueError(f"phrase normalizes to nothing: {phrase!r}")
+    pos = _positions_for(spark, base, set(words))
+    empty = F.array().cast("array<int>")
+    per_doc = pos.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("word") == w, F.col("positions"))), empty
+            ).alias(f"p{i}")
+            for i, w in enumerate(words)
+        ]
+    )
+    return phrase_adjacency_filter(per_doc, len(words))
+
+
+def proximity_search_stored(
+    spark: SparkSession, base: str, t1: str, t2: str, max_dist: int = 3
+) -> DataFrame:
+    """(doc_id, min_dist): NEAR/k served from the stored positional
+    index — row-identical to index.py proximity_search (same
+    proximity_min_filter tail), at pruned-lookup cost."""
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    pos = _positions_for(spark, base, {t1, t2})
+    empty = F.array().cast("array<int>")
+    per_doc = pos.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("word") == t, F.col("positions"))), empty
+            ).alias(f"p{i + 1}")
+            for i, t in enumerate((t1, t2))
+        ]
+    )
+    return proximity_min_filter(per_doc, max_dist)
+
+
+def boolean_search_stored(
+    spark: SparkSession, base: str, t1: str, t2: str
+) -> DataFrame:
+    """(op, term1, term2, doc_ids): AND/OR/NOT posting ops served from
+    the stored chunked index — the lookup reads one bucket per term
+    (lookup_stored_terms), the three ops project from ONE collected
+    pair of posting arrays. Emits 0 rows when either term is absent,
+    matching index.py boolean_search's both-present semantics."""
+    merged = lookup_stored_terms(spark, f"{base}_chunks", [t1, t2])
+    empty = F.array().cast("array<long>")
+    two = merged.groupBy().agg(
+        F.coalesce(
+            F.max(F.when(F.col("word") == t1, F.col("postings"))), empty
+        ).alias("p1"),
+        F.coalesce(
+            F.max(F.when(F.col("word") == t2, F.col("postings"))), empty
+        ).alias("p2"),
+        F.coalesce(F.max(F.col("word") == t1), F.lit(False)).alias("has1"),
+        F.coalesce(F.max(F.col("word") == t2), F.lit(False)).alias("has2"),
+    )
+    both = F.col("has1") & F.col("has2")
+    entries = [
+        F.struct(
+            F.lit(op).alias("op"),
+            F.lit(t1).alias("term1"),
+            F.lit(t2).alias("term2"),
+            F.sort_array(arr).alias("doc_ids"),
+            both.alias("emit"),
+        )
+        for op, arr in (
+            ("and", F.array_intersect("p1", "p2")),
+            ("or", F.array_union("p1", "p2")),
+            ("not", F.array_except("p1", "p2")),
+        )
+    ]
+    return (
+        two.select(F.explode(F.array(*entries)).alias("kv"))
+        .where(F.col("kv.emit"))
+        .select(
+            F.col("kv.op").alias("op"),
+            F.col("kv.term1").alias("term1"),
+            F.col("kv.term2").alias("term2"),
+            F.col("kv.doc_ids").alias("doc_ids"),
+        )
+    )

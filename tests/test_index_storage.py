@@ -1,18 +1,26 @@
-"""Stored chunked-index serving path: bucket-pruned, filter-pushed
-point lookups against the word-bucketed layout — the read side of the
-100 TB index story (build once, serve lookups at one-bucket cost)."""
+"""Stored-index serving path: bucket-pruned, filter-pushed lookups
+against the word-bucketed layout — the read side of the 100 TB index
+story (build once, serve point lookups, boolean, phrase, proximity,
+and BM25 at pruned-lookup cost, each proven row-identical to its
+corpus-scan twin)."""
 
 from __future__ import annotations
 
 import contextlib
 import io
 
+import pytest
 from pyspark.sql import functions as F
 
+from parallel_inverted_index_map_reduce_spark.operators import serving as srv
 from parallel_inverted_index_map_reduce_spark.operators.index import (
+    bm25_search,
+    boolean_search,
     build_index,
     build_index_chunked,
     lookup_stored_terms,
+    phrase_search,
+    proximity_search,
     store_chunked_index,
 )
 from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
@@ -81,3 +89,99 @@ def test_stored_chunked_lookup_prunes_and_matches(spark):
     rows = scan.select("word").distinct().count()
     full = build_index(docs).where(F.col("letter") == letter).count()
     assert rows == full
+
+
+# ---------------------------------------------------------------------------
+# Full serving layout: every search operator against stored tables,
+# row-identical to its corpus-scan twin, with the pruning in the plan.
+# ---------------------------------------------------------------------------
+
+BASE = "srvidx"
+
+
+@pytest.fixture(scope="module")
+def served(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    srv.store_search_index(docs, BASE, n_buckets=8, chunk_size=16)
+    return docs
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(
+            tuple(v) if isinstance(v, list) else v
+            for v in (r[c] for c in cols)
+        )
+        for r in df.collect()
+    )
+
+
+def test_bm25_stored_matches_corpus_scan(spark, served):
+    q = "spark query hash"
+    got = srv.bm25_search_stored(spark, BASE, q, k=10)
+    want = bm25_search(served, q, k=10)
+    assert _rows(got) == _rows(want) and _rows(got)
+
+    plan = _plan(got)
+    assert "SelectedBucketsCount" in plan, plan
+    # the positions read prunes to at most one bucket per query term
+    n_sel = int(plan.split("SelectedBucketsCount: ")[1].split(" out of")[0])
+    assert n_sel <= 3, plan
+    assert "In(word" in plan, plan
+
+
+def test_phrase_stored_matches_corpus_scan(spark, served):
+    # a phrase guaranteed present: the first three normalized tokens of
+    # some document with at least three tokens
+    from parallel_inverted_index_map_reduce_spark.functions.text import tokens_df
+
+    first3 = (
+        tokens_df(served)
+        .groupBy("doc_id")
+        .agg(F.slice(F.collect_list("word"), 1, 3).alias("w3"))
+        .where(F.size("w3") == 3)
+        .orderBy("doc_id")
+        .first()["w3"]
+    )
+    phrase = " ".join(first3)
+    got = srv.phrase_search_stored(spark, BASE, phrase)
+    want = phrase_search(served, phrase)
+    assert _rows(got) == _rows(want) and _rows(got)
+
+    # the phrase path aggregates on doc_id, so the planner may drop the
+    # bucketed scan — the pruning that must ALWAYS hold is the derived
+    # letter partition filter (whole directories) plus the pushed word
+    # IN filter (row-group skipping over word-sorted files)
+    plan = _plan(got)
+    assert "PartitionFilters" in plan and "letter" in plan.split("PartitionFilters")[1][:200], plan
+    assert "In(word" in plan, plan
+
+
+def test_proximity_stored_matches_corpus_scan(spark, served):
+    got = srv.proximity_search_stored(spark, BASE, "spark", "query", max_dist=5)
+    want = proximity_search(served, "spark", "query", max_dist=5)
+    assert _rows(got) == _rows(want) and _rows(got)
+
+
+def test_boolean_stored_matches_corpus_scan(spark, served):
+    got = srv.boolean_search_stored(spark, BASE, "spark", "query")
+    want = boolean_search(served, "spark", "query").select(
+        "op", "term1", "term2", "doc_ids"
+    )
+    assert _rows(got) == _rows(want) and len(_rows(got)) == 3
+
+    plan = _plan(got)
+    assert "SelectedBucketsCount" in plan, plan
+
+
+def test_boolean_stored_absent_term_yields_nothing(spark, served):
+    got = srv.boolean_search_stored(spark, BASE, "spark", "nosuchwordxyz")
+    assert got.count() == 0
+
+
+def test_stored_search_rejects_empty_queries(spark, served):
+    with pytest.raises(ValueError, match="normalizes to nothing"):
+        srv.bm25_search_stored(spark, BASE, "12345 !!!")
+    with pytest.raises(ValueError, match="normalizes to nothing"):
+        srv.phrase_search_stored(spark, BASE, "???")
