@@ -404,6 +404,18 @@ def near_dup_keep_list(
     capped runs report :func:`near_dup_bucket_overflow` alongside —
     the twin that measures the same post-exact-dedup corpus this
     function actually caps.
+
+    Materialization discipline: ``pairs``, ``sh``, and ``drops`` are
+    SMALL frames (band collisions / narrow int rows / dropped ids) atop
+    the two most expensive subtrees in the engine, and each is
+    referenced more than once downstream. Spark shares no common
+    subplans across references, so without pinning, every reference
+    re-runs the full LSH (or shingle) pipeline and the recomputation
+    compounds multiplicatively — measured as a >100x wall blowup at a
+    10x sf0.1 corpus before the fix (scripts/bench_scale.py,
+    BENCH_NOTES.md round 4). Lazy ``localCheckpoint`` pins each to one
+    computation without forcing evaluation at plan-construction time
+    (plan guards still explain() these frames cheaply).
     """
     exact = exact_dedup_groups(docs)  # (text_hash, keep_doc_id, n_dups)
     canonical = (
@@ -417,15 +429,20 @@ def near_dup_keep_list(
     ).select("doc_id")
 
     canon_docs = _canonical_docs(docs)
-    pairs = lsh_candidate_pairs(canon_docs, max_bucket=max_bucket)
-    verified = jaccard_verify(pairs, shingles(canon_docs, distinct=True))
+    pairs = lsh_candidate_pairs(
+        canon_docs, max_bucket=max_bucket
+    ).localCheckpoint(eager=False)
+    sh = shingles(canon_docs, distinct=True).localCheckpoint(eager=False)
+    verified = jaccard_verify(pairs, sh)
     # jaccard_verify renders through stable_round6 (string); compare
     # numerically. doc_a < doc_b by construction, so doc_b is the drop.
     near_drops = verified.where(
         F.col("jaccard").cast("double") >= F.lit(threshold)
     ).select(F.col("doc_b").alias("doc_id"))
 
-    drops = exact_drops.union(near_drops).distinct()
+    drops = (
+        exact_drops.union(near_drops).distinct().localCheckpoint(eager=False)
+    )
     return docs.select("doc_id").join(drops, "doc_id", "left_anti").select(
         "doc_id", F.lit(True).alias("keep")
     ).union(drops.select("doc_id", F.lit(False).alias("keep")))
