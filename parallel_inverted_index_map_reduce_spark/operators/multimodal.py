@@ -84,20 +84,28 @@ _parse_netpbm = _make_netpbm_parser()
 def decode_image(payload: bytes, codec: str = "auto"):
     """Decode an image payload.
 
-    Netpbm raw formats (P6/P5 magic) decode for real — pure Python +
-    numpy, no codec library needed. ``codec='fake'`` returns the
-    deterministic stand-in. Everything else (JPEG, PNG, ...) raises
-    NotImplementedError: those formats require codec libraries this
-    environment does not ship, and a silent fake would be worse than an
-    honest stub.
+    Netpbm raw formats (P6/P5 magic) and baseline JPEG (SOI magic;
+    pure-Python T.81 sequential decoder, functions/jpeg.py — grayscale
+    and YCbCr at any sampling factors, restart markers honored) decode
+    for real — no codec library needed. ``codec='fake'`` returns the
+    deterministic stand-in. Everything else (PNG, progressive JPEG,
+    audio/video) raises NotImplementedError: those need codec
+    libraries this environment does not ship, and a silent fake would
+    be worse than an honest stub.
     """
     if codec == "fake":
         return {"width": len(payload) % 640, "height": len(payload) % 480}
     if payload[:2] in (b"P6", b"P5"):
         return _parse_netpbm(payload)
+    if payload[:2] == b"\xff\xd8":
+        from ..functions.jpeg import decode_baseline_jpeg
+
+        out = decode_baseline_jpeg(payload)
+        out.pop("pixels")  # stats surface matches the netpbm parser's
+        return out
     raise NotImplementedError(
-        "only netpbm (P6/P5) decodes without codec libraries; "
-        "use codec='fake' for a deterministic stand-in"
+        "netpbm (P6/P5) and baseline JPEG decode without codec "
+        "libraries; use codec='fake' for a deterministic stand-in"
     )
 
 
@@ -211,6 +219,73 @@ def decoded_image_features(docs: DataFrame) -> DataFrame:
 
     return with_ppm_payload(docs).mapInPandas(
         decode_batches, schema=DECODED_SCHEMA
+    )
+
+
+JPEG_SCHEMA = (
+    "doc_id long, jpeg_width long, jpeg_height long, jpeg_channels long, "
+    "jpeg_pixel_sum long"
+)
+
+
+def jpeg_roundtrip_features(docs: DataFrame) -> DataFrame:
+    """Baseline JPEG ENCODE + DECODE run for real inside the Arrow
+    batches (functions/jpeg.py — markers, Huffman, DCT, the whole
+    codec): each doc becomes a flat grayscale image (shade =
+    doc_id % 256, width 8 or 16, height 8/16/24 by doc_id) encoded
+    with all-ones quantization tables. Flat 8x8 blocks are DC-only and
+    ones-quant makes the DC path exact, so the decoded statistics are
+    CLOSED-FORM (pixel_sum = shade * w * h) — which is what lets the
+    SQL oracle verify a JPEG round trip without any codec. The lossy
+    AC paths are covered by the round-trip suite in
+    tests/test_jpeg.py; this operator pins the codec + Arrow plumbing
+    into the driver-checked surface.
+
+    The codec functions come from a factory (nested defs), so
+    cloudpickle ships them BY VALUE — executor Python workers never
+    import this package (same closure rule as the netpbm parser).
+    """
+    from ..functions.jpeg import decode_baseline_jpeg, encode_baseline_jpeg
+    from ..sources.tables import spread
+
+    enc, dec = encode_baseline_jpeg, decode_baseline_jpeg  # closure cells
+
+    def jpeg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        ones = np.ones(64, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                shade = d % 256
+                w = 8 * (1 + d % 2)
+                h = 8 * (1 + d % 3)
+                img = np.full((h, w), shade, dtype=np.uint8)
+                out = dec(enc(img, quant_luma=ones))
+                rows.append(
+                    (
+                        d,
+                        out["width"],
+                        out["height"],
+                        out["channels"],
+                        out["pixel_sum"],
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "jpeg_width",
+                    "jpeg_height",
+                    "jpeg_channels",
+                    "jpeg_pixel_sum",
+                ],
+            )
+
+    return spread(docs).select("doc_id").mapInPandas(
+        jpeg_batches, schema=JPEG_SCHEMA
     )
 
 

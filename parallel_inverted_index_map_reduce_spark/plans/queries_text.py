@@ -171,21 +171,34 @@ SELECT d.doc_id,
        CAST(255 AS BIGINT) AS maxval,
        CAST(list_aggregate(list_transform(range(1, 145),
                            i -> ascii(substr(p.px, i, 1))), 'sum') AS BIGINT) AS pixel_sum,
-       CAST(144 AS BIGINT) AS n_pixel_bytes
+       CAST(144 AS BIGINT) AS n_pixel_bytes,
+       CAST(8 * (1 + d.doc_id % 2) AS BIGINT) AS jpeg_width,
+       CAST(8 * (1 + d.doc_id % 3) AS BIGINT) AS jpeg_height,
+       CAST(1 AS BIGINT) AS jpeg_channels,
+       CAST((d.doc_id % 256) * 8 * (1 + d.doc_id % 2) * 8 * (1 + d.doc_id % 3) AS BIGINT) AS jpeg_pixel_sum
 FROM tx d JOIN plane p ON p.doc_id = d.doc_id
 """,
     tags=("multimodal",),
-    doc="Arrow-batched (mapInPandas) multimodal path, BOTH halves real: "
-    "byte features over the opaque binary payload, and an actual image "
-    "decode — each document rendered as a valid raw P6 PPM (header + "
-    "8x6 RGB plane from its text bytes) and decoded for real by the "
-    "pure-Python netpbm parser (header parse, plane validation, exact "
-    "pixel statistics). Docs are ASCII, so the SQL oracle mirrors the "
-    "pixel plane with character math. Codec-requiring formats "
-    "(JPEG/PNG) remain an honest NotImplementedError stub.",
+    doc="Arrow-batched (mapInPandas) multimodal path, ALL THREE halves "
+    "real: byte features over the opaque binary payload; an actual "
+    "netpbm decode — each document rendered as a valid raw P6 PPM "
+    "(header + 8x6 RGB plane from its text bytes) and decoded by the "
+    "pure-Python parser (header parse, plane validation, exact pixel "
+    "statistics; docs are ASCII, so the SQL oracle mirrors the plane "
+    "with character math); and a BASELINE JPEG ROUND TRIP — per doc a "
+    "flat grayscale image (shade/size keyed on doc_id) is encoded AND "
+    "decoded by the pure-Python T.81 codec (functions/jpeg.py: "
+    "markers, Huffman, DCT) inside the Arrow batch. Flat blocks with "
+    "all-ones quantization decode byte-exactly, so the oracle "
+    "verifies the codec via closed-form statistics (pixel_sum = "
+    "shade*w*h) without decoding anything itself; the lossy AC paths "
+    "are round-trip-tested in tests/test_jpeg.py. Only PNG and "
+    "progressive JPEG remain honest NotImplementedError stubs.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return mm.binary_features(docs).join(
-        mm.decoded_image_features(docs), "doc_id"
+    return (
+        mm.binary_features(docs)
+        .join(mm.decoded_image_features(docs), "doc_id")
+        .join(mm.jpeg_roundtrip_features(docs), "doc_id")
     )
