@@ -103,9 +103,30 @@ def decode_image(payload: bytes, codec: str = "auto"):
         out = decode_baseline_jpeg(payload)
         out.pop("pixels")  # stats surface matches the netpbm parser's
         return out
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..functions.png import decode_png
+
+        out = decode_png(payload)
+        out.pop("pixels")
+        return out
     raise NotImplementedError(
-        "netpbm (P6/P5) and baseline JPEG decode without codec "
+        "netpbm (P6/P5), baseline JPEG, and PNG decode without codec "
         "libraries; use codec='fake' for a deterministic stand-in"
+    )
+
+
+def decode_audio(payload: bytes):
+    """Decode an audio payload: PCM WAV decodes for real
+    (functions/audio.py — RIFF walk, 8/16-bit planes, exact sample
+    statistics); compressed formats raise NotImplementedError."""
+    if payload[:4] == b"RIFF":
+        from ..functions.audio import decode_wav
+
+        out = decode_wav(payload)
+        out.pop("samples")  # stats surface, like the image decoders
+        return out
+    raise NotImplementedError(
+        "only PCM WAV decodes without codec libraries"
     )
 
 
@@ -222,39 +243,60 @@ def decoded_image_features(docs: DataFrame) -> DataFrame:
     )
 
 
-JPEG_SCHEMA = (
+CODEC_SCHEMA = (
     "doc_id long, jpeg_width long, jpeg_height long, jpeg_channels long, "
-    "jpeg_pixel_sum long"
+    "jpeg_pixel_sum long, png_pixel_sum long, wav_sample_sum long, "
+    "wav_duration_ms long"
 )
 
+# PNG gradient / WAV ramp geometry shared by the operator and the SQL
+# oracle (queries_text.py) — the closed forms both sides compute.
+PNG_W, PNG_H = 16, 12
+WAV_N = 256
 
-def jpeg_roundtrip_features(docs: DataFrame) -> DataFrame:
-    """Baseline JPEG ENCODE + DECODE run for real inside the Arrow
-    batches (functions/jpeg.py — markers, Huffman, DCT, the whole
-    codec): each doc becomes a flat grayscale image (shade =
-    doc_id % 256, width 8 or 16, height 8/16/24 by doc_id) encoded
-    with all-ones quantization tables. Flat 8x8 blocks are DC-only and
-    ones-quant makes the DC path exact, so the decoded statistics are
-    CLOSED-FORM (pixel_sum = shade * w * h) — which is what lets the
-    SQL oracle verify a JPEG round trip without any codec. The lossy
-    AC paths are covered by the round-trip suite in
-    tests/test_jpeg.py; this operator pins the codec + Arrow plumbing
-    into the driver-checked surface.
 
-    The codec functions come from a factory (nested defs), so
+def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
+    """All three pure-Python codecs ENCODE + DECODE for real inside one
+    Arrow pass — the driver-checked proof that the codec layer works,
+    verified by a SQL oracle that computes the statistics in CLOSED
+    FORM without decoding anything itself:
+
+    - JPEG (functions/jpeg.py — markers, Huffman, DCT): a flat
+      grayscale image (shade = doc_id % 256, width 8/16, height
+      8/16/24 by doc_id) with all-ones quantization. Flat blocks are
+      DC-only and ones-quant makes the DC path exact, so pixel_sum =
+      shade * w * h exactly; the lossy AC paths are round-trip-tested
+      in tests/test_jpeg.py.
+    - PNG (functions/png.py — zlib inflate + scanline unfilters): a
+      NON-trivial gradient, pixel(x, y) = (x*7 + y*13 + doc_id) % 256
+      over 16x12 gray. PNG is lossless, so the decoded sum must equal
+      the oracle's double-range sum exactly — any wrong pixel anywhere
+      flips the hash.
+    - WAV (functions/audio.py — RIFF PCM): a ramp signal, sample(i) =
+      (i*37 + doc_id) % 256, 256 samples at 8000 + doc_id % 100 Hz;
+      sample_sum and duration_ms are closed-form.
+
+    The codec functions come from factories (nested defs), so
     cloudpickle ships them BY VALUE — executor Python workers never
     import this package (same closure rule as the netpbm parser).
     """
+    from ..functions.audio import decode_wav, encode_wav
     from ..functions.jpeg import decode_baseline_jpeg, encode_baseline_jpeg
+    from ..functions.png import decode_png, encode_png
     from ..sources.tables import spread
 
-    enc, dec = encode_baseline_jpeg, decode_baseline_jpeg  # closure cells
+    jenc, jdec = encode_baseline_jpeg, decode_baseline_jpeg  # closure cells
+    penc, pdec = encode_png, decode_png
+    wenc, wdec = encode_wav, decode_wav
+    png_w, png_h, wav_n = PNG_W, PNG_H, WAV_N
 
-    def jpeg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def codec_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         import pandas as _pd
 
         ones = np.ones(64, dtype=np.int64)
+        xx, yy = np.meshgrid(np.arange(png_w), np.arange(png_h))
+        ii = np.arange(wav_n)
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
@@ -262,15 +304,23 @@ def jpeg_roundtrip_features(docs: DataFrame) -> DataFrame:
                 shade = d % 256
                 w = 8 * (1 + d % 2)
                 h = 8 * (1 + d % 3)
-                img = np.full((h, w), shade, dtype=np.uint8)
-                out = dec(enc(img, quant_luma=ones))
+                jpg = jdec(
+                    jenc(np.full((h, w), shade, dtype=np.uint8), quant_luma=ones)
+                )
+                grad = ((xx * 7 + yy * 13 + d) % 256).astype(np.uint8)
+                png = pdec(penc(grad, filter_type=d % 5))
+                ramp = ((ii * 37 + d) % 256).astype(np.uint8)
+                wav = wdec(wenc(ramp, 8000 + d % 100, bits=8))
                 rows.append(
                     (
                         d,
-                        out["width"],
-                        out["height"],
-                        out["channels"],
-                        out["pixel_sum"],
+                        jpg["width"],
+                        jpg["height"],
+                        jpg["channels"],
+                        jpg["pixel_sum"],
+                        png["pixel_sum"],
+                        wav["sample_sum"],
+                        wav["duration_ms"],
                     )
                 )
             yield _pd.DataFrame(
@@ -281,11 +331,14 @@ def jpeg_roundtrip_features(docs: DataFrame) -> DataFrame:
                     "jpeg_height",
                     "jpeg_channels",
                     "jpeg_pixel_sum",
+                    "png_pixel_sum",
+                    "wav_sample_sum",
+                    "wav_duration_ms",
                 ],
             )
 
     return spread(docs).select("doc_id").mapInPandas(
-        jpeg_batches, schema=JPEG_SCHEMA
+        codec_batches, schema=CODEC_SCHEMA
     )
 
 

@@ -175,30 +175,38 @@ SELECT d.doc_id,
        CAST(8 * (1 + d.doc_id % 2) AS BIGINT) AS jpeg_width,
        CAST(8 * (1 + d.doc_id % 3) AS BIGINT) AS jpeg_height,
        CAST(1 AS BIGINT) AS jpeg_channels,
-       CAST((d.doc_id % 256) * 8 * (1 + d.doc_id % 2) * 8 * (1 + d.doc_id % 3) AS BIGINT) AS jpeg_pixel_sum
+       CAST((d.doc_id % 256) * 8 * (1 + d.doc_id % 2) * 8 * (1 + d.doc_id % 3) AS BIGINT) AS jpeg_pixel_sum,
+       CAST((SELECT sum((x.i * 7 + y.i * 13 + d.doc_id) % 256)
+             FROM unnest(range(0, 16)) x(i), unnest(range(0, 12)) y(i)) AS BIGINT) AS png_pixel_sum,
+       CAST((SELECT sum((s.i * 37 + d.doc_id) % 256)
+             FROM unnest(range(0, 256)) s(i)) AS BIGINT) AS wav_sample_sum,
+       CAST(256000 // (8000 + d.doc_id % 100) AS BIGINT) AS wav_duration_ms
 FROM tx d JOIN plane p ON p.doc_id = d.doc_id
 """,
     tags=("multimodal",),
-    doc="Arrow-batched (mapInPandas) multimodal path, ALL THREE halves "
-    "real: byte features over the opaque binary payload; an actual "
-    "netpbm decode — each document rendered as a valid raw P6 PPM "
-    "(header + 8x6 RGB plane from its text bytes) and decoded by the "
-    "pure-Python parser (header parse, plane validation, exact pixel "
-    "statistics; docs are ASCII, so the SQL oracle mirrors the plane "
-    "with character math); and a BASELINE JPEG ROUND TRIP — per doc a "
-    "flat grayscale image (shade/size keyed on doc_id) is encoded AND "
-    "decoded by the pure-Python T.81 codec (functions/jpeg.py: "
-    "markers, Huffman, DCT) inside the Arrow batch. Flat blocks with "
-    "all-ones quantization decode byte-exactly, so the oracle "
-    "verifies the codec via closed-form statistics (pixel_sum = "
-    "shade*w*h) without decoding anything itself; the lossy AC paths "
-    "are round-trip-tested in tests/test_jpeg.py. Only PNG and "
-    "progressive JPEG remain honest NotImplementedError stubs.",
+    doc="Arrow-batched (mapInPandas) multimodal path, every half real: "
+    "byte features over the opaque binary payload; an actual netpbm "
+    "decode — each document rendered as a valid raw P6 PPM (header + "
+    "8x6 RGB plane from its text bytes) and decoded by the pure-Python "
+    "parser (docs are ASCII, so the SQL oracle mirrors the plane with "
+    "character math); and THREE codec ROUND TRIPS per doc inside one "
+    "Arrow pass (operators/multimodal.py codec_roundtrip_features): "
+    "baseline JPEG (functions/jpeg.py — flat image + all-ones "
+    "quantization makes the DC path byte-exact, pixel_sum closed-form; "
+    "lossy AC paths round-trip-tested in tests/test_jpeg.py), PNG "
+    "(functions/png.py — zlib inflate + all five scanline unfilters, "
+    "cycled by doc_id, over a NON-trivial gradient; lossless, so the "
+    "oracle's double-range sum must match exactly), and PCM WAV "
+    "(functions/audio.py — RIFF walk over a ramp signal; sample_sum + "
+    "duration closed-form). The oracle verifies all three codecs "
+    "without decoding anything itself. Only palette/interlaced PNG, "
+    "progressive JPEG, and compressed audio remain honest "
+    "NotImplementedError stubs.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return (
         mm.binary_features(docs)
         .join(mm.decoded_image_features(docs), "doc_id")
-        .join(mm.jpeg_roundtrip_features(docs), "doc_id")
+        .join(mm.codec_roundtrip_features(docs), "doc_id")
     )

@@ -51,7 +51,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+def spread(
+    df: DataFrame, key: str = "doc_id", n_partitions: int | None = None
+) -> DataFrame:
     """Ensure CPU-heavy narrow work downstream runs cluster-wide.
 
     A small corpus often arrives as ONE splittable unit (single parquet
@@ -62,17 +64,33 @@ def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     the scan already carries enough partitions (the 100 TB case, where
     thousands of input splits exist and this must NOT shrink them).
 
-    The partition-count probe physically plans the frame driver-side on
-    every call. That cost is deliberate: memoizing it (by semantic hash
-    or path) serves STALE counts whenever the underlying files are
-    rewritten (compaction, a pipeline's next stage) or a split-size
-    conf changes at runtime — silently skipping the repartition this
-    function exists for. ~milliseconds per query construction is the
-    honest price of a correct answer.
+    ``n_partitions``: callers that already know the frame's partition
+    count (they just repartitioned, or hold it from their own planning)
+    pass it here and skip the probe entirely — the zero-cost path.
+
+    Otherwise the partition-count probe physically plans the frame
+    driver-side on every call. That cost is deliberate; both cheaper
+    inferences give wrong answers:
+    - memoizing the count (by semantic hash or path) serves STALE
+      counts whenever the files are rewritten (compaction, a
+      pipeline's next stage) or a split-size conf changes at runtime —
+      silently skipping the repartition this function exists for
+      (attempted and reverted in round 3);
+    - counting ``df.inputFiles()`` breaks in BOTH directions: Spark
+      splits one large file into many partitions (few files, plenty of
+      parallelism — the heuristic would shuffle pointlessly) and packs
+      many small files into few partitions via openCostInBytes (many
+      files, little parallelism — the heuristic would skip the
+      repartition that is the whole point).
+    ~milliseconds per query construction is the honest price of a
+    correct answer when the caller cannot supply the hint.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    current = (
+        n_partitions if n_partitions is not None else df.rdd.getNumPartitions()
+    )
+    if current >= target:
         return df
     return df.repartition(target, key)
 

@@ -1,0 +1,101 @@
+"""PNG and WAV codecs (functions/png.py, functions/audio.py):
+encoder/decoder round trips — exact, since both formats are lossless —
+plus envelope errors and the multimodal dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from parallel_inverted_index_map_reduce_spark.functions import audio as A
+from parallel_inverted_index_map_reduce_spark.functions import png as P
+
+RNG = np.random.RandomState(11)
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_roundtrip_exact_all_filters(ch, ftype):
+    img = RNG.randint(0, 256, (13, 9, ch), dtype=np.uint8)
+    dec = P.decode_png(P.encode_png(img, filter_type=ftype))
+    assert (dec["width"], dec["height"], dec["channels"]) == (9, 13, ch)
+    np.testing.assert_array_equal(dec["pixels"], img)
+    assert dec["pixel_sum"] == int(img.astype(np.int64).sum())
+
+
+def test_png_grayscale_2d_input():
+    img = RNG.randint(0, 256, (8, 8), dtype=np.uint8)
+    dec = P.decode_png(P.encode_png(img))
+    np.testing.assert_array_equal(dec["pixels"][:, :, 0], img)
+
+
+def test_png_envelope_errors():
+    with pytest.raises(ValueError, match="signature"):
+        P.decode_png(b"\xff\xd8 not a png")
+    # palette color type (3) in a hand-built IHDR
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="palette"):
+        P.decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+def test_wav_8bit_mono_roundtrip():
+    s = (np.arange(256) * 37 % 256).astype(np.uint8)
+    d = A.decode_wav(A.encode_wav(s, 8000, bits=8))
+    assert d["n_samples"] == 256
+    assert d["n_channels"] == 1
+    assert d["sample_rate"] == 8000
+    assert d["bits_per_sample"] == 8
+    assert d["sample_sum"] == int(s.astype(np.int64).sum())
+    assert d["duration_ms"] == 256 * 1000 // 8000
+    np.testing.assert_array_equal(d["samples"][:, 0], s)
+
+
+def test_wav_16bit_stereo_roundtrip():
+    s = RNG.randint(-32768, 32768, (100, 2)).astype(np.int64)
+    d = A.decode_wav(A.encode_wav(s, 44100, bits=16))
+    assert (d["n_samples"], d["n_channels"], d["bits_per_sample"]) == (100, 2, 16)
+    np.testing.assert_array_equal(d["samples"], s)
+
+
+def test_wav_envelope_errors():
+    with pytest.raises(ValueError, match="RIFF"):
+        A.decode_wav(b"OggS compressed audio")
+    # compressed format id in a hand-built fmt chunk
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 8)  # 85 = MP3
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="compressed"):
+        A.decode_wav(payload)
+
+
+def test_multimodal_dispatch_png_and_wav():
+    from parallel_inverted_index_map_reduce_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+    )
+
+    img = RNG.randint(0, 256, (4, 5, 3), dtype=np.uint8)
+    out = decode_image(P.encode_png(img))
+    assert out["pixel_sum"] == int(img.astype(np.int64).sum())
+    assert "pixels" not in out  # stats surface only
+
+    s = (np.arange(64) % 256).astype(np.uint8)
+    got = decode_audio(A.encode_wav(s, 16000, bits=8))
+    assert got["sample_sum"] == int(s.astype(np.int64).sum())
+    assert "samples" not in got
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GIF87a......")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"OggS........")

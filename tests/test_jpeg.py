@@ -121,7 +121,7 @@ def test_decode_image_dispatches_on_jpeg_magic():
         "n_pixel_bytes": 256,
     }
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n")
+        decode_image(b"GIF87a......")
 
 
 def test_spark_decodes_jpeg_payload_column(spark):

@@ -61,11 +61,11 @@ def test_decode_image_netpbm_real():
     # truncated plane is an error, not silence
     with pytest.raises(ValueError, match="truncated"):
         mm.decode_image(b"P6\n2 2\n255\n" + bytes(5))
-    # codec-requiring formats stay honestly stubbed (JPEG no longer is —
-    # functions/jpeg.py decodes baseline for real, tests/test_jpeg.py —
-    # but a TRUNCATED jpeg is a loud error, not silence)
+    # codec-requiring formats stay honestly stubbed (JPEG and PNG no
+    # longer are — functions/jpeg.py and functions/png.py decode for
+    # real; a TRUNCATED jpeg is a loud error, not silence)
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG\r\n\x1a\n")
+        mm.decode_image(b"GIF87a......")
     with pytest.raises(ValueError, match="missing SOS"):
         mm.decode_image(b"\xff\xd8\xff\xe0\x00\x09JFIF...\xff\xd9")
     # the deterministic fake is still available
