@@ -60,32 +60,56 @@ def _build(args) -> int:
 def _search(args) -> int:
     from .operators import index as ix
     from .session import get_spark
-    from .sources.corpus import read_manifest_corpus
 
     spark = get_spark(app_name="search-index", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        docs = read_manifest_corpus(spark, args.manifest)
+        stored = getattr(args, "stored", None)
+        if stored:
+            from .operators import serving as srv
+
+            srv.attach_search_index(spark, stored)
+        else:
+            from .sources.corpus import read_manifest_corpus
+
+            if not args.manifest:
+                print(
+                    "pass a manifest, or --stored BASE for a stored index",
+                    file=sys.stderr,
+                )
+                return 2
+            docs = read_manifest_corpus(spark, args.manifest)
         ran = False
         if args.term:
             ran = True
-            idx = ix.build_index(docs)
-            for r in ix.term_lookup(idx, args.term).orderBy("word").collect():
+            if stored:
+                hits = srv.lookup_stored_terms(
+                    spark, f"{stored}_chunks", args.term
+                )
+            else:
+                hits = ix.term_lookup(ix.build_index(docs), args.term)
+            for r in hits.orderBy("word").collect():
                 print(f"term {r['word']}: [{' '.join(map(str, r['postings']))}]")
         if args.boolean:
             ran = True
             t1, t2 = args.boolean
-            for r in ix.boolean_search(docs, t1, t2).orderBy("op").collect():
+            res = (
+                srv.boolean_search_stored(spark, stored, t1, t2)
+                if stored
+                else ix.boolean_search(docs, t1, t2)
+            )
+            for r in res.orderBy("op").collect():
                 print(
                     f"{r['op']} {t1} {t2}: [{' '.join(map(str, r['doc_ids']))}]"
                 )
         if args.phrase:
             ran = True
-            rows = (
-                ix.phrase_search(docs, args.phrase)
-                .orderBy("doc_id")
-                .collect()
+            res = (
+                srv.phrase_search_stored(spark, stored, args.phrase)
+                if stored
+                else ix.phrase_search(docs, args.phrase)
             )
+            rows = res.orderBy("doc_id").collect()
             for r in rows:
                 pos = " ".join(map(str, r["match_positions"]))
                 print(f"phrase {args.phrase!r} doc {r['doc_id']} at [{pos}]")
@@ -93,9 +117,12 @@ def _search(args) -> int:
                 print(f"phrase {args.phrase!r}: no matches")
         if args.bm25:
             ran = True
-            for r in ix.bm25_search(docs, args.bm25, k=args.k).orderBy(
-                "rank"
-            ).collect():
+            res = (
+                srv.bm25_search_stored(spark, stored, args.bm25, k=args.k)
+                if stored
+                else ix.bm25_search(docs, args.bm25, k=args.k)
+            )
+            for r in res.orderBy("rank").collect():
                 print(
                     f"bm25 {args.bm25!r} #{r['rank']}: "
                     f"doc {r['doc_id']} score {r['score']}"
@@ -106,6 +133,32 @@ def _search(args) -> int:
                 file=sys.stderr,
             )
             return 2
+        return 0
+    finally:
+        spark.stop()
+
+
+def _index_store(args) -> int:
+    from .operators.serving import store_search_index
+    from .session import get_spark
+
+    spark = get_spark(app_name="index-store")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.input.endswith(".parquet"):
+            docs = spark.read.parquet(args.input)
+        else:
+            from .sources.corpus import read_manifest_corpus
+
+            docs = read_manifest_corpus(spark, args.input)
+        store_search_index(
+            docs, args.base, n_buckets=args.buckets, chunk_size=args.chunk_size
+        )
+        print(
+            f"stored serving index '{args.base}' "
+            f"(chunks/positions/doclen/stats, {args.buckets} buckets) — "
+            f"query it with: search --stored {args.base}"
+        )
         return 0
     finally:
         spark.stop()
@@ -184,12 +237,37 @@ def main(argv: list[str] | None = None) -> int:
         parser.add_argument("--shards", type=int, default=16)
         return _prep(parser.parse_args(argv[1:]))
 
+    if argv and argv[0] == "index-store":
+        parser = argparse.ArgumentParser(
+            prog="parallel_inverted_index_map_reduce_spark index-store",
+            description="Build and persist the serving index layout "
+            "(chunked flat index, positional postings, doclen, stats) "
+            "so later sessions answer queries at pruned-lookup cost.",
+        )
+        parser.add_argument(
+            "input", help="manifest file, or a documents .parquet path"
+        )
+        parser.add_argument("--base", required=True, help="store name")
+        parser.add_argument("--buckets", type=int, default=8)
+        parser.add_argument("--chunk-size", type=int, default=4096)
+        return _index_store(parser.parse_args(argv[1:]))
+
     if argv and argv[0] == "search":
         parser = argparse.ArgumentParser(
             prog="parallel_inverted_index_map_reduce_spark search",
-            description="Query a manifest corpus's inverted index.",
+            description="Query a corpus's inverted index — from a "
+            "manifest (builds in-session) or from a stored serving "
+            "index (--stored BASE, see index-store).",
         )
-        parser.add_argument("manifest", help="manifest file: count then one path per line")
+        parser.add_argument(
+            "manifest", nargs="?", default=None,
+            help="manifest file: count then one path per line "
+            "(omit with --stored)",
+        )
+        parser.add_argument(
+            "--stored", metavar="BASE",
+            help="serve from the stored index written by index-store",
+        )
         parser.add_argument("--term", nargs="+", help="posting-list lookups")
         parser.add_argument(
             "--and", dest="boolean", nargs=2, metavar=("T1", "T2"),

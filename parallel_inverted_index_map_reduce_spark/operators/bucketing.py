@@ -33,16 +33,20 @@ def write_bucketed(
     filter on a partition column prunes whole directories
     (PartitionFilters) while an equality filter on the bucket column
     still prunes to one bucket file within each surviving directory —
-    the two-level layout a serving-side index store wants."""
+    the two-level layout a serving-side index store wants.
+
+    Tables are written EXTERNAL (explicit location under the warehouse
+    dir): the in-memory catalog forgets metadata between sessions, but
+    external files survive a DROP TABLE, so a later session can
+    re-attach the same data with a CREATE TABLE ... LOCATION DDL (see
+    operators/serving.py attach_search_index) — the local stand-in for
+    a metastore-backed lake."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # the in-memory catalog forgets tables between sessions but leaves
-    # their files; clear the managed location so re-creation succeeds
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(warehouse.removeprefix("file:"), table)
+    loc = table_location(spark, table)
     if os.path.isdir(loc):
         shutil.rmtree(loc)
-    writer = df.write.format("parquet").mode("overwrite")
+    writer = df.write.format("parquet").mode("overwrite").option("path", loc)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer = writer.bucketBy(n_buckets, bucket_col)
@@ -51,17 +55,25 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def table_location(spark: SparkSession, table: str) -> str:
+    """The on-disk directory backing ``table`` under the session's
+    warehouse dir — one naming rule shared by writers and re-attachers."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    return os.path.join(warehouse.removeprefix("file:"), table)
+
+
 def write_table(df: DataFrame, table: str) -> None:
-    """Persist a small unbucketed managed parquet table (stats rows,
-    scalar companions), replacing any previous version — same
-    table-replacement hygiene as :func:`write_bucketed`."""
+    """Persist a small unbucketed parquet table (stats rows, scalar
+    companions), replacing any previous version — same external-table
+    and replacement hygiene as :func:`write_bucketed`."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(warehouse.removeprefix("file:"), table)
+    loc = table_location(spark, table)
     if os.path.isdir(loc):
         shutil.rmtree(loc)
-    df.write.format("parquet").mode("overwrite").saveAsTable(table)
+    df.write.format("parquet").mode("overwrite").option("path", loc).saveAsTable(
+        table
+    )
 
 
 def bucketed_join(

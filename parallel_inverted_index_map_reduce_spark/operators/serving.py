@@ -38,11 +38,14 @@ SelectedBucketsCount), which is the entire point.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_df
-from .bucketing import write_bucketed, write_table
+from .bucketing import table_location, write_bucketed, write_table
 from .index import (
     bm25_rank,
     build_index_chunked,
@@ -93,6 +96,67 @@ def store_search_index(
         F.coalesce(F.avg("dl"), F.lit(1.0)).alias("avgdl"),
     )
     write_table(stats, f"{base}_stats")
+    # sidecar: the layout facts a FRESH session needs to re-register the
+    # external tables (the in-memory catalog forgets them; the files do
+    # not) — see attach_search_index
+    with open(_meta_path(spark, base), "w") as fh:
+        json.dump(
+            {"version": 1, "n_buckets": n_buckets, "chunk_size": chunk_size},
+            fh,
+        )
+
+
+def _meta_path(spark: SparkSession, base: str) -> str:
+    return table_location(spark, f"{base}_serving_meta.json")
+
+
+def attach_search_index(spark: SparkSession, base: str) -> None:
+    """Re-register a previously stored serving layout in THIS session's
+    catalog. ``store_search_index`` writes EXTERNAL tables (data under
+    the warehouse dir) plus a JSON sidecar; a fresh session — the
+    common serving case: build once in an indexing job, query from many
+    later sessions — re-attaches them with CREATE TABLE ... LOCATION
+    DDL carrying the same bucket/sort/partition spec, so every pruning
+    property (PartitionFilters, SelectedBucketsCount, sorted files)
+    survives the session boundary. No-op when the tables are already
+    registered. The local stand-in for a metastore-backed lake, where
+    this whole function is the metastore's job."""
+    if spark.catalog.tableExists(f"{base}_chunks"):
+        return
+    with open(_meta_path(spark, base)) as fh:
+        meta = json.load(fh)
+    n = int(meta["n_buckets"])
+    bucketed = {
+        f"{base}_chunks": (
+            "(word string, chunk_id bigint, df bigint, "
+            "postings array<bigint>, letter string)",
+            "PARTITIONED BY (letter)",
+            "word",
+        ),
+        f"{base}_positions": (
+            "(word string, doc_id bigint, positions array<int>, "
+            "letter string)",
+            "PARTITIONED BY (letter)",
+            "word",
+        ),
+        f"{base}_doclen": ("(doc_id bigint, dl bigint)", "", "doc_id"),
+    }
+    for table, (cols, part, bcol) in bucketed.items():
+        loc = table_location(spark, table)
+        if not os.path.isdir(loc):
+            raise FileNotFoundError(f"no stored data for {table} at {loc}")
+        spark.sql(
+            f"CREATE TABLE {table} {cols} USING parquet {part} "
+            f"CLUSTERED BY ({bcol}) SORTED BY ({bcol}) INTO {n} BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+        if part:
+            spark.catalog.recoverPartitions(table)
+    loc = table_location(spark, f"{base}_stats")
+    spark.sql(
+        f"CREATE TABLE {base}_stats (n_docs bigint, avgdl double) "
+        f"USING parquet LOCATION '{loc}'"
+    )
 
 
 def _positions_for(

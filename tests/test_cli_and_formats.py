@@ -210,3 +210,70 @@ def test_cli_stats_mode(spark, tmp_path):
     )
     assert int(got["n_docs"]) > 0
     assert "len_p50" in got and "quality_p50" in got
+
+
+def test_cli_index_store_then_stored_search_across_processes(tmp_path):
+    """The serving lifecycle across SESSIONS: one process builds and
+    persists the index (index-store), a DIFFERENT process re-attaches
+    and serves every query shape from it (search --stored, no manifest,
+    no corpus re-tokenization) — answers identical to the corpus-scan
+    CLI path's."""
+    import os
+
+    texts = {
+        "d1.txt": "spark makes indexes",
+        "d2.txt": "spark query engines rock",
+        "d3.txt": "a query about spark query",
+    }
+    for name, text in texts.items():
+        (tmp_path / name).write_text(text + "\n")
+    manifest = tmp_path / "m.txt"
+    manifest.write_text(
+        f"{len(texts)}\n" + "".join(f"{tmp_path}/{n}\n" for n in sorted(texts))
+    )
+    env = dict(os.environ, SPARK_GRAFT_WAREHOUSE=str(tmp_path / "wh"))
+
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "parallel_inverted_index_map_reduce_spark",
+            "index-store", str(manifest), "--base", "cliidx",
+            "--buckets", "4", "--chunk-size", "16",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "stored serving index 'cliidx'" in res.stdout
+
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "parallel_inverted_index_map_reduce_spark",
+            "search", "--stored", "cliidx",
+            "--term", "spark", "query",
+            "--and", "spark", "query",
+            "--phrase", "spark query",
+            "--bm25", "spark query", "--k", "3",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = res.stdout
+    assert "term query: [2 3]" in out
+    assert "term spark: [1 2 3]" in out
+    assert "and spark query: [2 3]" in out
+    assert "or spark query: [1 2 3]" in out
+    assert "not spark query: [1]" in out
+    assert "phrase 'spark query' doc 2 at [0]" in out
+    assert "phrase 'spark query' doc 3 at [3]" in out
+    assert "bm25 'spark query' #1: doc 3" in out
+
+
+def test_cli_search_without_manifest_or_store_errors(tmp_path):
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "parallel_inverted_index_map_reduce_spark",
+            "search", "--term", "spark",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 2
+    assert "manifest" in res.stderr

@@ -185,3 +185,30 @@ def test_stored_search_rejects_empty_queries(spark, served):
         srv.bm25_search_stored(spark, BASE, "12345 !!!")
     with pytest.raises(ValueError, match="normalizes to nothing"):
         srv.phrase_search_stored(spark, BASE, "???")
+
+
+def test_attach_reregisters_stored_tables_after_catalog_loss(spark, served):
+    """Sessions forget the in-memory catalog; the external files and
+    the sidecar survive, and attach_search_index re-creates the tables
+    with the SAME bucket/sort/partition spec — results and pruning
+    both intact after re-attachment."""
+    q = "spark query hash"
+    want = _rows(srv.bm25_search_stored(spark, BASE, q, k=10))
+    want_ph = _rows(srv.phrase_search_stored(spark, BASE, "spark query"))
+
+    # simulate a fresh session: drop every catalog entry (external
+    # tables -> data files stay on disk)
+    for suffix in ("_chunks", "_positions", "_doclen", "_stats"):
+        spark.sql(f"DROP TABLE {BASE}{suffix}")
+    assert not spark.catalog.tableExists(f"{BASE}_chunks")
+
+    srv.attach_search_index(spark, BASE)
+    got = srv.bm25_search_stored(spark, BASE, q, k=10)
+    assert _rows(got) == want
+    assert _rows(srv.phrase_search_stored(spark, BASE, "spark query")) == want_ph
+
+    # pruning survives re-attachment: bucket spec carried by the DDL
+    plan = _plan(got)
+    assert "SelectedBucketsCount" in plan, plan
+    # second attach is a no-op
+    srv.attach_search_index(spark, BASE)
