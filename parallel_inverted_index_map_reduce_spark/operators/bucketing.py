@@ -55,6 +55,28 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_partitioned_table(
+    df: DataFrame, table: str, partition_cols: tuple[str, ...]
+) -> None:
+    """Persist an external hive-partitioned (unbucketed) parquet table —
+    directory-level pruning without a bucket spec, for layouts whose
+    read pattern filters on the partition column only (e.g. IVF
+    inverted lists probed by list_id). Same external/replacement
+    hygiene as :func:`write_bucketed`."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = table_location(spark, table)
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .option("path", loc)
+        .partitionBy(*partition_cols)
+        .saveAsTable(table)
+    )
+
+
 def table_location(spark: SparkSession, table: str) -> str:
     """The on-disk directory backing ``table`` under the session's
     warehouse dir — one naming rule shared by writers and re-attachers."""

@@ -45,7 +45,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_df
-from .bucketing import table_location, write_bucketed, write_table
+from .bucketing import (
+    table_location,
+    write_bucketed,
+    write_partitioned_table,
+    write_table,
+)
 from .index import (
     bm25_rank,
     build_index_chunked,
@@ -296,3 +301,137 @@ def boolean_search_stored(
             F.col("kv.doc_ids").alias("doc_ids"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN serving: the IVF inverted lists as a stored, probe-pruned layout —
+# the similarity surface's analogue of the stored text index above.
+# ---------------------------------------------------------------------------
+
+
+def store_ann_index(
+    emb: DataFrame, base: str, n_list: int = 16, n_iters: int = 2
+) -> None:
+    """Fit the IVF coarse quantizer once and persist the similarity
+    serving layout under ``base``:
+
+    - ``<base>_vectors``   — (vec_id, embedding, list_id), external
+      parquet PARTITIONED BY list_id: each inverted list is its own
+      directory, so a query's nprobe probes prune to nprobe/n_list of
+      the corpus at the DIRECTORY level (PartitionFilters), before any
+      file is opened.
+    - ``<base>_centroids`` — (list_id, centroid), n_list rows; query
+      time collects them back as the driver-side constant the probe
+      expressions fold in (the documented driver-scalar pattern —
+      n_list * dim floats).
+
+    A JSON sidecar + :func:`attach_ann_index` give the same fresh-
+    session re-attachment story as the text index."""
+    from .similarity import ivf_assign, ivf_fit
+
+    spark = emb.sparkSession
+    centroids = ivf_fit(emb, n_list=n_list, n_iters=n_iters)
+    write_partitioned_table(
+        ivf_assign(emb, centroids), f"{base}_vectors", ("list_id",)
+    )
+    rows = [(j, [float(x) for x in c]) for j, c in enumerate(centroids)]
+    write_table(
+        spark.createDataFrame(rows, "list_id int, centroid array<double>"),
+        f"{base}_centroids",
+    )
+    with open(_meta_path(spark, base), "w") as fh:
+        json.dump({"version": 1, "n_list": len(centroids)}, fh)
+
+
+def attach_ann_index(spark: SparkSession, base: str) -> None:
+    """Re-register a stored ANN layout in a fresh session (no-op when
+    already attached) — CREATE TABLE ... LOCATION DDL over the external
+    files, partition spec intact."""
+    if spark.catalog.tableExists(f"{base}_vectors"):
+        return
+    with open(_meta_path(spark, base)):
+        pass  # existence check: a missing sidecar is a loud error
+    loc = table_location(spark, f"{base}_vectors")
+    spark.sql(
+        f"CREATE TABLE {base}_vectors "
+        "(vec_id bigint, embedding array<float>, list_id int) "
+        f"USING parquet PARTITIONED BY (list_id) LOCATION '{loc}'"
+    )
+    spark.catalog.recoverPartitions(f"{base}_vectors")
+    loc = table_location(spark, f"{base}_centroids")
+    spark.sql(
+        f"CREATE TABLE {base}_centroids "
+        "(list_id int, centroid array<double>) "
+        f"USING parquet LOCATION '{loc}'"
+    )
+
+
+def load_stored_centroids(spark: SparkSession, base: str) -> list[list[float]]:
+    rows = spark.table(f"{base}_centroids").orderBy("list_id").collect()
+    return [[float(x) for x in r["centroid"]] for r in rows]
+
+
+def ann_search_stored(
+    spark: SparkSession,
+    base: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine, rank): IVF top-k served from the stored
+    layout — row-identical to similarity.py ivf_topk run with the SAME
+    centroids/nprobe (shared _topk_by_cosine tail and scoring
+    expressions), but per-query-batch cost is the probed lists'
+    partition directories, not a corpus re-assignment. ``queries`` is
+    any (vec_id, embedding) frame — a query batch, not necessarily
+    corpus members; corpus self-matches are excluded by id.
+
+    The probe ids collect to the driver (one tiny action over the
+    query batch) so the stored scan carries a STATIC IN filter on the
+    partition column — pruning holds unconditionally, no reliance on
+    runtime dynamic-partition-pruning kicking in."""
+    from .similarity import _centroid_order, _dot_expr, _norm_expr
+
+    centroids = load_stored_centroids(spark, base)
+    nprobe = min(nprobe, len(centroids))
+    q = queries.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("qe"),
+        _norm_expr(F.col("embedding")).alias("qn"),
+        F.explode(
+            F.slice(_centroid_order(F.col("embedding"), centroids), 1, nprobe)
+        ).alias("list_id"),
+    )
+    probe_ids = sorted(
+        r["list_id"] for r in q.select("list_id").distinct().collect()
+    )
+    cand = spark.table(f"{base}_vectors").where(
+        F.col("list_id").isin(probe_ids)
+    )
+    cand = cand.select(
+        "list_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("ce"),
+        _norm_expr(F.col("embedding")).alias("cn"),
+    )
+    from .similarity import _topk_by_cosine
+
+    score = F.round(
+        _dot_expr(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
+    )
+    cos = (
+        F.broadcast(q)
+        .join(cand, "list_id")
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .select("vec_a", "vec_b", score.alias("cosine"))
+    )
+    return _topk_by_cosine(cos, k)
+
+
+def ann_probe_order(spark: SparkSession, base: str, embedding_col) -> F.Column:
+    """The stored quantizer's list ids ordered by distance from
+    ``embedding_col`` — the probe-order expression callers use to
+    reason about (or test) which partitions a query touches."""
+    from .similarity import _centroid_order
+
+    return _centroid_order(embedding_col, load_stored_centroids(spark, base))

@@ -1,0 +1,112 @@
+"""Stored ANN serving (operators/serving.py store/attach/ann_search):
+row-identical to the in-session IVF path, partition-pruned probes in
+the plan, and re-attachment across catalog loss."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_inverted_index_map_reduce_spark.operators import serving as srv
+from parallel_inverted_index_map_reduce_spark.operators.similarity import ivf_topk
+from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+from .conftest import SF_ORACLE
+
+BASE = "annidx"
+N_LIST, NPROBE, K, NQ = 8, 3, 3, 5
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    srv.store_ann_index(e, BASE, n_list=N_LIST, n_iters=2)
+    return e
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_stored_ann_matches_in_session_ivf(spark, emb):
+    queries = emb.where(F.col("vec_id") < NQ)
+    got = srv.ann_search_stored(spark, BASE, queries, k=K, nprobe=NPROBE)
+    want = ivf_topk(
+        emb,
+        k=K,
+        n_queries=NQ,
+        nprobe=NPROBE,
+        centroids=srv.load_stored_centroids(spark, BASE),
+    )
+    assert _rows(got) == _rows(want) and _rows(got)
+
+
+def test_stored_ann_probes_prune_partitions(spark, emb):
+    queries = emb.where(F.col("vec_id") < 2)
+    got = srv.ann_search_stored(spark, BASE, queries, k=K, nprobe=2)
+    plan = _plan(got)
+    # the static IN filter on the partition column prunes directories
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "list_id" in seg, plan
+    # and the scan reads only the probed lists' rows, not the corpus
+    n_probed = (
+        spark.table(f"{BASE}_vectors")
+        .where(
+            F.col("list_id").isin(
+                [
+                    r["list_id"]
+                    for r in queries.select(
+                        F.explode(
+                            F.slice(
+                                srv.ann_probe_order(
+                                    spark, BASE, F.col("embedding")
+                                ),
+                                1,
+                                2,
+                            )
+                        ).alias("list_id")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+            )
+        )
+        .count()
+    )
+    assert n_probed < emb.count()
+
+
+def test_stored_ann_attach_after_catalog_loss(spark, emb):
+    queries = emb.where(F.col("vec_id") < NQ)
+    want = _rows(srv.ann_search_stored(spark, BASE, queries, k=K, nprobe=NPROBE))
+    for suffix in ("_vectors", "_centroids"):
+        spark.sql(f"DROP TABLE {BASE}{suffix}")
+    assert not spark.catalog.tableExists(f"{BASE}_vectors")
+    srv.attach_ann_index(spark, BASE)
+    got = _rows(srv.ann_search_stored(spark, BASE, queries, k=K, nprobe=NPROBE))
+    assert got == want
+    srv.attach_ann_index(spark, BASE)  # no-op second attach
+
+
+def test_full_probe_equals_brute_force_through_store(spark, emb):
+    """nprobe == n_list through the STORED path must equal the exact
+    in-session brute force at the fast-scoring tie-break — the stored
+    layout loses nothing."""
+    from parallel_inverted_index_map_reduce_spark.operators.similarity import (
+        ann_topk_fast,
+    )
+
+    queries = emb.where(F.col("vec_id") < NQ)
+    got = srv.ann_search_stored(spark, BASE, queries, k=K, nprobe=N_LIST)
+    want = ann_topk_fast(emb, k=K, n_queries=NQ)
+    assert _rows(got) == _rows(want)
