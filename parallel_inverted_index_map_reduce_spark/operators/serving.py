@@ -435,3 +435,94 @@ def ann_probe_order(spark: SparkSession, base: str, embedding_col) -> F.Column:
     from .similarity import _centroid_order
 
     return _centroid_order(embedding_col, load_stored_centroids(spark, base))
+
+
+def extend_search_index(
+    spark: SparkSession, base: str, new_docs: DataFrame
+) -> None:
+    """Fold NEW documents into a stored serving layout incrementally —
+    the daily-ingest path (same role as index.py merge_index_chunked,
+    extended to the whole four-table layout).
+
+    Incrementality per table, honestly stated:
+
+    - ``positions`` / ``doclen``: pure bucketed APPENDS. New documents
+      only ever add (word, doc_id) rows — no stored row changes — and
+      Spark's bucketed writer routes appended files into the same
+      bucket ids (verified: filename bucket suffixes match across
+      writes, and bucket pruning keeps working over the union). Write
+      cost is proportional to the NEW data only.
+    - ``stats``: one tiny rewrite (n_docs add + doclen re-average).
+    - ``chunks``: COMPUTE-incremental, storage-rewritten — the merge
+      re-chunks only the words the new docs touch (untouched words
+      pass through byte-identical via merge_index_chunked's anti-join)
+      but the rewrite is table-sized, because plain parquet cannot
+      replace individual bucketed rows. At scale this is the
+      compaction job you run on a schedule (or the versioned-commit
+      swap streaming/index_stream.py already implements); between
+      compactions every query could be served exactly from the
+      appended positions table.
+
+    Doc ids must be NEW: a re-ingested id would corrupt the append-only
+    positions contract, so overlap is a loud error (one semi-join
+    against the stored doclen, bounded by the new batch's ids).
+    """
+    from .index import merge_index_chunked
+
+    new_ids = new_docs.select("doc_id").distinct()
+    n_overlap = (
+        spark.table(f"{base}_doclen")
+        .join(F.broadcast(new_ids), "doc_id", "left_semi")
+        .count()
+    )
+    if n_overlap:
+        raise ValueError(
+            f"{n_overlap} doc_ids already exist in '{base}' — "
+            "extend_search_index is append-only (re-ingest requires a "
+            "rebuild or a versioned swap)"
+        )
+    with open(_meta_path(spark, base)) as fh:
+        meta = json.load(fh)
+    n_buckets, chunk_size = int(meta["n_buckets"]), int(meta["chunk_size"])
+
+    # chunks: merge BEFORE touching storage, materialized so the write
+    # does not lazily re-read the table it replaces
+    merged = merge_index_chunked(
+        spark.table(f"{base}_chunks"),
+        new_docs,
+        chunk_size=chunk_size,
+    ).localCheckpoint()
+    store_chunked_index(merged, f"{base}_chunks", n_buckets=n_buckets)
+
+    new_pos = positional_postings(new_docs).withColumn(
+        "letter", F.substring("word", 1, 1)
+    )
+    loc = table_location(spark, f"{base}_positions")
+    (
+        new_pos.write.format("parquet")
+        .mode("append")
+        .option("path", loc)
+        .partitionBy("letter")
+        .bucketBy(n_buckets, "word")
+        .sortBy("word")
+        .saveAsTable(f"{base}_positions")
+    )
+    new_doclen = (
+        tokens_df(new_docs).groupBy("doc_id").agg(F.count("*").alias("dl"))
+    )
+    loc = table_location(spark, f"{base}_doclen")
+    (
+        new_doclen.write.format("parquet")
+        .mode("append")
+        .option("path", loc)
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(f"{base}_doclen")
+    )
+    old = spark.table(f"{base}_stats").first()
+    n_docs = int(old["n_docs"]) + new_docs.count()
+    stats = spark.table(f"{base}_doclen").agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.coalesce(F.avg("dl"), F.lit(1.0)).alias("avgdl"),
+    ).localCheckpoint()
+    write_table(stats, f"{base}_stats")

@@ -212,3 +212,54 @@ def test_attach_reregisters_stored_tables_after_catalog_loss(spark, served):
     assert "SelectedBucketsCount" in plan, plan
     # second attach is a no-op
     srv.attach_search_index(spark, BASE)
+
+
+def test_extend_search_index_equals_full_rebuild(spark):
+    """The incremental ingest path: store on a prefix of the corpus,
+    extend with the rest, and every stored query must answer exactly
+    what a from-scratch store over the full corpus answers."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    first = docs.where(F.col("doc_id") < 30)
+    rest = docs.where(F.col("doc_id") >= 30)
+
+    srv.store_search_index(first, "incidx", n_buckets=4, chunk_size=16)
+    srv.extend_search_index(spark, "incidx", rest)
+    srv.store_search_index(docs, "fullidx", n_buckets=4, chunk_size=16)
+
+    q = "spark query hash"
+    assert _rows(srv.bm25_search_stored(spark, "incidx", q)) == _rows(
+        srv.bm25_search_stored(spark, "fullidx", q)
+    )
+    assert _rows(
+        srv.phrase_search_stored(spark, "incidx", "spark query")
+    ) == _rows(srv.phrase_search_stored(spark, "fullidx", "spark query"))
+    assert _rows(
+        srv.boolean_search_stored(spark, "incidx", "spark", "query")
+    ) == _rows(srv.boolean_search_stored(spark, "fullidx", "spark", "query"))
+    assert _rows(
+        srv.proximity_search_stored(spark, "incidx", "spark", "query")
+    ) == _rows(srv.proximity_search_stored(spark, "fullidx", "spark", "query"))
+    assert _rows(
+        srv.lookup_stored_terms(spark, "incidx_chunks", ["spark", "query"])
+    ) == _rows(srv.lookup_stored_terms(spark, "fullidx_chunks", ["spark", "query"]))
+
+    # the appended positions table still bucket-prunes
+    plan = _plan(srv.bm25_search_stored(spark, "incidx", q))
+    assert "SelectedBucketsCount" in plan, plan
+
+    # stats absorbed the extension exactly
+    got = spark.table("incidx_stats").first()
+    want = spark.table("fullidx_stats").first()
+    assert got["n_docs"] == want["n_docs"]
+    assert abs(got["avgdl"] - want["avgdl"]) < 1e-9
+
+
+def test_extend_rejects_duplicate_doc_ids(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    srv.store_search_index(
+        docs.where(F.col("doc_id") < 20), "dupidx", n_buckets=4, chunk_size=16
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        srv.extend_search_index(
+            spark, "dupidx", docs.where(F.col("doc_id") < 10)
+        )
