@@ -115,6 +115,24 @@ def _search(args) -> int:
                 print(f"phrase {args.phrase!r} doc {r['doc_id']} at [{pos}]")
             if not rows:
                 print(f"phrase {args.phrase!r}: no matches")
+        if args.near:
+            ran = True
+            t1, t2 = args.near
+            res = (
+                srv.proximity_search_stored(
+                    spark, stored, t1, t2, max_dist=args.dist
+                )
+                if stored
+                else ix.proximity_search(docs, t1, t2, max_dist=args.dist)
+            )
+            rows = res.orderBy("doc_id").collect()
+            for r in rows:
+                print(
+                    f"near/{args.dist} {t1} {t2} doc {r['doc_id']} "
+                    f"dist {r['min_dist']}"
+                )
+            if not rows:
+                print(f"near/{args.dist} {t1} {t2}: no matches")
         if args.bm25:
             ran = True
             res = (
@@ -129,7 +147,7 @@ def _search(args) -> int:
                 )
         if not ran:
             print(
-                "nothing to do: pass --term/--and/--phrase/--bm25",
+                "nothing to do: pass --term/--and/--phrase/--near/--bm25",
                 file=sys.stderr,
             )
             return 2
@@ -274,6 +292,13 @@ def main(argv: list[str] | None = None) -> int:
             help="boolean AND/OR/NOT report for two terms",
         )
         parser.add_argument("--phrase", help="exact-phrase search")
+        parser.add_argument(
+            "--near", nargs=2, metavar=("T1", "T2"),
+            help="NEAR/k proximity search for two terms",
+        )
+        parser.add_argument(
+            "--dist", type=int, default=3, help="NEAR max token distance"
+        )
         parser.add_argument("--bm25", help="BM25 ranked free-text query")
         parser.add_argument("--k", type=int, default=10, help="BM25 top-k")
         return _search(parser.parse_args(argv[1:]))

@@ -251,6 +251,7 @@ def test_cli_index_store_then_stored_search_across_processes(tmp_path):
             "--term", "spark", "query",
             "--and", "spark", "query",
             "--phrase", "spark query",
+            "--near", "spark", "query", "--dist", "3",
             "--bm25", "spark query", "--k", "3",
         ],
         cwd=REPO, capture_output=True, text=True, timeout=300, env=env,
@@ -264,6 +265,9 @@ def test_cli_index_store_then_stored_search_across_processes(tmp_path):
     assert "not spark query: [1]" in out
     assert "phrase 'spark query' doc 2 at [0]" in out
     assert "phrase 'spark query' doc 3 at [3]" in out
+    # d2: "spark query ..." dist 1; d3: "a query about spark query" dist 1
+    assert "near/3 spark query doc 2 dist 1" in out
+    assert "near/3 spark query doc 3 dist 1" in out
     assert "bm25 'spark query' #1: doc 3" in out
 
 

@@ -263,3 +263,8 @@ def test_extend_rejects_duplicate_doc_ids(spark):
         srv.extend_search_index(
             spark, "dupidx", docs.where(F.col("doc_id") < 10)
         )
+
+
+def test_attach_errors_on_missing_store(spark):
+    with pytest.raises(FileNotFoundError):
+        srv.attach_search_index(spark, "nosuchstore")
