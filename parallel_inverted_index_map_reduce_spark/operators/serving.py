@@ -164,23 +164,27 @@ def attach_search_index(spark: SparkSession, base: str) -> None:
     )
 
 
+def pruned_positions(positions: DataFrame, words: set[str]) -> DataFrame:
+    """The query terms' rows of a positional-postings frame,
+    double-pruned: the derived letter predicate prunes whole partition
+    DIRECTORIES (PartitionFilters — always applies), and the word IN
+    filter pushes into the parquet scan (PushedFilters; it additionally
+    prunes to the terms' buckets whenever the planner keeps the
+    bucketed scan — it drops bucketing when no downstream operation is
+    word-keyed, e.g. the phrase path's doc_id aggregation, and the
+    pushed filter plus word-sorted files then still skip row groups).
+    Works identically over the stored table and a streamed snapshot's
+    parquet frame — both carry the letter partitioning."""
+    letters = sorted({w[0] for w in words})
+    return positions.where(F.col("letter").isin(*letters)).where(
+        F.col("word").isin(*sorted(words))
+    )
+
+
 def _positions_for(
     spark: SparkSession, base: str, words: set[str]
 ) -> DataFrame:
-    """The query terms' positional postings, double-pruned: the derived
-    letter predicate prunes whole partition DIRECTORIES
-    (PartitionFilters — always applies), and the word IN filter pushes
-    into the parquet scan (PushedFilters; it additionally prunes to the
-    terms' buckets whenever the planner keeps the bucketed scan — it
-    drops bucketing when no downstream operation is word-keyed, e.g.
-    the phrase path's doc_id aggregation, and the pushed filter plus
-    word-sorted files then still skip row groups)."""
-    letters = sorted({w[0] for w in words})
-    return (
-        spark.table(f"{base}_positions")
-        .where(F.col("letter").isin(*letters))
-        .where(F.col("word").isin(*sorted(words)))
-    )
+    return pruned_positions(spark.table(f"{base}_positions"), words)
 
 
 def bm25_search_stored(
@@ -197,17 +201,39 @@ def bm25_search_stored(
     one column-pruned doclen read, NOT a corpus re-tokenization. tf
     comes free as size(positions); df derives from the same pruned
     read inside bm25_rank; N and avgdl are the precomputed stats row."""
+    st = spark.table(f"{base}_stats").first()
+    return bm25_from_frames(
+        spark.table(f"{base}_positions"),
+        spark.table(f"{base}_doclen"),
+        int(st["n_docs"]),
+        float(st["avgdl"]),
+        query,
+        k1=k1,
+        b=b,
+        k=k,
+    )
+
+
+def bm25_from_frames(
+    positions: DataFrame,
+    doclen: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """The frame-parameterized BM25 body shared by the stored-table path
+    and the streamed-snapshot path (streaming/serving_stream.py) — one
+    implementation, two storages."""
     words = sorted(set(normalize_query_tokens(query)))
     if not words:
         raise ValueError(f"query normalizes to nothing: {query!r}")
-    tf = _positions_for(spark, base, set(words)).select(
+    tf = pruned_positions(positions, set(words)).select(
         "word", "doc_id", F.size("positions").cast("long").alias("tf")
     )
-    doclen = spark.table(f"{base}_doclen")
-    st = spark.table(f"{base}_stats").first()
-    return bm25_rank(
-        tf, doclen, int(st["n_docs"]), float(st["avgdl"]), k1=k1, b=b, k=k
-    )
+    return bm25_rank(tf, doclen, n_docs, avgdl, k1=k1, b=b, k=k)
 
 
 def phrase_search_stored(
@@ -219,10 +245,15 @@ def phrase_search_stored(
     are ALREADY aggregated in storage, so the only work is the pruned
     read plus one groupBy(doc_id) over rows bounded by the phrase
     terms' document frequency."""
+    return phrase_from_frames(spark.table(f"{base}_positions"), phrase)
+
+
+def phrase_from_frames(positions: DataFrame, phrase: str) -> DataFrame:
+    """Frame-parameterized phrase-match body (see bm25_from_frames)."""
     words = normalize_query_tokens(phrase)
     if not words:
         raise ValueError(f"phrase normalizes to nothing: {phrase!r}")
-    pos = _positions_for(spark, base, set(words))
+    pos = pruned_positions(positions, set(words))
     empty = F.array().cast("array<int>")
     per_doc = pos.groupBy("doc_id").agg(
         *[
