@@ -169,7 +169,14 @@ def build_index_chunked(
     build's one; the distinct keeps map-side partial dedup, so the
     second exchange moves distinct pairs, not token occurrences.
     """
-    pairs = postings_flat(docs, one_based=one_based)
+    return chunk_pairs(postings_flat(docs, one_based=one_based), chunk_size)
+
+
+def chunk_pairs(pairs: DataFrame, chunk_size: int = 4096) -> DataFrame:
+    """The chunking tail of :func:`build_index_chunked` over an
+    already-built DISTINCT (word, doc_id) frame — callers that hold the
+    pairs from another derivation (e.g. the serving store's one
+    tokenization feeding positions AND chunks) skip the re-tokenize."""
     w = Window.partitionBy("word").orderBy("doc_id")
     chunks = (
         pairs.withColumn("ord", F.row_number().over(w) - 1)
@@ -251,6 +258,7 @@ def merge_index_chunked(
     new_docs: DataFrame,
     chunk_size: int = 4096,
     one_based: bool = False,
+    new_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental maintenance of the CHUNKED layout: fold new documents
     in while re-chunking ONLY the words they touch.
@@ -265,9 +273,13 @@ def merge_index_chunked(
     chunked rebuild in tests/test_index_merge_upsert.py.
 
     ``one_based`` must match the stored index's id space (applies to
-    the new side's tokens only).
+    the new side's tokens only). ``new_pairs`` lets a caller that
+    already derived the new documents' distinct (word, doc_id) frame
+    (e.g. from a pinned positional-postings build) skip the
+    re-tokenization.
     """
-    new_pairs = postings_flat(new_docs, one_based=one_based)
+    if new_pairs is None:
+        new_pairs = postings_flat(new_docs, one_based=one_based)
     affected = new_pairs.select("word").distinct()
 
     old_pairs = (

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed by Arrow-batched pandas functions (``mapInPandas``).
 
-``decode_image`` REALLY decodes the netpbm raw formats (P6 PPM / P5
-PGM) — header parse with comment handling, pixel plane validation,
-exact pixel statistics — because those need no codec library. Formats
-that do need one (JPEG/PNG/audio/video) stay behind a clearly-marked
-NotImplementedError stub until codecs exist in the environment.
+``decode_image`` REALLY decodes netpbm (P6 PPM / P5 PGM), baseline
+JPEG (functions/jpeg.py), and non-interlaced 8-bit PNG
+(functions/png.py); ``decode_audio`` decodes PCM WAV
+(functions/audio.py) — all pure Python, no codec library. Formats
+needing codec machinery this codebase does not carry
+(palette/interlaced PNG, progressive JPEG, GIF, compressed audio,
+video) stay behind a clearly-marked NotImplementedError stub.
 Everything Spark-side is real either way: binary column schema, Arrow
 batch transfer, per-batch vectorized feature extraction, and the
 partitioning story (binary payloads stay with their row; feature
@@ -84,14 +86,15 @@ _parse_netpbm = _make_netpbm_parser()
 def decode_image(payload: bytes, codec: str = "auto"):
     """Decode an image payload.
 
-    Netpbm raw formats (P6/P5 magic) and baseline JPEG (SOI magic;
+    Netpbm raw formats (P6/P5 magic), baseline JPEG (SOI magic;
     pure-Python T.81 sequential decoder, functions/jpeg.py — grayscale
-    and YCbCr at any sampling factors, restart markers honored) decode
-    for real — no codec library needed. ``codec='fake'`` returns the
-    deterministic stand-in. Everything else (PNG, progressive JPEG,
-    audio/video) raises NotImplementedError: those need codec
-    libraries this environment does not ship, and a silent fake would
-    be worse than an honest stub.
+    and YCbCr at any sampling factors, restart markers honored), and
+    non-interlaced 8-bit PNG (functions/png.py) decode for real — no
+    codec library needed. ``codec='fake'`` returns the deterministic
+    stand-in. Everything else (palette/interlaced PNG, progressive
+    JPEG, GIF, video) raises NotImplementedError: those need codec
+    machinery this codebase does not carry, and a silent fake would be
+    worse than an honest stub.
     """
     if codec == "fake":
         return {"width": len(payload) % 640, "height": len(payload) % 480}

@@ -44,7 +44,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_df
 from .bucketing import (
     table_location,
     write_bucketed,
@@ -53,7 +52,7 @@ from .bucketing import (
 )
 from .index import (
     bm25_rank,
-    build_index_chunked,
+    chunk_pairs,
     lookup_stored_terms,
     normalize_query_tokens,
     phrase_adjacency_filter,
@@ -70,17 +69,18 @@ def store_search_index(
     chunk_size: int = 4096,
 ) -> None:
     """Build and persist the full serving layout for ``docs`` under
-    ``base`` (four tables, see module docstring). One tokenization of
-    the corpus feeds all four writes; everything downstream of this
-    call is lookup-cost."""
+    ``base`` (four tables, see module docstring). ONE tokenization of
+    the corpus feeds every table: the positional-postings frame is
+    pinned (lazy localCheckpoint) and chunks derive from its (word,
+    doc_id) pairs, doclen from its per-doc position counts — without
+    the pinning, chunks/positions/doclen would each re-tokenize the
+    corpus (the materialization discipline of operators/dedup.py).
+    Everything downstream of this call is lookup-cost."""
     spark = docs.sparkSession
-    store_chunked_index(
-        build_index_chunked(docs, chunk_size=chunk_size),
-        f"{base}_chunks",
-        n_buckets=n_buckets,
-    )
-    pos = positional_postings(docs).withColumn(
-        "letter", F.substring("word", 1, 1)
+    pos = (
+        positional_postings(docs)
+        .withColumn("letter", F.substring("word", 1, 1))
+        .localCheckpoint(eager=False)
     )
     write_bucketed(
         pos,
@@ -90,7 +90,14 @@ def store_search_index(
         sort_col="word",
         partition_cols=("letter",),
     )
-    doclen = tokens_df(docs).groupBy("doc_id").agg(F.count("*").alias("dl"))
+    store_chunked_index(
+        chunk_pairs(pos.select("word", "doc_id"), chunk_size=chunk_size),
+        f"{base}_chunks",
+        n_buckets=n_buckets,
+    )
+    doclen = pos.groupBy("doc_id").agg(
+        F.sum(F.size("positions")).cast("long").alias("dl")
+    )
     write_bucketed(doclen, f"{base}_doclen", "doc_id", n_buckets, sort_col="doc_id")
     # n_docs counts ALL documents (token-less ones contribute to BM25's
     # N exactly as in the corpus-scan form); avgdl averages over
@@ -111,8 +118,11 @@ def store_search_index(
         )
 
 
-def _meta_path(spark: SparkSession, base: str) -> str:
-    return table_location(spark, f"{base}_serving_meta.json")
+def _meta_path(spark: SparkSession, base: str, kind: str = "text") -> str:
+    """Sidecar path per layout KIND — the text and ANN stores under one
+    base name must not clobber each other's metadata."""
+    suffix = "serving_meta" if kind == "text" else f"{kind}_serving_meta"
+    return table_location(spark, f"{base}_{suffix}.json")
 
 
 def attach_search_index(spark: SparkSession, base: str) -> None:
@@ -126,8 +136,16 @@ def attach_search_index(spark: SparkSession, base: str) -> None:
     survives the session boundary. No-op when the tables are already
     registered. The local stand-in for a metastore-backed lake, where
     this whole function is the metastore's job."""
-    if spark.catalog.tableExists(f"{base}_chunks"):
+    tables = [f"{base}{sfx}" for sfx in ("_chunks", "_positions", "_doclen", "_stats")]
+    registered = [t for t in tables if spark.catalog.tableExists(t)]
+    if len(registered) == len(tables):
         return
+    # partial registration (a previous attach failed mid-way): drop the
+    # registered external entries (metadata only — data files stay) and
+    # re-create everything, so a retry repairs instead of silently
+    # no-opping on the first table's existence
+    for t in registered:
+        spark.sql(f"DROP TABLE {t}")
     with open(_meta_path(spark, base)) as fh:
         meta = json.load(fh)
     n = int(meta["n_buckets"])
@@ -174,7 +192,11 @@ def pruned_positions(positions: DataFrame, words: set[str]) -> DataFrame:
     word-keyed, e.g. the phrase path's doc_id aggregation, and the
     pushed filter plus word-sorted files then still skip row groups).
     Works identically over the stored table and a streamed snapshot's
-    parquet frame — both carry the letter partitioning."""
+    parquet frame — both carry the letter partitioning. Empty terms
+    match nothing (the corpus-scan twins' behavior), never crash."""
+    words = {w for w in words if w}
+    if not words:
+        return positions.where(F.lit(False))
     letters = sorted({w[0] for w in words})
     return positions.where(F.col("letter").isin(*letters)).where(
         F.col("word").isin(*sorted(words))
@@ -370,7 +392,7 @@ def store_ann_index(
         spark.createDataFrame(rows, "list_id int, centroid array<double>"),
         f"{base}_centroids",
     )
-    with open(_meta_path(spark, base), "w") as fh:
+    with open(_meta_path(spark, base, kind="ann"), "w") as fh:
         json.dump({"version": 1, "n_list": len(centroids)}, fh)
 
 
@@ -378,10 +400,19 @@ def attach_ann_index(spark: SparkSession, base: str) -> None:
     """Re-register a stored ANN layout in a fresh session (no-op when
     already attached) — CREATE TABLE ... LOCATION DDL over the external
     files, partition spec intact."""
-    if spark.catalog.tableExists(f"{base}_vectors"):
+    tables = [f"{base}_vectors", f"{base}_centroids"]
+    registered = [t for t in tables if spark.catalog.tableExists(t)]
+    if len(registered) == len(tables):
         return
-    with open(_meta_path(spark, base)):
-        pass  # existence check: a missing sidecar is a loud error
+    for t in registered:  # repair a partial attach, never no-op on it
+        spark.sql(f"DROP TABLE {t}")
+    with open(_meta_path(spark, base, kind="ann")):
+        pass  # a missing ANN sidecar is a loud error, not empty tables
+    for t in tables:
+        if not os.path.isdir(table_location(spark, t)):
+            raise FileNotFoundError(
+                f"no stored data for {t} at {table_location(spark, t)}"
+            )
     loc = table_location(spark, f"{base}_vectors")
     spark.sql(
         f"CREATE TABLE {base}_vectors "
@@ -425,6 +456,9 @@ def ann_search_stored(
 
     centroids = load_stored_centroids(spark, base)
     nprobe = min(nprobe, len(centroids))
+    # pinned: the probe subplan (queries scan + centroid-distance sort)
+    # is used twice — collected for the partition filter AND broadcast
+    # into the join — and `queries` may itself be expensive
     q = queries.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("qe"),
@@ -432,7 +466,7 @@ def ann_search_stored(
         F.explode(
             F.slice(_centroid_order(F.col("embedding"), centroids), 1, nprobe)
         ).alias("list_id"),
-    )
+    ).localCheckpoint(eager=False)
     probe_ids = sorted(
         r["list_id"] for r in q.select("list_id").distinct().collect()
     )
@@ -516,18 +550,23 @@ def extend_search_index(
         meta = json.load(fh)
     n_buckets, chunk_size = int(meta["n_buckets"]), int(meta["chunk_size"])
 
+    # ONE tokenization of the new batch (pinned positional frame) feeds
+    # positions, doclen, AND the chunk merge's new-pairs side
+    new_pos = (
+        positional_postings(new_docs)
+        .withColumn("letter", F.substring("word", 1, 1))
+        .localCheckpoint(eager=False)
+    )
     # chunks: merge BEFORE touching storage, materialized so the write
     # does not lazily re-read the table it replaces
     merged = merge_index_chunked(
         spark.table(f"{base}_chunks"),
         new_docs,
         chunk_size=chunk_size,
+        new_pairs=new_pos.select("word", "doc_id"),
     ).localCheckpoint()
     store_chunked_index(merged, f"{base}_chunks", n_buckets=n_buckets)
 
-    new_pos = positional_postings(new_docs).withColumn(
-        "letter", F.substring("word", 1, 1)
-    )
     loc = table_location(spark, f"{base}_positions")
     (
         new_pos.write.format("parquet")
@@ -538,8 +577,8 @@ def extend_search_index(
         .sortBy("word")
         .saveAsTable(f"{base}_positions")
     )
-    new_doclen = (
-        tokens_df(new_docs).groupBy("doc_id").agg(F.count("*").alias("dl"))
+    new_doclen = new_pos.groupBy("doc_id").agg(
+        F.sum(F.size("positions")).cast("long").alias("dl")
     )
     loc = table_location(spark, f"{base}_doclen")
     (

@@ -104,6 +104,10 @@ def cms_estimate(sketch: DataFrame, words: list[str]) -> DataFrame:
     lookups never touch the corpus. Geometry (depth, width) is read
     FROM the sketch — a caller cannot probe with mismatched parameters
     and silently get zeros."""
+    # pinned: the geometry probe (.first()) and the probe join would
+    # otherwise each run the full sketch-build subtree — for a built
+    # sketch that is a corpus-scale aggregation executed twice
+    sketch = sketch.localCheckpoint(eager=False)
     geom = sketch.agg(
         F.max("seed").alias("max_seed"), F.max("width").alias("width")
     ).first()

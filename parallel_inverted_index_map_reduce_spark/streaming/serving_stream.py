@@ -36,12 +36,23 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_df
 from ..operators import index as ix
 from ..operators.index import positional_postings
 from . import sinks as eo
 
-ARTIFACTS = ("positions", "doclen", "chunks", "stats")
+# artifact -> explicit read schema: a committed snapshot of an EMPTY
+# corpus prefix has directories with no part files, where schema
+# inference raises — explicit schemas keep every committed version
+# readable (the same empty-directory lesson as sinks.py's reader)
+ARTIFACTS = {
+    "positions": "word string, doc_id bigint, positions array<int>, letter string",
+    "doclen": "doc_id long, dl bigint",
+    "chunks": (
+        "word string, chunk_id bigint, df bigint, "
+        "postings array<bigint>, letter string"
+    ),
+    "stats": "n_docs long, avgdl double",
+}
 
 
 def read_serving_version(
@@ -53,7 +64,10 @@ def read_serving_version(
     if not dirs:
         return None
     latest = max(dirs, key=lambda d: int(d.rsplit("=", 1)[1]))
-    return {a: spark.read.parquet(os.path.join(latest, a)) for a in ARTIFACTS}
+    return {
+        a: spark.read.schema(schema).parquet(os.path.join(latest, a))
+        for a, schema in ARTIFACTS.items()
+    }
 
 
 def start_incremental_serving(
@@ -72,22 +86,28 @@ def start_incremental_serving(
         batch = batch_docs.localCheckpoint()
         prev = read_serving_version(spark, store_dir)
 
-        new_pos = positional_postings(batch).withColumn(
-            "letter", F.substring("word", 1, 1)
+        # ONE tokenization of the batch: the pinned positional frame
+        # feeds positions, doclen, AND the chunk build/merge pairs
+        new_pos = (
+            positional_postings(batch)
+            .withColumn("letter", F.substring("word", 1, 1))
+            .localCheckpoint(eager=False)
         )
-        new_dl = tokens_df(batch).groupBy("doc_id").agg(
-            F.count("*").alias("dl")
+        new_pairs = new_pos.select("word", "doc_id")
+        new_dl = new_pos.groupBy("doc_id").agg(
+            F.sum(F.size("positions")).cast("long").alias("dl")
         )
         n_batch = batch.count()
         if prev is None:
             pos, dl = new_pos, new_dl
-            chunks = ix.build_index_chunked(batch, chunk_size=chunk_size)
+            chunks = ix.chunk_pairs(new_pairs, chunk_size=chunk_size)
             n_docs = n_batch
         else:
             pos = prev["positions"].unionByName(new_pos)
             dl = prev["doclen"].unionByName(new_dl)
             chunks = ix.merge_index_chunked(
-                prev["chunks"], batch, chunk_size=chunk_size
+                prev["chunks"], batch, chunk_size=chunk_size,
+                new_pairs=new_pairs,
             )
             n_docs = int(prev["stats"].first()["n_docs"]) + n_batch
 
@@ -100,8 +120,13 @@ def start_incremental_serving(
             os.path.join(out, "chunks")
         )
         # stats from the WRITTEN doclen (reading it back avoids
-        # re-executing the union plan a second time)
-        stats = spark.read.parquet(os.path.join(out, "doclen")).agg(
+        # re-executing the union plan a second time); the EXPLICIT
+        # schema keeps a zero-row batch's empty directory readable —
+        # schema inference over no part files raises, which would wedge
+        # the stream on every replay of that batch
+        stats = spark.read.schema("doc_id long, dl bigint").parquet(
+            os.path.join(out, "doclen")
+        ).agg(
             F.lit(n_docs).cast("long").alias("n_docs"),
             F.coalesce(F.avg("dl"), F.lit(1.0)).alias("avgdl"),
         )
