@@ -77,3 +77,38 @@ def compact_partitioned(
         partition_cols,
         max_records_per_file=max_records_per_file,
     )
+
+
+def corpus_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    key: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(key, status, old_hash, new_hash): what changed between two
+    corpus versions — the audit a training-data pipeline runs before
+    re-processing a refreshed snapshot (changed/added docs re-enter the
+    pipeline; removed ones trigger downstream tombstones).
+
+    status: 'added' (key only in new), 'removed' (only in old),
+    'changed' (both, different content hash), 'unchanged'. Content
+    identity is md5 of the content column's bytes — the same identity
+    exact dedup uses, so a diff of byte-identical snapshots is provably
+    all-unchanged. One full-outer join on the key; only 16-byte hashes
+    shuffle, never the texts.
+    """
+    oh = old_docs.select(
+        key, F.md5(F.col(content_col).cast("binary")).alias("old_hash")
+    )
+    nh = new_docs.select(
+        key, F.md5(F.col(content_col).cast("binary")).alias("new_hash")
+    )
+    status = (
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash") != F.col("new_hash"), "changed")
+        .otherwise("unchanged")
+    )
+    return oh.join(nh, key, "full_outer").select(
+        key, status.alias("status"), "old_hash", "new_hash"
+    )

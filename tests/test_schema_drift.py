@@ -137,3 +137,25 @@ def test_pipeline_survives_int32_doc_ids(spark, drifted_dir):
     n = packed.count()
     assert n > 0
     assert packed.select("doc_id", "chunk_id").distinct().count() == n
+
+
+def test_corpus_diff_statuses(spark):
+    from parallel_inverted_index_map_reduce_spark.operators.maintenance import (
+        corpus_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "going away")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+    # identical snapshots are provably all-unchanged
+    same = {r["status"] for r in corpus_diff(old, old).collect()}
+    assert same == {"unchanged"}
