@@ -117,3 +117,58 @@ def corpus_report(docs: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def corpus_checks(docs: DataFrame) -> DataFrame:
+    """(check, n_violations) data-quality gates — the invariants a
+    pipeline asserts before committing compute to a corpus snapshot
+    (the dbt-test / expectations pattern, aggregation-shaped like the
+    report: a handful of output rows whatever the corpus size).
+
+    Checks: null_doc_id, duplicate_doc_id (rows beyond the first per
+    id), null_text, empty_text (whitespace-only), oversize_text
+    (> 1M chars — a likely extraction bug, not prose). A healthy
+    corpus reports 0 for every row; callers gate on
+    ``max(n_violations) == 0``.
+    """
+    txt = F.col("text")
+    dup = (
+        docs.groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("v"))
+    )
+    parts = [
+        _kv(
+            docs.agg(
+                F.count(F.when(F.col("doc_id").isNull(), 1)).alias("v")
+            ),
+            F.lit("null_doc_id"),
+            F.col("v"),
+        ),
+        _kv(dup, F.lit("duplicate_doc_id"), F.col("v")),
+        _kv(
+            docs.agg(F.count(F.when(txt.isNull(), 1)).alias("v")),
+            F.lit("null_text"),
+            F.col("v"),
+        ),
+        _kv(
+            docs.agg(
+                F.count(
+                    F.when(txt.isNotNull() & (F.trim(txt) == ""), 1)
+                ).alias("v")
+            ),
+            F.lit("empty_text"),
+            F.col("v"),
+        ),
+        _kv(
+            docs.agg(
+                F.count(F.when(F.length(txt) > 1_000_000, 1)).alias("v")
+            ),
+            F.lit("oversize_text"),
+            F.col("v"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumnsRenamed({"metric": "check", "value": "n_violations"})

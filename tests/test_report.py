@@ -46,3 +46,37 @@ def test_report_without_label_columns(spark):
     assert not any(m.startswith(("lang=", "source=")) for m in metrics)
     # one schema, scalar-typed
     assert rep.schema.simpleString() == "struct<metric:string,value:string>"
+
+
+def test_corpus_checks_flags_each_violation_kind(spark):
+    from parallel_inverted_index_map_reduce_spark.operators.report import (
+        corpus_checks,
+    )
+
+    healthy = load_table(spark, SF_ORACLE, "documents")
+    ok = {r["check"]: int(r["n_violations"]) for r in corpus_checks(healthy).collect()}
+    assert set(ok) == {
+        "null_doc_id", "duplicate_doc_id", "null_text", "empty_text",
+        "oversize_text",
+    }
+    assert all(v == 0 for v in ok.values()), ok
+
+    dirty = spark.createDataFrame(
+        [
+            (1, "fine"),
+            (1, "dup id"),
+            (None, "no id"),
+            (2, None),
+            (3, "   "),
+            (4, "x" * 1_000_001),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["check"]: int(r["n_violations"]) for r in corpus_checks(dirty).collect()}
+    assert got == {
+        "null_doc_id": 1,
+        "duplicate_doc_id": 1,
+        "null_text": 1,
+        "empty_text": 1,
+        "oversize_text": 1,
+    }

@@ -83,3 +83,60 @@ def test_sql_join_over_views(spark):
     grows = sorted(map(tuple, got.collect()))
     wrows = sorted(map(tuple, want.select("nation", "n_customers").collect()))
     assert grows == wrows
+
+
+def test_plain_sql_bm25_over_the_attached_serving_store(spark):
+    """The stored serving layout is queryable by ANY SQL client: a pure
+    spark.sql BM25 over the attached tables matches bm25_search_stored
+    row-for-row — the layout, not the Python operators, is the
+    product surface."""
+    from pyspark.sql import functions as F
+
+    from parallel_inverted_index_map_reduce_spark.operators import serving as srv
+    from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    srv.store_search_index(docs, "sqlidx", n_buckets=4, chunk_size=64)
+
+    terms = ("hash", "query", "spark")
+    st = spark.table("sqlidx_stats").first()
+    n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    letter_list = ", ".join(f"'{t[0]}'" for t in sorted({t[0] for t in terms}))
+    got = spark.sql(
+        f"""
+        WITH tf AS (
+            SELECT word, doc_id, CAST(size(positions) AS BIGINT) AS tf
+            FROM sqlidx_positions
+            WHERE letter IN ({letter_list}) AND word IN ({term_list})
+        ),
+        idf AS (
+            SELECT word,
+                   round(ln(1.0 + (({n_docs}.0D - COUNT(DISTINCT doc_id)) + 0.5)
+                                 / (COUNT(DISTINCT doc_id) + 0.5)), 9) AS idf
+            FROM tf GROUP BY word
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   SUM(CAST(round(i.idf * (t.tf * (1.2 + 1.0))
+                                  / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / {avgdl!r}D)),
+                            9) AS DECIMAL(28,12))) AS score_dec
+            FROM tf t
+            JOIN idf i USING (word)
+            JOIN sqlidx_doclen d USING (doc_id)
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id,
+               CAST(CAST(round(CAST(score_dec AS DECIMAL(28,12)), 6)
+                    AS DECIMAL(18,6)) AS STRING) AS score,
+               CAST(row_number() OVER (ORDER BY score_dec DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM scored
+        ORDER BY score_dec DESC, doc_id
+        LIMIT 10
+        """
+    )
+    want = srv.bm25_search_stored(spark, "sqlidx", " ".join(terms), k=10)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
