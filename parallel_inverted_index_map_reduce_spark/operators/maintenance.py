@@ -94,20 +94,28 @@ def corpus_diff(
     'changed' (both, different content hash), 'unchanged'. Content
     identity is md5 of the content column's bytes — the same identity
     exact dedup uses, so a diff of byte-identical snapshots is provably
-    all-unchanged. One full-outer join on the key; only 16-byte hashes
-    shuffle, never the texts.
+    all-unchanged. Presence comes from explicit join-side markers, NOT
+    from hash nullness — md5(NULL) is NULL, so a null-content doc must
+    still read as PRESENT (its hash column stays null in the output;
+    null-vs-null compares as unchanged via null-safe equality). One
+    full-outer join on the key; only 16-byte hashes shuffle, never the
+    texts.
     """
     oh = old_docs.select(
-        key, F.md5(F.col(content_col).cast("binary")).alias("old_hash")
+        key,
+        F.md5(F.col(content_col).cast("binary")).alias("old_hash"),
+        F.lit(True).alias("_in_old"),
     )
     nh = new_docs.select(
-        key, F.md5(F.col(content_col).cast("binary")).alias("new_hash")
+        key,
+        F.md5(F.col(content_col).cast("binary")).alias("new_hash"),
+        F.lit(True).alias("_in_new"),
     )
     status = (
-        F.when(F.col("old_hash").isNull(), "added")
-        .when(F.col("new_hash").isNull(), "removed")
-        .when(F.col("old_hash") != F.col("new_hash"), "changed")
-        .otherwise("unchanged")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(F.col("old_hash").eqNullSafe(F.col("new_hash")), "unchanged")
+        .otherwise("changed")
     )
     return oh.join(nh, key, "full_outer").select(
         key, status.alias("status"), "old_hash", "new_hash"

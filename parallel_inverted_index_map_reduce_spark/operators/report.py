@@ -126,49 +126,45 @@ def corpus_checks(docs: DataFrame) -> DataFrame:
     report: a handful of output rows whatever the corpus size).
 
     Checks: null_doc_id, duplicate_doc_id (rows beyond the first per
-    id), null_text, empty_text (whitespace-only), oversize_text
-    (> 1M chars — a likely extraction bug, not prose). A healthy
-    corpus reports 0 for every row; callers gate on
-    ``max(n_violations) == 0``.
+    id), null_text, empty_text (whitespace-only by the TOKENIZER's
+    whitespace rule — a tab/newline-only doc yields zero tokens and
+    must flag), oversize_text (> 1M chars — a likely extraction bug,
+    not prose). A healthy corpus reports 0 for every row; callers gate
+    on ``max(n_violations) == 0``.
+
+    Cost: ONE corpus aggregation for the four row-level checks
+    (conditional counts as columns, exploded into labeled rows — the
+    same one-pass rule as the report's quantiles) plus the duplicate
+    groupBy. Never five scans.
     """
+    from ..functions.text import WHITESPACE_RE
+
     txt = F.col("text")
+    blank = F.regexp_replace(txt, WHITESPACE_RE, "") == ""
+    one = docs.agg(
+        F.count(F.when(F.col("doc_id").isNull(), 1)).alias("null_doc_id"),
+        F.count(F.when(txt.isNull(), 1)).alias("null_text"),
+        F.count(F.when(txt.isNotNull() & blank, 1)).alias("empty_text"),
+        F.count(F.when(F.length(txt) > 1_000_000, 1)).alias("oversize_text"),
+    )
+    labels = list(one.columns)
+    row_checks = one.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(c) for c in labels]).alias("m"),
+                F.array(*[F.col(c).cast("string") for c in labels]).alias("v"),
+            )
+        ).alias("z")
+    ).select(
+        F.col("z.m").alias("check"), F.col("z.v").alias("n_violations")
+    )
     dup = (
         docs.groupBy("doc_id")
         .agg(F.count("*").alias("n"))
         .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("v"))
+        .select(
+            F.lit("duplicate_doc_id").alias("check"),
+            F.col("v").cast("string").alias("n_violations"),
+        )
     )
-    parts = [
-        _kv(
-            docs.agg(
-                F.count(F.when(F.col("doc_id").isNull(), 1)).alias("v")
-            ),
-            F.lit("null_doc_id"),
-            F.col("v"),
-        ),
-        _kv(dup, F.lit("duplicate_doc_id"), F.col("v")),
-        _kv(
-            docs.agg(F.count(F.when(txt.isNull(), 1)).alias("v")),
-            F.lit("null_text"),
-            F.col("v"),
-        ),
-        _kv(
-            docs.agg(
-                F.count(
-                    F.when(txt.isNotNull() & (F.trim(txt) == ""), 1)
-                ).alias("v")
-            ),
-            F.lit("empty_text"),
-            F.col("v"),
-        ),
-        _kv(
-            docs.agg(
-                F.count(F.when(F.length(txt) > 1_000_000, 1)).alias("v")
-            ),
-            F.lit("oversize_text"),
-            F.col("v"),
-        ),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.withColumnsRenamed({"metric": "check", "value": "n_violations"})
+    return row_checks.unionByName(dup)

@@ -176,6 +176,8 @@ def attach_search_index(spark: SparkSession, base: str) -> None:
         if part:
             spark.catalog.recoverPartitions(table)
     loc = table_location(spark, f"{base}_stats")
+    if not os.path.isdir(loc):
+        raise FileNotFoundError(f"no stored data for {base}_stats at {loc}")
     spark.sql(
         f"CREATE TABLE {base}_stats (n_docs bigint, avgdl double) "
         f"USING parquet LOCATION '{loc}'"
@@ -406,7 +408,17 @@ def attach_ann_index(spark: SparkSession, base: str) -> None:
         return
     for t in registered:  # repair a partial attach, never no-op on it
         spark.sql(f"DROP TABLE {t}")
-    with open(_meta_path(spark, base, kind="ann")):
+    meta_path = _meta_path(spark, base, kind="ann")
+    if not os.path.exists(meta_path):
+        # layouts stored before the kind-specific sidecar rename used
+        # the text sidecar's name; accept it ONLY when it is actually
+        # an ANN sidecar (carries n_list), never a text store's file
+        legacy = _meta_path(spark, base)
+        if os.path.exists(legacy):
+            with open(legacy) as fh:
+                if "n_list" in json.load(fh):
+                    meta_path = legacy
+    with open(meta_path):
         pass  # a missing ANN sidecar is a loud error, not empty tables
     for t in tables:
         if not os.path.isdir(table_location(spark, t)):

@@ -124,7 +124,7 @@ def start_incremental_serving(
         # schema keeps a zero-row batch's empty directory readable —
         # schema inference over no part files raises, which would wedge
         # the stream on every replay of that batch
-        stats = spark.read.schema("doc_id long, dl bigint").parquet(
+        stats = spark.read.schema(ARTIFACTS["doclen"]).parquet(
             os.path.join(out, "doclen")
         ).agg(
             F.lit(n_docs).cast("long").alias("n_docs"),

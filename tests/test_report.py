@@ -67,7 +67,7 @@ def test_corpus_checks_flags_each_violation_kind(spark):
             (1, "dup id"),
             (None, "no id"),
             (2, None),
-            (3, "   "),
+            (3, "\t\n "),  # tab/newline-only: the TOKENIZER's whitespace
             (4, "x" * 1_000_001),
         ],
         ["doc_id", "text"],

@@ -159,3 +159,10 @@ def test_corpus_diff_statuses(spark):
     # identical snapshots are provably all-unchanged
     same = {r["status"] for r in corpus_diff(old, old).collect()}
     assert same == {"unchanged"}
+
+    # NULL content is PRESENCE, not absence: a null-text doc in both
+    # snapshots is unchanged; null -> text is changed — never 'added'
+    o2 = spark.createDataFrame([(7, None), (8, None)], "doc_id long, text string")
+    n2 = spark.createDataFrame([(7, "now extracted"), (8, None)], "doc_id long, text string")
+    got2 = {r["doc_id"]: r["status"] for r in corpus_diff(o2, n2).collect()}
+    assert got2 == {7: "changed", 8: "unchanged"}

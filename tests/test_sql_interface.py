@@ -118,8 +118,12 @@ def test_plain_sql_bm25_over_the_attached_serving_store(spark):
         ),
         scored AS (
             SELECT t.doc_id,
-                   SUM(CAST(round(i.idf * (t.tf * (1.2 + 1.0))
-                                  / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / {avgdl!r}D)),
+                   -- association matches bm25_rank exactly: the tf
+                   -- ratio divides FIRST, then multiplies by idf —
+                   -- a different IEEE association could differ by an
+                   -- ulp on a round-half boundary at the 9th decimal
+                   SUM(CAST(round(i.idf * ((t.tf * (1.2 + 1.0))
+                                  / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / {avgdl!r}D))),
                             9) AS DECIMAL(28,12))) AS score_dec
             FROM tf t
             JOIN idf i USING (word)
