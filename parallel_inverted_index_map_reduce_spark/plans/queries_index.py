@@ -240,27 +240,56 @@ SELECT 'bm25' AS op, 'spark query hash' AS query, doc_id,
        rk AS "rank"
 FROM btop WHERE rk <= 10
 UNION ALL
+SELECT 'bm25_stored', 'spark query hash', doc_id,
+       CAST(CAST(round(CAST(score_dec AS DECIMAL(28,12)), 6)
+            AS DECIMAL(18,6)) AS VARCHAR),
+       rk
+FROM btop WHERE rk <= 10
+UNION ALL
 SELECT 'near3', 'spark query', doc_id, CAST(md AS VARCHAR),
        row_number() OVER (ORDER BY doc_id)
 FROM near WHERE md <= 3
 """,
-    tags=("index", "search", "ranked"),
+    tags=("index", "search", "ranked", "serving"),
     doc="Ranked retrieval over the corpus in one labeled result: 'bm25' "
     "rows are Okapi BM25 top-10 for a free-text query (operators/"
     "index.py bm25_search — per-term idf broadcast, one groupBy(doc_id) "
     "decimal score sum so the total is order-independent, per-partition "
-    "truncation before the top-k merge), 'near3' rows are NEAR/3 "
-    "proximity matches (proximity_search — positional postings + "
-    "zero-shuffle per-doc min-distance array fold; the oracle's "
-    "positional self-join min() proves the fold). score is the "
-    "6-decimal BM25 score or the min token distance; rank is the BM25 "
-    "rank or a doc_id-ordered row number.",
+    "truncation before the top-k merge), 'bm25_stored' rows are the "
+    "SAME query answered from the persisted serving layout (operators/"
+    "serving.py: store_search_index writes the letter-partitioned, "
+    "word-bucketed positional index + doclen + stats once, then "
+    "bm25_search_stored reads only the query terms' pruned buckets — "
+    "the oracle stays the corpus-scan formulation, so the hash match "
+    "PROVES the stored path loses nothing while never re-tokenizing "
+    "the corpus), and 'near3' rows are NEAR/3 proximity matches "
+    "(proximity_search — positional postings + zero-shuffle per-doc "
+    "min-distance array fold; the oracle's positional self-join min() "
+    "proves the fold). score is the 6-decimal BM25 score or the min "
+    "token distance; rank is the BM25 rank or a doc_id-ordered row "
+    "number.",
 )
 def q_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from ..operators import serving as srv
+
     docs = _docs(spark, sf_dir)
     q = "spark query hash"
     bm = ix.bm25_search(docs, q, k=10).select(
         F.lit("bm25").alias("op"),
+        F.lit(q).alias("query"),
+        "doc_id",
+        F.col("score"),
+        "rank",
+    )
+    # the serving twin: build the store once for this sf_dir (base name
+    # keyed on the dir so concurrent sessions over different scales
+    # cannot clobber each other's tables), query from it
+    base = "rrserve_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    srv.store_search_index(docs, base, n_buckets=4, chunk_size=256)
+    bm_stored = srv.bm25_search_stored(spark, base, q, k=10).select(
+        F.lit("bm25_stored").alias("op"),
         F.lit(q).alias("query"),
         "doc_id",
         F.col("score"),
@@ -275,7 +304,7 @@ def q_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_dist").cast("string").alias("score"),
         F.row_number().over(w).cast("long").alias("rank"),
     )
-    return bm.unionByName(nr)
+    return bm.unionByName(bm_stored).unionByName(nr)
 
 
 @register(
