@@ -79,9 +79,28 @@ def write_partitioned_table(
 
 def table_location(spark: SparkSession, table: str) -> str:
     """The on-disk directory backing ``table`` under the session's
-    warehouse dir — one naming rule shared by writers and re-attachers."""
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    return os.path.join(warehouse.removeprefix("file:"), table)
+    warehouse dir — one naming rule shared by writers and re-attachers.
+
+    Falls back to ``$TMPDIR/spark_graft_warehouse`` when the session's
+    warehouse root cannot be created/written (a driver running from a
+    read-only cwd with the default relative ``spark-warehouse``): all
+    tables are written as EXTERNAL with this explicit path, so the
+    fallback relocates the data without touching catalog semantics,
+    and writers and re-attachers agree because they share this one
+    function."""
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    try:
+        os.makedirs(warehouse, exist_ok=True)
+        if not os.access(warehouse, os.W_OK):
+            raise OSError
+    except OSError:
+        import tempfile
+
+        warehouse = os.path.join(tempfile.gettempdir(), "spark_graft_warehouse")
+        os.makedirs(warehouse, exist_ok=True)
+    return os.path.join(warehouse, table)
 
 
 def write_table(df: DataFrame, table: str) -> None:
