@@ -81,25 +81,33 @@ def table_location(spark: SparkSession, table: str) -> str:
     """The on-disk directory backing ``table`` under the session's
     warehouse dir — one naming rule shared by writers and re-attachers.
 
-    Falls back to ``$TMPDIR/spark_graft_warehouse`` when the session's
-    warehouse root cannot be created/written (a driver running from a
-    read-only cwd with the default relative ``spark-warehouse``): all
-    tables are written as EXTERNAL with this explicit path, so the
-    fallback relocates the data without touching catalog semantics,
-    and writers and re-attachers agree because they share this one
-    function."""
+    An EXISTING warehouse root is always used as-is — serving from a
+    read-only store (build-once in an indexing job, read-many from
+    less-privileged sessions) must keep working, and a write into a
+    genuinely read-only root should fail loudly, not silently divert.
+    Only a root that does not exist AND cannot be created (a driver
+    session with the default RELATIVE ``spark-warehouse`` in a
+    read-only cwd) falls back — to a tempdir path keyed on the
+    intended root's absolute path, so writers and later re-attachers
+    derive the SAME fallback deterministically while unrelated
+    warehouse configs cannot collide on one shared directory."""
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    try:
-        os.makedirs(warehouse, exist_ok=True)
-        if not os.access(warehouse, os.W_OK):
-            raise OSError
-    except OSError:
-        import tempfile
+    if not os.path.isdir(warehouse):
+        try:
+            os.makedirs(warehouse, exist_ok=True)
+        except OSError:
+            import hashlib
+            import tempfile
 
-        warehouse = os.path.join(tempfile.gettempdir(), "spark_graft_warehouse")
-        os.makedirs(warehouse, exist_ok=True)
+            tag = hashlib.md5(
+                os.path.abspath(warehouse).encode()
+            ).hexdigest()[:8]
+            warehouse = os.path.join(
+                tempfile.gettempdir(), f"spark_graft_warehouse_{tag}"
+            )
+            os.makedirs(warehouse, exist_ok=True)
     return os.path.join(warehouse, table)
 
 
