@@ -37,6 +37,14 @@ def _make_codec():
             body = payload[pos + 8 : pos + 8 + length]
             pos += 8 + length + (length & 1)  # chunks are word-aligned
             if ctype == b"fmt ":
+                # Validate before trusting: a malformed fmt chunk must
+                # raise this codec's ValueError contract, not leak a
+                # struct.error (short body) or ZeroDivisionError
+                # (block-align 0) from the sample-plane math below.
+                if len(body) < 16:
+                    raise ValueError(
+                        f"fmt chunk too short ({len(body)} bytes, need 16)"
+                    )
                 audio_fmt, n_ch, rate, _byte_rate, block, bits = struct.unpack(
                     "<HHIIHH", body[:16]
                 )
@@ -46,6 +54,11 @@ def _make_codec():
                     )
                 if bits not in (8, 16):
                     raise NotImplementedError(f"{bits}-bit samples")
+                if block <= 0 or block != n_ch * bits // 8:
+                    raise ValueError(
+                        f"invalid block align {block} "
+                        f"(channels={n_ch}, bits={bits})"
+                    )
                 fmt = (n_ch, rate, bits, block)
             elif ctype == b"data":
                 data = body

@@ -45,7 +45,14 @@ def _make_codec():
         dtype=np.int64,
     )
 
-    # T.81 Annex K.1 example quantization tables (quality ~50).
+    # T.81 Annex K.1 example quantization tables (quality ~50), written
+    # below in the spec's natural (row-major) layout for legibility and
+    # permuted into ZIGZAG order at definition: everywhere this codec
+    # handles a quant table — DQT bytes, encoder division, decoder
+    # multiplication — the convention is zigzag order, matching the DQT
+    # wire format, so the shipped constants must be zigzag too (a
+    # natural-order table here would apply each step size to the wrong
+    # frequency versus the documented standard tables).
     QUANT_LUMA = np.array(
         [
             16, 11, 10, 16, 24, 40, 51, 61,
@@ -58,7 +65,7 @@ def _make_codec():
             72, 92, 95, 98, 112, 100, 103, 99,
         ],
         dtype=np.int64,
-    )
+    )[ZIGZAG]
     QUANT_CHROMA = np.array(
         [
             17, 18, 24, 47, 99, 99, 99, 99,
@@ -71,7 +78,7 @@ def _make_codec():
             99, 99, 99, 99, 99, 99, 99, 99,
         ],
         dtype=np.int64,
-    )
+    )[ZIGZAG]
 
     # T.81 Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL).
     DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]

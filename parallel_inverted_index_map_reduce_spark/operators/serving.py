@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,6 +61,25 @@ from .index import (
     proximity_min_filter,
     store_chunked_index,
 )
+
+
+def corpus_fingerprint(docs: DataFrame) -> dict:
+    """Cheap order-independent corpus identity: document count plus the
+    xor of per-document ``xxhash64(doc_id, text)``. One aggregation, no
+    shuffle beyond the partial-merge; xor is associative/commutative so
+    partitioning cannot change it, and the SAME formula applied to a
+    batch composes with a stored fingerprint under xor — which is what
+    lets :func:`extend_search_index` maintain the fingerprint
+    incrementally instead of re-scanning the whole corpus. This is a
+    STALENESS check (did the corpus at this path change since the store
+    was built), not a cryptographic commitment — xxhash64 is fine."""
+    row = docs.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.col("doc_id"), F.col("text"))), F.lit(0)
+        ).alias("x"),
+    ).first()
+    return {"n_docs": int(row["n"]), "xor64": int(row["x"])}
 
 
 def store_search_index(
@@ -101,8 +121,10 @@ def store_search_index(
     write_bucketed(doclen, f"{base}_doclen", "doc_id", n_buckets, sort_col="doc_id")
     # n_docs counts ALL documents (token-less ones contribute to BM25's
     # N exactly as in the corpus-scan form); avgdl averages over
-    # tokenized docs, matching bm25_search's doclen aggregate.
-    n_docs = docs.count()
+    # tokenized docs, matching bm25_search's doclen aggregate. The same
+    # corpus aggregation yields the fingerprint the sidecar stores.
+    fp = corpus_fingerprint(docs)
+    n_docs = fp["n_docs"]
     stats = spark.table(f"{base}_doclen").agg(
         F.lit(n_docs).cast("long").alias("n_docs"),
         F.coalesce(F.avg("dl"), F.lit(1.0)).alias("avgdl"),
@@ -110,12 +132,22 @@ def store_search_index(
     write_table(stats, f"{base}_stats")
     # sidecar: the layout facts a FRESH session needs to re-register the
     # external tables (the in-memory catalog forgets them; the files do
-    # not) — see attach_search_index
+    # not) — see attach_search_index — plus the corpus fingerprint that
+    # makes "is this store current for THESE docs" an invariant-by-check
+    # (verify_search_index), not an assumption about the path's contents.
     with open(_meta_path(spark, base), "w") as fh:
         json.dump(
-            {"version": 1, "n_buckets": n_buckets, "chunk_size": chunk_size},
+            {
+                "version": 2,
+                "n_buckets": n_buckets,
+                "chunk_size": chunk_size,
+                "fingerprint": fp,
+            },
             fh,
         )
+    # a completed rebuild supersedes any torn extend and swap leftovers
+    _clear_extend_marker(spark, base)
+    _cleanup_swap_leftovers(spark, base)
 
 
 def _meta_path(spark: SparkSession, base: str, kind: str = "text") -> str:
@@ -125,31 +157,107 @@ def _meta_path(spark: SparkSession, base: str, kind: str = "text") -> str:
     return table_location(spark, f"{base}_{suffix}.json")
 
 
-def attach_search_index(spark: SparkSession, base: str) -> None:
-    """Re-register a previously stored serving layout in THIS session's
-    catalog. ``store_search_index`` writes EXTERNAL tables (data under
-    the warehouse dir) plus a JSON sidecar; a fresh session — the
-    common serving case: build once in an indexing job, query from many
-    later sessions — re-attaches them with CREATE TABLE ... LOCATION
-    DDL carrying the same bucket/sort/partition spec, so every pruning
-    property (PartitionFilters, SelectedBucketsCount, sorted files)
-    survives the session boundary. No-op when the tables are already
-    registered. The local stand-in for a metastore-backed lake, where
-    this whole function is the metastore's job."""
-    tables = [f"{base}{sfx}" for sfx in ("_chunks", "_positions", "_doclen", "_stats")]
-    registered = [t for t in tables if spark.catalog.tableExists(t)]
-    if len(registered) == len(tables):
-        return
-    # partial registration (a previous attach failed mid-way): drop the
-    # registered external entries (metadata only — data files stay) and
-    # re-create everything, so a retry repairs instead of silently
-    # no-opping on the first table's existence
-    for t in registered:
-        spark.sql(f"DROP TABLE {t}")
+def _read_meta(spark: SparkSession, base: str) -> dict:
     with open(_meta_path(spark, base)) as fh:
-        meta = json.load(fh)
-    n = int(meta["n_buckets"])
-    bucketed = {
+        return json.load(fh)
+
+
+# ---------------------------------------------------------------------------
+# Lifecycle protection: extend marker + atomic chunk swap + fingerprint
+# verify. Together these close the two round-4 durability defects: a
+# torn multi-table extend is DETECTABLE (marker), a crash mid-chunk-
+# rewrite can never destroy the only copy (__next write + rename swap),
+# and a store serving a regenerated corpus is CAUGHT, not silently
+# served (sidecar fingerprint checked by ensure_search_index).
+# ---------------------------------------------------------------------------
+
+
+def _extend_marker_path(spark: SparkSession, base: str) -> str:
+    return table_location(spark, f"{base}_extend_inprogress.marker")
+
+
+def _write_extend_marker(spark: SparkSession, base: str, info: dict) -> None:
+    with open(_extend_marker_path(spark, base), "w") as fh:
+        json.dump(info, fh)
+
+
+def _clear_extend_marker(spark: SparkSession, base: str) -> None:
+    try:
+        os.remove(_extend_marker_path(spark, base))
+    except FileNotFoundError:
+        pass
+
+
+def extend_in_progress(spark: SparkSession, base: str) -> bool:
+    """True when a previous :func:`extend_search_index` started mutating
+    the four tables and never finished — the store may be TORN (e.g.
+    positions include the new docs while chunks/stats exclude them) and
+    must be rebuilt (or rolled forward by re-running the same extend
+    after a rebuild from the pre-extend corpus)."""
+    return os.path.exists(_extend_marker_path(spark, base))
+
+
+def _chunks_swap_paths(spark: SparkSession, base: str) -> tuple[str, str, str]:
+    loc = table_location(spark, f"{base}_chunks")
+    return loc, table_location(spark, f"{base}_chunks__next"), loc + "__old"
+
+
+def recover_chunks_swap(spark: SparkSession, base: str) -> None:
+    """Roll a crashed chunk swap forward. Invariant of the swap
+    protocol (:func:`_replace_chunks_atomic`): the live location is
+    only ever missing AFTER ``__next`` is completely written, so
+    live-missing + __next-present always rolls FORWARD by one rename.
+    Leftover ``__next``/``__old`` directories beside a live store are
+    debris from crashes on either side of the publish point and are
+    deleted. No-op on a healthy store."""
+    loc, next_loc, old_loc = _chunks_swap_paths(spark, base)
+    if not os.path.isdir(loc) and os.path.isdir(next_loc):
+        os.rename(next_loc, loc)
+    if os.path.isdir(loc):
+        _cleanup_swap_leftovers(spark, base)
+
+
+def _cleanup_swap_leftovers(spark: SparkSession, base: str) -> None:
+    _, next_loc, old_loc = _chunks_swap_paths(spark, base)
+    for leftover in (next_loc, old_loc):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
+
+
+def _replace_chunks_atomic(
+    spark: SparkSession, base: str, merged: DataFrame, n_buckets: int
+) -> None:
+    """Replace the stored chunks table write-new-then-rename: the new
+    version is COMPLETELY written to ``<chunks>__next`` before the one
+    destructive step, and the destructive step is two directory renames
+    — at every instant at least one complete copy exists on disk
+    (proven by the crash-injection sweep in
+    tests/test_serving_lifecycle.py), unlike the previous DROP+rmtree+
+    rewrite whose crash window destroyed the only copy."""
+    next_table = f"{base}_chunks__next"
+    store_chunked_index(merged, next_table, n_buckets=n_buckets)
+    # keep the files, drop the scratch catalog entry (external table)
+    spark.sql(f"DROP TABLE IF EXISTS {next_table}")
+    loc, next_loc, old_loc = _chunks_swap_paths(spark, base)
+    spark.sql(f"DROP TABLE IF EXISTS {base}_chunks")
+    if os.path.isdir(old_loc):
+        shutil.rmtree(old_loc)
+    if os.path.isdir(loc):
+        os.rename(loc, old_loc)  # live copy preserved under __old
+    os.rename(next_loc, loc)  # the publish point
+    if os.path.isdir(old_loc):
+        shutil.rmtree(old_loc)
+    _create_stored_table(
+        spark, f"{base}_chunks", _bucketed_specs(base)[f"{base}_chunks"],
+        n_buckets,
+    )
+
+
+def _bucketed_specs(base: str) -> dict[str, tuple[str, str, str]]:
+    """table -> (column DDL, partition clause, bucket/sort column) for
+    the three bucketed tables of a serving layout — ONE source of truth
+    shared by the fresh-session attach and the post-swap re-register."""
+    return {
         f"{base}_chunks": (
             "(word string, chunk_id bigint, df bigint, "
             "postings array<bigint>, letter string)",
@@ -164,17 +272,54 @@ def attach_search_index(spark: SparkSession, base: str) -> None:
         ),
         f"{base}_doclen": ("(doc_id bigint, dl bigint)", "", "doc_id"),
     }
-    for table, (cols, part, bcol) in bucketed.items():
-        loc = table_location(spark, table)
-        if not os.path.isdir(loc):
-            raise FileNotFoundError(f"no stored data for {table} at {loc}")
-        spark.sql(
-            f"CREATE TABLE {table} {cols} USING parquet {part} "
-            f"CLUSTERED BY ({bcol}) SORTED BY ({bcol}) INTO {n} BUCKETS "
-            f"LOCATION '{loc}'"
-        )
-        if part:
-            spark.catalog.recoverPartitions(table)
+
+
+def _create_stored_table(
+    spark: SparkSession, table: str, spec: tuple[str, str, str], n_buckets: int
+) -> None:
+    """CREATE TABLE ... LOCATION DDL over existing external files,
+    carrying the bucket/sort/partition spec so every pruning property
+    (PartitionFilters, SelectedBucketsCount, sorted files) survives."""
+    cols, part, bcol = spec
+    loc = table_location(spark, table)
+    if not os.path.isdir(loc):
+        raise FileNotFoundError(f"no stored data for {table} at {loc}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} {cols} USING parquet {part} "
+        f"CLUSTERED BY ({bcol}) SORTED BY ({bcol}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{loc}'"
+    )
+    if part:
+        spark.catalog.recoverPartitions(table)
+
+
+def attach_search_index(spark: SparkSession, base: str) -> None:
+    """Re-register a previously stored serving layout in THIS session's
+    catalog. ``store_search_index`` writes EXTERNAL tables (data under
+    the warehouse dir) plus a JSON sidecar; a fresh session — the
+    common serving case: build once in an indexing job, query from many
+    later sessions — re-attaches them with CREATE TABLE ... LOCATION
+    DDL carrying the same bucket/sort/partition spec, so every pruning
+    property (PartitionFilters, SelectedBucketsCount, sorted files)
+    survives the session boundary. No-op when the tables are already
+    registered. Rolls a crashed chunk swap forward before registering.
+    The local stand-in for a metastore-backed lake, where this whole
+    function is the metastore's job."""
+    recover_chunks_swap(spark, base)
+    tables = [f"{base}{sfx}" for sfx in ("_chunks", "_positions", "_doclen", "_stats")]
+    registered = [t for t in tables if spark.catalog.tableExists(t)]
+    if len(registered) == len(tables):
+        return
+    # partial registration (a previous attach failed mid-way): drop the
+    # registered external entries (metadata only — data files stay) and
+    # re-create everything, so a retry repairs instead of silently
+    # no-opping on the first table's existence
+    for t in registered:
+        spark.sql(f"DROP TABLE {t}")
+    n = int(_read_meta(spark, base)["n_buckets"])
+    for table, spec in _bucketed_specs(base).items():
+        _create_stored_table(spark, table, spec, n)
     loc = table_location(spark, f"{base}_stats")
     if not os.path.isdir(loc):
         raise FileNotFoundError(f"no stored data for {base}_stats at {loc}")
@@ -182,6 +327,57 @@ def attach_search_index(spark: SparkSession, base: str) -> None:
         f"CREATE TABLE {base}_stats (n_docs bigint, avgdl double) "
         f"USING parquet LOCATION '{loc}'"
     )
+
+
+def verify_search_index(spark: SparkSession, base: str, docs: DataFrame) -> bool:
+    """True iff the store under ``base`` provably corresponds to
+    ``docs``: no torn extend in progress, AND the sidecar's stored
+    corpus fingerprint matches the one recomputed from ``docs`` (one
+    corpus aggregation). A sidecar without a fingerprint (pre-v2 store)
+    is UNVERIFIABLE and reports False — callers rebuild, converting an
+    invariant-by-convention into an invariant-by-check."""
+    if extend_in_progress(spark, base):
+        return False
+    try:
+        meta = _read_meta(spark, base)
+    except FileNotFoundError:
+        return False
+    fp = meta.get("fingerprint")
+    return fp is not None and fp == corpus_fingerprint(docs)
+
+
+def ensure_search_index(
+    docs: DataFrame,
+    base: str,
+    n_buckets: int = 8,
+    chunk_size: int = 4096,
+) -> None:
+    """The one attach-or-build entry point query paths should use:
+    after this returns, ``base``'s four tables are registered and
+    provably current for ``docs``.
+
+    - tables already registered in THIS session: trusted as-is (they
+      were verified or built by the call that registered them; a
+      torn extend still invalidates, via the marker check).
+    - stored layout on disk but not registered (fresh session): attach,
+      then VERIFY the sidecar fingerprint against ``docs`` — a
+      regenerated corpus at the same path is caught here and the store
+      rebuilt, never silently served stale.
+    - nothing on disk / verification fails: full rebuild.
+    """
+    spark = docs.sparkSession
+    tables = [f"{base}{sfx}" for sfx in ("_chunks", "_positions", "_doclen", "_stats")]
+    if all(spark.catalog.tableExists(t) for t in tables) and not (
+        extend_in_progress(spark, base)
+    ):
+        return
+    try:
+        attach_search_index(spark, base)
+        if verify_search_index(spark, base, docs):
+            return
+    except FileNotFoundError:
+        pass
+    store_search_index(docs, base, n_buckets=n_buckets, chunk_size=chunk_size)
 
 
 def pruned_positions(positions: DataFrame, words: set[str]) -> DataFrame:
@@ -543,6 +739,26 @@ def extend_search_index(
     Doc ids must be NEW: a re-ingested id would corrupt the append-only
     positions contract, so overlap is a loud error (one semi-join
     against the stored doclen, bounded by the new batch's ids).
+
+    Durability protocol (round-5 hardening; crash-injected in
+    tests/test_serving_lifecycle.py):
+
+    - EVERYTHING is computed and pinned BEFORE the first byte of the
+      store is touched — a failure in the compute phase leaves the
+      store byte-identical.
+    - an ``extend_inprogress`` marker brackets the multi-table mutation:
+      the four tables cannot be updated in one atomic step on plain
+      parquet, so a crash mid-extend leaves a TORN store (e.g.
+      positions include the new docs while chunks/stats exclude them) —
+      the marker makes that state detectable; verify_search_index /
+      ensure_search_index refuse it and rebuild.
+    - the chunks rewrite goes through :func:`_replace_chunks_atomic`
+      (write ``__next`` completely, publish by rename): no crash window
+      destroys the only copy of the chunks table, which the previous
+      DROP+rmtree+rewrite could.
+    - the sidecar fingerprint is updated by xor-composition with the
+      batch's fingerprint, so a later ensure over (old corpus + batch)
+      verifies clean without a rebuild.
     """
     from .index import merge_index_chunked
 
@@ -558,10 +774,10 @@ def extend_search_index(
             "extend_search_index is append-only (re-ingest requires a "
             "rebuild or a versioned swap)"
         )
-    with open(_meta_path(spark, base)) as fh:
-        meta = json.load(fh)
+    meta = _read_meta(spark, base)
     n_buckets, chunk_size = int(meta["n_buckets"]), int(meta["chunk_size"])
 
+    # ---- compute phase: store untouched until everything is pinned ----
     # ONE tokenization of the new batch (pinned positional frame) feeds
     # positions, doclen, AND the chunk merge's new-pairs side
     new_pos = (
@@ -577,8 +793,10 @@ def extend_search_index(
         chunk_size=chunk_size,
         new_pairs=new_pos.select("word", "doc_id"),
     ).localCheckpoint()
-    store_chunked_index(merged, f"{base}_chunks", n_buckets=n_buckets)
+    batch_fp = corpus_fingerprint(new_docs)
 
+    # ---- mutate phase: bracketed by the torn-extend marker ----
+    _write_extend_marker(spark, base, {"n_new_docs": batch_fp["n_docs"]})
     loc = table_location(spark, f"{base}_positions")
     (
         new_pos.write.format("parquet")
@@ -601,10 +819,20 @@ def extend_search_index(
         .sortBy("doc_id")
         .saveAsTable(f"{base}_doclen")
     )
+    _replace_chunks_atomic(spark, base, merged, n_buckets)
     old = spark.table(f"{base}_stats").first()
-    n_docs = int(old["n_docs"]) + new_docs.count()
+    n_docs = int(old["n_docs"]) + batch_fp["n_docs"]
     stats = spark.table(f"{base}_doclen").agg(
         F.lit(n_docs).cast("long").alias("n_docs"),
         F.coalesce(F.avg("dl"), F.lit(1.0)).alias("avgdl"),
     ).localCheckpoint()
     write_table(stats, f"{base}_stats")
+    old_fp = meta.get("fingerprint")
+    if old_fp is not None:
+        meta["fingerprint"] = {
+            "n_docs": int(old_fp["n_docs"]) + batch_fp["n_docs"],
+            "xor64": int(old_fp["xor64"]) ^ batch_fp["xor64"],
+        }
+    with open(_meta_path(spark, base), "w") as fh:
+        json.dump(meta, fh)
+    _clear_extend_marker(spark, base)

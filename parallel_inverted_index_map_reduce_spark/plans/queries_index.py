@@ -284,17 +284,16 @@ def q_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
     )
     # the serving twin: build the store ONCE per sf_dir (base name keyed
-    # on the dir; an sf_dir's corpus is deterministic, so an existing
-    # store is current by construction). Re-invocations attach the
-    # already-written tables — plan-only callers (explain sweeps) must
-    # not pay a full rebuild, and a rebuild's rmtree would yank files
-    # from under any earlier invocation's still-live DataFrame.
+    # on the dir). ensure_search_index attaches an existing store and
+    # VERIFIES its sidecar corpus fingerprint against these docs —
+    # a regenerated corpus at the same path (new testdata drop, two
+    # corpus versions pointed at one directory) is caught and rebuilt,
+    # never silently served stale. Same-session re-invocations skip the
+    # verify scan — plan-only callers (explain sweeps) must not pay a
+    # rebuild, and a rebuild's rmtree would yank files from under any
+    # earlier invocation's still-live DataFrame.
     base = "rrserve_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    if not spark.catalog.tableExists(f"{base}_positions"):
-        try:
-            srv.attach_search_index(spark, base)
-        except FileNotFoundError:
-            srv.store_search_index(docs, base, n_buckets=4, chunk_size=256)
+    srv.ensure_search_index(docs, base, n_buckets=4, chunk_size=256)
     bm_stored = srv.bm25_search_stored(spark, base, q, k=10).select(
         F.lit("bm25_stored").alias("op"),
         F.lit(q).alias("query"),

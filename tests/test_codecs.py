@@ -79,6 +79,39 @@ def test_wav_envelope_errors():
         A.decode_wav(payload)
 
 
+def _wav_with_fmt(fmt: bytes, data: bytes = b"\x00" * 8) -> bytes:
+    import struct
+
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_malformed_fmt_raises_value_error():
+    """A hostile fmt chunk must hit the codec's ValueError contract,
+    never a ZeroDivisionError / struct.error from the sample math."""
+    import struct
+
+    # block-align 0
+    zero_block = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 0, 8)
+    with pytest.raises(ValueError, match="block align"):
+        A.decode_wav(_wav_with_fmt(zero_block))
+    # block-align inconsistent with channels*bits
+    bad_block = struct.pack("<HHIIHH", 1, 2, 8000, 8000, 1, 16)
+    with pytest.raises(ValueError, match="block align"):
+        A.decode_wav(_wav_with_fmt(bad_block))
+    # short fmt body
+    with pytest.raises(ValueError, match="too short"):
+        A.decode_wav(_wav_with_fmt(b"\x01\x00\x01\x00"))
+
+
 def test_multimodal_dispatch_png_and_wav():
     from parallel_inverted_index_map_reduce_spark.operators.multimodal import (
         decode_audio,

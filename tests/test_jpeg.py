@@ -94,6 +94,28 @@ def test_default_tables_are_lossy_but_sane():
     assert np.abs(got.astype(int) - img.astype(int)).mean() < 16.0
 
 
+def test_default_quant_tables_are_zigzag_order():
+    """The shipped K.1 tables must be in ZIGZAG order (the codec's one
+    quant-table convention: DQT bytes, encoder divide, decoder multiply
+    all index in zigzag) — un-permuting through ZIGZAG must recover the
+    spec's natural row-major layout."""
+    natural = np.zeros(64, dtype=np.int64)
+    natural[J.ZIGZAG] = J.QUANT_LUMA
+    np.testing.assert_array_equal(
+        natural[:8], [16, 11, 10, 16, 24, 40, 51, 61]
+    )
+    np.testing.assert_array_equal(
+        natural[8:16], [12, 12, 14, 19, 26, 58, 60, 55]
+    )
+    # zigzag walk: natural indices 0, 1, 8, 16 -> steps 16, 11, 12, 14
+    np.testing.assert_array_equal(J.QUANT_LUMA[:4], [16, 11, 12, 14])
+    nat_c = np.zeros(64, dtype=np.int64)
+    nat_c[J.ZIGZAG] = J.QUANT_CHROMA
+    np.testing.assert_array_equal(nat_c[:8], [17, 18, 24, 47, 99, 99, 99, 99])
+    # the DC step (zigzag position 0 == natural [0,0]) is unchanged
+    assert J.QUANT_LUMA[0] == 16 and J.QUANT_CHROMA[0] == 17
+
+
 def test_progressive_and_garbage_rejected():
     img = np.full((8, 8), 7, dtype=np.uint8)
     enc = bytearray(J.encode_baseline_jpeg(img, quant_luma=ONES))
