@@ -69,6 +69,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _serving_base(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
+    """Attach-or-build the persisted serving layout for ``sf_dir`` and
+    return its base name — shared by every registry entry with a
+    ``*_stored`` part (boolean_search, ranked_retrieval), so the store
+    is built at most once per session however many entries serve from
+    it. ensure_search_index verifies the sidecar corpus fingerprint on
+    cross-session attach, so a regenerated corpus at the same path is
+    rebuilt, never silently served stale."""
+    import hashlib
+
+    from ..operators import serving as srv
+
+    base = "rrserve_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    srv.ensure_search_index(docs, base, n_buckets=4, chunk_size=256)
+    return base
+
+
 @register(
     "inverted_index",
     oracle="WITH "
@@ -158,8 +175,34 @@ SELECT 'phrase', 'stream table hash', '', ds FROM (
         WHERE a.word = 'stream'
     )
 ) WHERE n > 0
+UNION ALL
+SELECT 'and_stored' AS op, 'spark' AS term1, 'query' AS term2,
+       array_to_string(list_sort(list_intersect(p1, p2)), ' ') AS doc_ids
+FROM a, b
+UNION ALL
+SELECT 'or_stored', 'spark', 'query',
+       array_to_string(list_sort(list_distinct(list_concat(p1, p2))), ' ')
+FROM a, b
+UNION ALL
+SELECT 'not_stored', 'spark', 'query',
+       array_to_string(list_sort(list_filter(p1, x -> NOT list_contains(p2, x))), ' ')
+FROM a, b
+UNION ALL
+SELECT 'phrase_stored', 'stream table hash', '', ds FROM (
+    SELECT array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS ds,
+           count(*) AS n
+    FROM (
+        SELECT a.doc_id
+        FROM ntoks a
+        JOIN ntoks b ON b.doc_id = a.doc_id AND b.npos = a.npos + 1
+                    AND b.word = 'table'
+        JOIN ntoks c ON c.doc_id = a.doc_id AND c.npos = a.npos + 2
+                    AND c.word = 'hash'
+        WHERE a.word = 'stream'
+    )
+) WHERE n > 0
 """,
-    tags=("index", "search"),
+    tags=("index", "search", "serving"),
     doc="Point lookup + boolean + phrase search over the index in one "
     "labeled result: 'lookup' rows are the per-term point lookup "
     "(term2 carries df, doc_ids the posting list — projected from the "
@@ -170,27 +213,49 @@ SELECT 'phrase', 'stream table hash', '', ds FROM (
     "exact-phrase match via the positional index "
     "(operators/index.py phrase_search — one scan + one aggregation, "
     "adjacency checked by a per-row array predicate; the oracle uses "
-    "the n-way positional self-join formulation, proving equivalence).",
+    "the n-way positional self-join formulation, proving equivalence). "
+    "The '*_stored' rows answer the SAME queries from the persisted "
+    "serving layout (operators/serving.py boolean_search_stored over "
+    "the bucket-pruned chunked index; phrase_search_stored over the "
+    "letter-partitioned positional store) while the oracle stays the "
+    "corpus-scan formulation — the hash match PROVES each stored path "
+    "returns exactly what a full corpus scan returns, at pruned-lookup "
+    "cost.",
 )
 def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import serving as srv
+
     docs = _docs(spark, sf_dir)
     bs = ix.boolean_search(docs, "spark", "query", with_lookup=True).select(
         "op", "term1", "term2", F.array_join("doc_ids", " ").alias("doc_ids")
     )
     phrase = "stream table hash"
-    ph = (
-        ix.phrase_search(docs, phrase)
-        .groupBy()
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .where(F.size("ids") > 0)
-        .select(
-            F.lit("phrase").alias("op"),
-            F.lit(phrase).alias("term1"),
-            F.lit("").alias("term2"),
-            F.array_join("ids", " ").alias("doc_ids"),
+
+    def phrase_rows(matches: DataFrame, label: str) -> DataFrame:
+        return (
+            matches.groupBy()
+            .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+            .where(F.size("ids") > 0)
+            .select(
+                F.lit(label).alias("op"),
+                F.lit(phrase).alias("term1"),
+                F.lit("").alias("term2"),
+                F.array_join("ids", " ").alias("doc_ids"),
+            )
         )
+
+    ph = phrase_rows(ix.phrase_search(docs, phrase), "phrase")
+    base = _serving_base(spark, sf_dir, docs)
+    bs_stored = srv.boolean_search_stored(spark, base, "spark", "query").select(
+        F.concat(F.col("op"), F.lit("_stored")).alias("op"),
+        "term1",
+        "term2",
+        F.array_join("doc_ids", " ").alias("doc_ids"),
     )
-    return bs.unionByName(ph)
+    ph_stored = phrase_rows(
+        srv.phrase_search_stored(spark, base, phrase), "phrase_stored"
+    )
+    return bs.unionByName(ph).unionByName(bs_stored).unionByName(ph_stored)
 
 
 @register(
@@ -249,6 +314,10 @@ UNION ALL
 SELECT 'near3', 'spark query', doc_id, CAST(md AS VARCHAR),
        row_number() OVER (ORDER BY doc_id)
 FROM near WHERE md <= 3
+UNION ALL
+SELECT 'near3_stored', 'spark query', doc_id, CAST(md AS VARCHAR),
+       row_number() OVER (ORDER BY doc_id)
+FROM near WHERE md <= 3
 """,
     tags=("index", "search", "ranked", "serving"),
     doc="Ranked retrieval over the corpus in one labeled result: 'bm25' "
@@ -262,16 +331,18 @@ FROM near WHERE md <= 3
     "bm25_search_stored reads only the query terms' pruned buckets — "
     "the oracle stays the corpus-scan formulation, so the hash match "
     "PROVES the stored path loses nothing while never re-tokenizing "
-    "the corpus), and 'near3' rows are NEAR/3 proximity matches "
+    "the corpus), 'near3' rows are NEAR/3 proximity matches "
     "(proximity_search — positional postings + zero-shuffle per-doc "
     "min-distance array fold; the oracle's positional self-join min() "
-    "proves the fold). score is the 6-decimal BM25 score or the min "
+    "proves the fold), and 'near3_stored' rows are the SAME proximity "
+    "query served from the stored positional index "
+    "(serving.py proximity_search_stored — pruned read bounded by the "
+    "two terms' document frequency; corpus-scan oracle again proves "
+    "losslessness). score is the 6-decimal BM25 score or the min "
     "token distance; rank is the BM25 rank or a doc_id-ordered row "
     "number.",
 )
 def q_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
     from ..operators import serving as srv
 
     docs = _docs(spark, sf_dir)
@@ -283,17 +354,7 @@ def q_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score"),
         "rank",
     )
-    # the serving twin: build the store ONCE per sf_dir (base name keyed
-    # on the dir). ensure_search_index attaches an existing store and
-    # VERIFIES its sidecar corpus fingerprint against these docs —
-    # a regenerated corpus at the same path (new testdata drop, two
-    # corpus versions pointed at one directory) is caught and rebuilt,
-    # never silently served stale. Same-session re-invocations skip the
-    # verify scan — plan-only callers (explain sweeps) must not pay a
-    # rebuild, and a rebuild's rmtree would yank files from under any
-    # earlier invocation's still-live DataFrame.
-    base = "rrserve_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    srv.ensure_search_index(docs, base, n_buckets=4, chunk_size=256)
+    base = _serving_base(spark, sf_dir, docs)
     bm_stored = srv.bm25_search_stored(spark, base, q, k=10).select(
         F.lit("bm25_stored").alias("op"),
         F.lit(q).alias("query"),
@@ -301,16 +362,23 @@ def q_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score"),
         "rank",
     )
-    nr = ix.proximity_search(docs, "spark", "query", max_dist=3)
-    w = Window.orderBy("doc_id")
-    nr = nr.select(
-        F.lit("near3").alias("op"),
-        F.lit("spark query").alias("query"),
-        "doc_id",
-        F.col("min_dist").cast("string").alias("score"),
-        F.row_number().over(w).cast("long").alias("rank"),
+
+    def near_rows(matches: DataFrame, label: str) -> DataFrame:
+        w = Window.orderBy("doc_id")
+        return matches.select(
+            F.lit(label).alias("op"),
+            F.lit("spark query").alias("query"),
+            "doc_id",
+            F.col("min_dist").cast("string").alias("score"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+
+    nr = near_rows(ix.proximity_search(docs, "spark", "query", max_dist=3), "near3")
+    nr_stored = near_rows(
+        srv.proximity_search_stored(spark, base, "spark", "query", max_dist=3),
+        "near3_stored",
     )
-    return bm.unionByName(bm_stored).unionByName(nr)
+    return bm.unionByName(bm_stored).unionByName(nr).unionByName(nr_stored)
 
 
 @register(
