@@ -240,6 +240,103 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boilerplate rather than common phrases.
 _SPAN_N = 8
 
+# Merge rounds for the BPE parts of pipeline_hygiene: enough rounds to
+# exercise tie-breaking and the greedy rewrite on the synthetic
+# vocabulary, small enough that the generated oracle SQL stays readable.
+_BPE_MERGES = 6
+
+
+def _bpe_cte(n_merges: int) -> str:
+    """Generated CTE chain that reproduces the BPE trainer
+    (operators/bpe.py train_bpe) AND the greedy segmenter (apply_bpe)
+    in pure SQL — the cross-engine proof that an ITERATIVE algorithm's
+    Spark implementation is exact, expressed by unrolling the loop.
+
+    The encoding trick that makes each round one scalar expression:
+    a word's symbol list is a string with every symbol wrapped in
+    chr(31) sentinels (``\\x1fs1\\x1f\\x1fs2\\x1f...``). Greedy
+    left-to-right merging of adjacent pair (l, r) is then EXACTLY SQL's
+    non-overlapping left-to-right ``replace`` of ``\\x1fl\\x1f\\x1fr\\x1f``
+    with ``\\x1flr\\x1f``: the sentinels anchor whole-symbol matches (a
+    suffix can never false-match), and because scanning resumes after
+    each replacement, a token created by this round can never re-merge
+    as a left side within the round — the same two invariants the
+    engine's aggregate-fold (bpe.py _merge_once) relies on. Documents
+    concatenate word encodings with chr(30), which no pattern can span,
+    so whole-corpus application per round is one replace too. Each
+    round r: adjacent pairs of the split vocab (bp{r}), argmax with the
+    trainer's total tie-break (bt{r}: count desc, left, right), rewrite
+    vocab and docs (bv{r}, bd{r}); LEFT JOIN ON TRUE keeps rows alive
+    if a round finds no pair (fully merged vocabulary)."""
+    sep, wsep = "chr(31)", "chr(30)"
+    enc_word = (
+        f"{sep} || array_to_string(list_transform(range(1, length(word)+1), "
+        f"i -> word[i]), {sep}||{sep}) || {sep}"
+    )
+    ctes = [
+        r"""
+btoks AS (
+    SELECT doc_id, word,
+           row_number() OVER (PARTITION BY doc_id ORDER BY rp) AS wpos
+    FROM (
+        SELECT doc_id,
+               regexp_replace(lower(tok), '[^a-z]', '', 'g') AS word, rp
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(text, '\s+')) AS tok,
+                   unnest(range(0, len(string_split_regex(text, '\s+')))) AS rp
+            FROM documents
+        )
+        WHERE regexp_replace(lower(tok), '[^a-z]', '', 'g') <> ''
+    )
+)""",
+        f"bv0 AS (SELECT {enc_word} AS enc, count(*) AS n "
+        "FROM btoks GROUP BY word)",
+        f"bd0 AS (SELECT doc_id, array_to_string(list({enc_word} "
+        f"ORDER BY wpos), {wsep}) AS enc FROM btoks GROUP BY doc_id)",
+    ]
+    pat = f"{sep}||t.l||{sep}||{sep}||t.rr||{sep}"
+    rep = f"{sep}||t.l||t.rr||{sep}"
+    for r in range(1, n_merges + 1):
+        ctes.append(
+            f"""
+bp{r} AS (
+    SELECT s[i] AS l, s[i+1] AS rr, sum(n) AS c
+    FROM (SELECT string_split(trim(enc, {sep}), {sep}||{sep}) AS s, n
+          FROM bv{r - 1}),
+         unnest(range(1, len(s))) AS u(i)
+    GROUP BY 1, 2
+),
+bt{r} AS (SELECT l, rr, c FROM bp{r} ORDER BY c DESC, l, rr LIMIT 1),
+bv{r} AS (
+    SELECT CASE WHEN t.l IS NULL THEN v.enc
+           ELSE replace(v.enc, {pat}, {rep}) END AS enc, v.n
+    FROM bv{r - 1} v LEFT JOIN bt{r} t ON TRUE
+),
+bd{r} AS (
+    SELECT d.doc_id,
+           CASE WHEN t.l IS NULL THEN d.enc
+           ELSE replace(d.enc, {pat}, {rep}) END AS enc
+    FROM bd{r - 1} d LEFT JOIN bt{r} t ON TRUE
+)"""
+        )
+    merge_rows = "\nUNION ALL ".join(
+        f"SELECT CAST({r - 1} AS BIGINT) AS id_a, l || ' ' || rr AS metric, "
+        f"CAST(c AS BIGINT) AS n FROM bt{r}"
+        for r in range(1, n_merges + 1)
+    )
+    ctes.append(
+        f"""
+bmerges AS ({merge_rows}),
+bfinal AS (
+    SELECT doc_id,
+           replace(replace(replace(enc, {sep}||{sep}, ' '), {sep}, ''),
+                   {wsep}, ' ') AS toks
+    FROM bd{n_merges}
+)"""
+    )
+    return ",".join(ctes)
+
 SPAN_DEDUP_CTE = rf"""
 rawtok AS (
     SELECT doc_id, tok,
@@ -292,6 +389,8 @@ rawn AS (SELECT doc_id, count(*) AS n_raw FROM rawtok GROUP BY doc_id)
     + SHINGLES_CTE
     + ",\n"
     + SPAN_DEDUP_CTE
+    + ",\n"
+    + _bpe_cte(_BPE_MERGES)
     + f""",
 tr AS (SELECT doc_id AS train_id, shingle_hash FROM shingles WHERE doc_id < 400),
 ev AS (SELECT doc_id AS eval_id, shingle_hash FROM shingles WHERE doc_id >= 400),
@@ -312,6 +411,14 @@ SELECT 'decontam', c.train_id, c.eval_id, CAST(c.n_common AS BIGINT),
 FROM common c JOIN evs e USING (eval_id)
 WHERE CAST(c.n_common AS DECIMAL(28,12)) / CAST(e.n_eval AS DECIMAL(28,12))
       >= CAST('0.3' AS DECIMAL(28,12))
+UNION ALL
+SELECT 'bpe_merge', id_a, CAST(0 AS BIGINT), n, metric FROM bmerges
+UNION ALL
+SELECT 'bpe_doc', d.doc_id, CAST(0 AS BIGINT),
+       CAST(CASE WHEN coalesce(b.toks, '') = '' THEN 0
+            ELSE len(string_split(b.toks, ' ')) END AS BIGINT),
+       md5(coalesce(b.toks, ''))
+FROM documents d LEFT JOIN bfinal b ON b.doc_id = d.doc_id
 """,
     tags=("dedup", "pipeline", "hygiene"),
     doc="The two destructive hygiene passes of the training pipeline in "
@@ -328,12 +435,25 @@ WHERE CAST(c.n_common AS DECIMAL(28,12)) / CAST(e.n_eval AS DECIMAL(28,12))
     "shingle containment — the fraction of the EVAL doc's distinct "
     "shingles present in the train doc — reaches 0.3, over the "
     "doc_id<400 / >=400 split; the threshold compares in decimal so an "
-    "exactly-at-threshold pair cannot evade flagging. Scale shape: "
-    "both passes are equi-joins on md5 identities (gram groupBy + "
-    "cut-list join; shingle join bounded by shared vocabulary) — "
-    "never a cross join, no Python in either hot path.",
+    "exactly-at-threshold pair cannot evade flagging. "
+    "'bpe_merge'/'bpe_doc' rows driver-verify the third pipeline "
+    "tokenization mode, BPE (operators/bpe.py, Sennrich et al. 2016): "
+    "train_bpe's learned merge list (rank, pair, corpus pair-count — "
+    "deterministic argmax: count desc then pair asc) and every "
+    "document's greedy segmentation under it (apply_bpe: token count + "
+    "md5 of the token stream). The oracle UNROLLS the training loop as "
+    "generated CTEs (see _bpe_cte: sentinel-delimited symbol strings "
+    "make each greedy merge round one left-to-right replace), so an "
+    "ITERATIVE algorithm gets the same exact cross-engine proof as the "
+    "one-pass operators. Scale shape: span/decontam passes are "
+    "equi-joins on md5 identities (gram groupBy + cut-list join; "
+    "shingle join bounded by shared vocabulary) — never a cross join; "
+    "BPE training collapses the corpus to its distinct-word frequency "
+    "table in ONE scan and iterates on vocabulary-scale data, the "
+    "driver holding only the merge list.",
 )
 def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import apply_bpe, merges_table, train_bpe
     from ..operators.decontam import contamination_report
     from ..operators.spandedup import remove_duplicate_spans
 
@@ -356,7 +476,22 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_common").cast("long").alias("n"),
         F.col("containment").alias("metric"),
     )
-    return sd.unionByName(dc)
+    merges = train_bpe(docs, n_merges=_BPE_MERGES)
+    bm = merges_table(spark, merges).select(
+        F.lit("bpe_merge").alias("op"),
+        F.col("merge_rank").alias("id_a"),
+        F.lit(0).cast("long").alias("id_b"),
+        F.col("pair_count").alias("n"),
+        F.concat_ws(" ", "left", "right").alias("metric"),
+    )
+    bd = apply_bpe(docs, merges).select(
+        F.lit("bpe_doc").alias("op"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.lit(0).cast("long").alias("id_b"),
+        F.col("n_bpe_tokens").alias("n"),
+        F.md5(F.col("bpe_tokens").cast("binary")).alias("metric"),
+    )
+    return sd.unionByName(dc).unionByName(bm).unionByName(bd)
 
 
 @register(

@@ -130,12 +130,37 @@ def q_postings_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document_frequency",
     oracle="WITH "
     + TOKS_CTE
-    + "SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word",
-    tags=("index",),
-    doc="Reference O10 as a standalone distinct-count aggregation.",
+    + """,
+dfr AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word)
+SELECT word, df,
+       CAST(row_number() OVER (ORDER BY word) - 1 AS BIGINT) AS word_id
+FROM dfr
+""",
+    tags=("index", "dictionary"),
+    doc="Reference O10 (distinct-count document frequency) carried "
+    "through the full dictionary-encoding round trip: word_dictionary "
+    "(operators/dictionary.py) assigns dense lexicographically "
+    "order-preserving integer ids WITHOUT a global sort (rank within "
+    "26^prefix_len prefix partitions + broadcast cumulative offsets — "
+    "the Window-without-PARTITION-BY scale bug avoided), then the df "
+    "table is encode_index'd to (word_id, df) and decode_index'd back. "
+    "The oracle computes ids with the global row_number() the engine "
+    "refuses to run, so the hash match proves THREE things at once: "
+    "the prefix-decomposed ids equal the global lexicographic rank "
+    "(dense, bijective, order-preserving), and the encode/decode round "
+    "trip loses nothing.",
 )
 def q_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ix.document_frequency(_docs(spark, sf_dir))
+    from ..operators.dictionary import (
+        decode_index,
+        encode_index,
+        word_dictionary,
+    )
+
+    dfreq = ix.document_frequency(_docs(spark, sf_dir))
+    dic = word_dictionary(dfreq, prefix_len=2)
+    decoded = decode_index(encode_index(dfreq, dic), dic)
+    return decoded.select("word", "df", "word_id")
 
 
 @register(
