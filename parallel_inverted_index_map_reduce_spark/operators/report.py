@@ -90,15 +90,20 @@ def corpus_report(docs: DataFrame) -> DataFrame:
         )
     )
 
+    # quantile over the DECIMAL(18,6) score, not the double: the disc
+    # percentile returns an actual element, and a fixed-scale decimal
+    # element renders identically in every engine (plans/exprs.py) —
+    # double would re-enter the cross-engine cast minefield for zero
+    # benefit.
     parts.append(
         _kv(
             quality_scores(docs).agg(
                 F.percentile_approx(
-                    F.col("quality_score").cast("double"), 0.5
+                    F.col("quality_score").cast("decimal(18,6)"), 0.5
                 ).alias("v")
             ),
             F.lit("quality_p50"),
-            F.round(F.col("v"), 6),
+            F.col("v"),
         )
     )
 

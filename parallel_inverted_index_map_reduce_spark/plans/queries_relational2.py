@@ -168,6 +168,40 @@ ntok AS (SELECT count(*) AS n FROM toks),
 hh AS (
     SELECT word, count(*) AS n FROM toks GROUP BY word
     HAVING count(*) > (SELECT n FROM ntok) / {_HH_K}.0
+),
+dlr AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+rawq AS (
+    SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ) WHERE tok <> ''
+),
+qsc AS (
+    SELECT doc_id,
+           CAST(round(CAST(
+               0.4 * (sum(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+                          THEN 1 ELSE 0 END) * 1.0 / count(*))
+             + 0.3 * least(sum(length(tok)) * 1.0 / count(*) / 10.0, 1.0)
+             + 0.3 * least(count(*) * 1.0 / 100.0, 1.0)
+           AS DECIMAL(28,12)), 6) AS DECIMAL(18,6)) AS q
+    FROM rawq GROUP BY doc_id
+),
+newdocs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 7 <> 0
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 11 = 0
+),
+oldh AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+newh AS (SELECT doc_id, md5(text) AS new_hash FROM newdocs),
+cdiff AS (
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.old_hash IS NOT DISTINCT FROM n.new_hash THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           o.old_hash, n.new_hash
+    FROM oldh o FULL OUTER JOIN newh n ON n.doc_id = o.doc_id
 )
 SELECT 'kmv' AS part, 'est_parts' AS metric, CAST(est_parts AS VARCHAR) AS value FROM base
 UNION ALL SELECT 'kmv', 'est_orders', CAST(est_orders AS VARCHAR) FROM base
@@ -175,6 +209,39 @@ UNION ALL SELECT 'sample', 'median_price', median_price FROM base
 UNION ALL SELECT 'sample', 'p95_price', p95_price FROM base
 UNION ALL SELECT 'cms', word, CAST(est AS VARCHAR) FROM est
 UNION ALL SELECT 'heavy', word, CAST(n AS VARCHAR) FROM hh
+UNION ALL SELECT 'report', 'n_docs', CAST(count(*) AS VARCHAR) FROM documents
+UNION ALL SELECT 'report', 'n_tokens', CAST(count(*) AS VARCHAR) FROM toks
+UNION ALL SELECT 'report', 'n_distinct_words',
+       CAST(count(DISTINCT word) AS VARCHAR) FROM toks
+UNION ALL SELECT 'report', 'exact_dup_docs',
+       CAST(coalesce(sum(n - 1), 0) AS VARCHAR)
+FROM (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY h)
+UNION ALL SELECT 'report', 'len_p25', CAST(quantile_disc(dl, 0.25) AS VARCHAR) FROM dlr
+UNION ALL SELECT 'report', 'len_p50', CAST(quantile_disc(dl, 0.50) AS VARCHAR) FROM dlr
+UNION ALL SELECT 'report', 'len_p75', CAST(quantile_disc(dl, 0.75) AS VARCHAR) FROM dlr
+UNION ALL SELECT 'report', 'len_p95', CAST(quantile_disc(dl, 0.95) AS VARCHAR) FROM dlr
+UNION ALL SELECT 'report', 'quality_p50', CAST(quantile_disc(q, 0.5) AS VARCHAR) FROM qsc
+UNION ALL SELECT 'report', 'lang=' || lang, CAST(count(*) AS VARCHAR)
+FROM documents GROUP BY lang
+UNION ALL SELECT 'report', 'source=' || source, CAST(count(*) AS VARCHAR)
+FROM documents GROUP BY source
+UNION ALL SELECT 'check', 'null_doc_id',
+       CAST(count(CASE WHEN doc_id IS NULL THEN 1 END) AS VARCHAR) FROM documents
+UNION ALL SELECT 'check', 'null_text',
+       CAST(count(CASE WHEN text IS NULL THEN 1 END) AS VARCHAR) FROM documents
+UNION ALL SELECT 'check', 'empty_text',
+       CAST(count(CASE WHEN text IS NOT NULL
+            AND regexp_replace(text, '\\s+', '', 'g') = '' THEN 1 END) AS VARCHAR)
+FROM documents
+UNION ALL SELECT 'check', 'oversize_text',
+       CAST(count(CASE WHEN length(text) > 1000000 THEN 1 END) AS VARCHAR)
+FROM documents
+UNION ALL SELECT 'check', 'duplicate_doc_id',
+       CAST(coalesce(sum(n - 1), 0) AS VARCHAR)
+FROM (SELECT doc_id, count(*) AS n FROM documents GROUP BY doc_id)
+UNION ALL SELECT 'diff', CAST(doc_id AS VARCHAR),
+       status || ':' || coalesce(old_hash, '') || ':' || coalesce(new_hash, '')
+FROM cdiff
 """,
     tags=("relational", "agg", "approx", "sketch"),
     doc="The DETERMINISTIC approximate-aggregate family, hash-verified "
@@ -195,14 +262,32 @@ UNION ALL SELECT 'heavy', word, CAST(n AS VARCHAR) FROM hh
     "internals legitimately differ per engine and which are covered by "
     "accuracy-bound tests in tests/test_approx_sketches.py — every "
     "part here is reproducible bit-for-bit on any engine with md5. "
+    "'report'/'check'/'diff' parts driver-verify the corpus-audit "
+    "family a pipeline runs before committing compute: corpus_report "
+    "(operators/report.py — doc/token/vocab counts, exact-dup count, "
+    "token-length quantiles from ONE percentile_approx over a pinned "
+    "doclen frame, disc-median quality score as a fixed-scale decimal, "
+    "per-lang and per-source shares; the oracle's quantile_disc "
+    "reproduces the uncompressed Greenwald-Khanna sketch exactly), "
+    "corpus_checks (report.py — the five data-quality gates as ONE "
+    "conditional-count aggregation + the duplicate-id groupBy), and "
+    "corpus_diff (operators/maintenance.py — added/removed/changed/"
+    "unchanged between the corpus and a deterministically perturbed "
+    "v2, presence from join-side markers so null content still reads "
+    "as present; only 16-byte hashes shuffle through the full-outer "
+    "join, never texts). "
     "Scale shape: one filtered distinct-count, one filtered "
     "percentile, one token-stream explode into d*w counter rows, and "
     "a candidates-only exact count — no full-vocabulary shuffle "
-    "anywhere.",
+    "anywhere; the audit family is aggregation-shaped (a few dozen "
+    "output rows whatever the corpus size) plus one key-only "
+    "full-outer join.",
 )
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import stable_hash32
     from ..operators import sketches as sk
+    from ..operators.maintenance import corpus_diff
+    from ..operators.report import corpus_checks, corpus_report
     from .exprs import stable_round6
 
     l = _t(spark, sf_dir, "lineitem")
@@ -240,7 +325,47 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("word").alias("metric"),
         F.col("n").cast("string").alias("value"),
     )
-    return kmv_sample.unionByName(cms).unionByName(heavy)
+    rep = corpus_report(docs).select(
+        F.lit("report").alias("part"), "metric", "value"
+    )
+    chk = corpus_checks(docs).select(
+        F.lit("check").alias("part"),
+        F.col("check").alias("metric"),
+        F.col("n_violations").alias("value"),
+    )
+    # corpus v2: a deterministic perturbation of the same table —
+    # removals (id % 7), content changes (id % 5), additions (id % 11
+    # re-keyed past the id space) — so the diff exercises all four
+    # statuses with an exact SQL twin.
+    changed = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    new_docs = (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .select("doc_id", changed.alias("text"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+    )
+    dif = corpus_diff(docs.select("doc_id", "text"), new_docs).select(
+        F.lit("diff").alias("part"),
+        F.col("doc_id").cast("string").alias("metric"),
+        F.concat_ws(
+            ":",
+            "status",
+            F.coalesce(F.col("old_hash"), F.lit("")),
+            F.coalesce(F.col("new_hash"), F.lit("")),
+        ).alias("value"),
+    )
+    return (
+        kmv_sample.unionByName(cms)
+        .unionByName(heavy)
+        .unionByName(rep)
+        .unionByName(chk)
+        .unionByName(dif)
+    )
 
 
 @register(
