@@ -3,11 +3,13 @@
 PNG's DEFLATE layer ships in CPython's ``zlib``, so unlike JPEG no
 external codec is needed at all — this is a complete, lossless decoder
 for the non-interlaced 8-bit-per-sample formats (grayscale, gray+alpha,
-RGB, RGBA) with all five scanline filters (None/Sub/Up/Average/Paeth),
-plus a matching encoder (any of those color types, any fixed filter
-type) used by the round-trip tests. Palette (color type 3),
-sub-8-bit/16-bit depths, and Adam7 interlacing raise
-NotImplementedError — the honest envelope rule of functions/jpeg.py.
+RGB, RGBA, and PLTE-indexed palette — the most common real-corpus
+variant) with all five scanline filters (None/Sub/Up/Average/Paeth),
+plus matching encoders (any of those color types, any fixed filter
+type; ``encode_palette_png`` for color type 3) used by the round-trip
+tests. Sub-8-bit/16-bit depths, Adam7 interlacing, and tRNS
+transparency raise NotImplementedError — the honest envelope rule of
+functions/jpeg.py.
 
 Decode is exact by construction (PNG is lossless), which is what lets
 the multimodal registry entry verify it against a closed-form SQL
@@ -45,6 +47,8 @@ def _make_codec():
             raise ValueError("not a PNG (bad signature)")
         pos = 8
         ihdr = None
+        palette = None
+        paletted = False
         idat = bytearray()
         while pos < len(payload):
             (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -57,19 +61,31 @@ def _make_codec():
                 )
                 if depth != 8:
                     raise NotImplementedError(f"{depth}-bit samples")
-                if color not in CHANNELS:
-                    raise NotImplementedError(f"color type {color} (palette?)")
+                if color == 3:
+                    # palette: the filtered stream carries 1-byte indices
+                    # (bpp=1 for the unfilter), expanded via PLTE below
+                    paletted = True
+                elif color not in CHANNELS:
+                    raise NotImplementedError(f"color type {color}")
                 if interlace:
                     raise NotImplementedError("Adam7 interlacing")
                 if comp or filt:
                     raise ValueError("invalid compression/filter method")
-                ihdr = (w, h, CHANNELS[color])
+                ihdr = (w, h, 1 if color == 3 else CHANNELS[color])
+            elif ctype == b"PLTE":
+                if length == 0 or length % 3 or length > 768:
+                    raise ValueError(f"bad PLTE length {length}")
+                palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif ctype == b"tRNS":
+                raise NotImplementedError("tRNS transparency")
             elif ctype == b"IDAT":
                 idat.extend(data)
             elif ctype == b"IEND":
                 break
         if ihdr is None:
             raise ValueError("missing IHDR")
+        if paletted and palette is None:
+            raise ValueError("palette image without a PLTE chunk")
         w, h, ch = ihdr
         raw = zlib.decompress(bytes(idat))
         stride = w * ch
@@ -107,6 +123,14 @@ def _make_codec():
             out[y] = cur.astype(np.uint8)
             prev = cur
         pixels = out.reshape(h, w, ch)
+        if paletted:
+            if int(pixels.max(initial=0)) >= palette.shape[0]:
+                raise ValueError(
+                    f"palette index {int(pixels.max())} out of range "
+                    f"({palette.shape[0]} entries)"
+                )
+            pixels = palette[pixels[:, :, 0]]  # (h, w) indices -> (h, w, 3)
+            ch = 3
         return {
             "width": w,
             "height": h,
@@ -117,21 +141,11 @@ def _make_codec():
             "n_pixel_bytes": int(pixels.size),
         }
 
-    def encode_png(pixels, filter_type: int = 0, level: int = 6) -> bytes:
-        """Encode an HxW / HxWx{1,2,3,4} uint8 array. ``filter_type``
-        applies one fixed filter to every scanline (0..4) — the
-        round-trip tests use each to prove the decoder's unfilters."""
-        pixels = np.asarray(pixels, dtype=np.uint8)
-        if pixels.ndim == 2:
-            pixels = pixels[:, :, None]
-        h, w, ch = pixels.shape
-        color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
-        if color is None:
-            raise ValueError(f"{ch}-channel images unsupported")
-        if filter_type not in (0, 1, 2, 3, 4):
-            raise ValueError(f"filter type {filter_type}")
-        stride = w * ch
-        flat = pixels.reshape(h, stride).astype(np.int64)
+    def _filter_raw(flat, ch: int, filter_type: int) -> bytearray:
+        """Apply one fixed filter (0..4) to every scanline of an
+        (h, stride) int64 plane — the shared write-side of the truecolor
+        and palette encoders (for palette streams bpp=ch=1)."""
+        h, stride = flat.shape
         raw = bytearray()
         prev = np.zeros(stride, dtype=np.int64)
         for y in range(h):
@@ -155,25 +169,69 @@ def _make_codec():
                         enc[x] = (cur[x] - _paeth(int(a), int(b), int(c))) & 0xFF
             raw.extend(enc.astype(np.uint8).tobytes())
             prev = cur
+        return raw
 
-        def chunk(ctype: bytes, data: bytes) -> bytes:
-            return (
-                struct.pack(">I", len(data))
-                + ctype
-                + data
-                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-            )
-
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-        idat = zlib.compress(bytes(raw), level)
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
         return (
-            SIGNATURE
-            + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", idat)
-            + chunk(b"IEND", b"")
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    return encode_png, decode_png
+    def encode_png(pixels, filter_type: int = 0, level: int = 6) -> bytes:
+        """Encode an HxW / HxWx{1,2,3,4} uint8 array. ``filter_type``
+        applies one fixed filter to every scanline (0..4) — the
+        round-trip tests use each to prove the decoder's unfilters."""
+        pixels = np.asarray(pixels, dtype=np.uint8)
+        if pixels.ndim == 2:
+            pixels = pixels[:, :, None]
+        h, w, ch = pixels.shape
+        color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+        if color is None:
+            raise ValueError(f"{ch}-channel images unsupported")
+        if filter_type not in (0, 1, 2, 3, 4):
+            raise ValueError(f"filter type {filter_type}")
+        flat = pixels.reshape(h, w * ch).astype(np.int64)
+        raw = _filter_raw(flat, ch, filter_type)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw), level))
+            + _chunk(b"IEND", b"")
+        )
+
+    def encode_palette_png(
+        indices, palette, filter_type: int = 0, level: int = 6
+    ) -> bytes:
+        """Encode an HxW uint8 index plane + Nx3 palette as a color-
+        type-3 PNG (IHDR + PLTE + IDAT); filtering operates on the
+        1-byte indices (bpp=1), exactly what the decoder unfilters."""
+        indices = np.asarray(indices, dtype=np.uint8)
+        palette = np.asarray(palette, dtype=np.uint8)
+        if indices.ndim != 2:
+            raise ValueError("palette indices must be HxW")
+        if palette.ndim != 2 or palette.shape[1] != 3 or not (
+            1 <= palette.shape[0] <= 256
+        ):
+            raise ValueError("palette must be Nx3 with 1 <= N <= 256")
+        if int(indices.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("palette index out of range")
+        if filter_type not in (0, 1, 2, 3, 4):
+            raise ValueError(f"filter type {filter_type}")
+        h, w = indices.shape
+        raw = _filter_raw(indices.astype(np.int64), 1, filter_type)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        return (
+            SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", palette.tobytes())
+            + _chunk(b"IDAT", zlib.compress(bytes(raw), level))
+            + _chunk(b"IEND", b"")
+        )
+
+    return encode_png, encode_palette_png, decode_png
 
 
-encode_png, decode_png = _make_codec()
+encode_png, encode_palette_png, decode_png = _make_codec()

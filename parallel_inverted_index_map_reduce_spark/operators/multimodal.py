@@ -2,11 +2,11 @@
 processed by Arrow-batched pandas functions (``mapInPandas``).
 
 ``decode_image`` REALLY decodes netpbm (P6 PPM / P5 PGM), baseline
-JPEG (functions/jpeg.py), and non-interlaced 8-bit PNG
-(functions/png.py); ``decode_audio`` decodes PCM WAV
-(functions/audio.py) — all pure Python, no codec library. Formats
-needing codec machinery this codebase does not carry
-(palette/interlaced PNG, progressive JPEG, GIF, compressed audio,
+JPEG (functions/jpeg.py), and non-interlaced 8-bit PNG — including
+PLTE-indexed palette color (functions/png.py); ``decode_audio``
+decodes PCM WAV (functions/audio.py) — all pure Python, no codec
+library. Formats needing codec machinery this codebase does not carry
+(interlaced PNG, progressive JPEG, GIF, compressed audio,
 video) stay behind a clearly-marked NotImplementedError stub.
 Everything Spark-side is real either way: binary column schema, Arrow
 batch transfer, per-batch vectorized feature extraction, and the
@@ -89,10 +89,10 @@ def decode_image(payload: bytes, codec: str = "auto"):
     Netpbm raw formats (P6/P5 magic), baseline JPEG (SOI magic;
     pure-Python T.81 sequential decoder, functions/jpeg.py — grayscale
     and YCbCr at any sampling factors, restart markers honored), and
-    non-interlaced 8-bit PNG (functions/png.py) decode for real — no
-    codec library needed. ``codec='fake'`` returns the deterministic
-    stand-in. Everything else (palette/interlaced PNG, progressive
-    JPEG, GIF, video) raises NotImplementedError: those need codec
+    non-interlaced 8-bit PNG incl. PLTE palette (functions/png.py)
+    decode for real — no codec library needed. ``codec='fake'``
+    returns the deterministic stand-in. Everything else (interlaced
+    PNG, progressive JPEG, GIF, video) raises NotImplementedError: those need codec
     machinery this codebase does not carry, and a silent fake would be
     worse than an honest stub.
     """

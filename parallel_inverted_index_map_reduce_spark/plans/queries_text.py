@@ -199,7 +199,7 @@ FROM tx d JOIN plane p ON p.doc_id = d.doc_id
     "oracle's double-range sum must match exactly), and PCM WAV "
     "(functions/audio.py — RIFF walk over a ramp signal; sample_sum + "
     "duration closed-form). The oracle verifies all three codecs "
-    "without decoding anything itself. Only palette/interlaced PNG, "
+    "without decoding anything itself. Only interlaced PNG, "
     "progressive JPEG, and compressed audio remain honest "
     "NotImplementedError stubs.",
 )

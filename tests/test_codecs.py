@@ -32,7 +32,7 @@ def test_png_grayscale_2d_input():
 def test_png_envelope_errors():
     with pytest.raises(ValueError, match="signature"):
         P.decode_png(b"\xff\xd8 not a png")
-    # palette color type (3) in a hand-built IHDR
+    # color type 3 without a PLTE chunk is malformed, not unsupported
     import struct
     import zlib
 
@@ -43,8 +43,62 @@ def test_png_envelope_errors():
         + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
-    with pytest.raises(NotImplementedError, match="palette"):
+    with pytest.raises(ValueError, match="PLTE"):
         P.decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_palette_png_roundtrip_exact(ftype):
+    """PLTE-indexed color (the most common real-corpus PNG variant):
+    indices survive every unfilter and expand through the palette to
+    the exact RGB plane."""
+    palette = RNG.randint(0, 256, (37, 3), dtype=np.uint8)
+    idx = RNG.randint(0, 37, (11, 7)).astype(np.uint8)
+    dec = P.decode_png(P.encode_palette_png(idx, palette, filter_type=ftype))
+    assert (dec["width"], dec["height"], dec["channels"]) == (7, 11, 3)
+    np.testing.assert_array_equal(dec["pixels"], palette[idx])
+    assert dec["pixel_sum"] == int(palette[idx].astype(np.int64).sum())
+
+
+def test_palette_png_errors():
+    palette = np.zeros((4, 3), dtype=np.uint8)
+    idx = np.full((3, 3), 9, dtype=np.uint8)  # index beyond the palette
+    with pytest.raises(ValueError, match="out of range"):
+        P.encode_palette_png(idx, palette)
+    # a hand-corrupted stream with an out-of-range index must fail
+    # loudly at decode too, never wrap around
+    ok = P.encode_palette_png(np.zeros((2, 2), dtype=np.uint8), palette)
+    import struct
+    import zlib as zl
+
+    raw = b"\x00\x09\x09" + b"\x00\x09\x09"  # filter 0, indices 9
+    idat = zl.compress(raw)
+    sig, rest = ok[:8], ok[8:]
+    out, pos = sig, 0
+    while pos < len(rest):
+        (length,) = struct.unpack(">I", rest[pos : pos + 4])
+        ctype = rest[pos + 4 : pos + 8]
+        body = rest[pos + 8 : pos + 8 + length]
+        if ctype == b"IDAT":
+            body = idat
+        out += (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zl.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+        pos += 12 + length
+    with pytest.raises(ValueError, match="out of range"):
+        P.decode_png(out)
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        P.decode_png(
+            ok[:8]
+            + ok[8:33]  # IHDR chunk (25 bytes)
+            + struct.pack(">I", 1)
+            + b"tRNS\x00"
+            + struct.pack(">I", zl.crc32(b"tRNS\x00") & 0xFFFFFFFF)
+            + ok[33:]
+        )
 
 
 def test_wav_8bit_mono_roundtrip():
