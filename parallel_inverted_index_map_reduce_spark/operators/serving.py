@@ -95,8 +95,18 @@ def store_search_index(
     doc_id) pairs, doclen from its per-doc position counts — without
     the pinning, chunks/positions/doclen would each re-tokenize the
     corpus (the materialization discipline of operators/dedup.py).
-    Everything downstream of this call is lookup-cost."""
+    Everything downstream of this call is lookup-cost.
+
+    Crash safety: the sidecar is DELETED first and rewritten last, so a
+    crash anywhere mid-build leaves a store without a sidecar — attach
+    fails loudly and ensure_search_index rebuilds — never a stale
+    sidecar whose fingerprint still matches beside half-written tables
+    (the one state fingerprint verification alone cannot catch)."""
     spark = docs.sparkSession
+    try:
+        os.remove(_meta_path(spark, base))
+    except FileNotFoundError:
+        pass
     pos = (
         positional_postings(docs)
         .withColumn("letter", F.substring("word", 1, 1))
@@ -577,10 +587,17 @@ def store_ann_index(
       n_list * dim floats).
 
     A JSON sidecar + :func:`attach_ann_index` give the same fresh-
-    session re-attachment story as the text index."""
+    session re-attachment story as the text index — and the same
+    invalidate-first/write-last sidecar hygiene as
+    :func:`store_search_index`, so a crashed rebuild cannot leave an
+    attachable sidecar beside partial tables."""
     from .similarity import ivf_assign, ivf_fit
 
     spark = emb.sparkSession
+    try:
+        os.remove(_meta_path(spark, base, kind="ann"))
+    except FileNotFoundError:
+        pass
     centroids = ivf_fit(emb, n_list=n_list, n_iters=n_iters)
     write_partitioned_table(
         ivf_assign(emb, centroids), f"{base}_vectors", ("list_id",)

@@ -15,6 +15,7 @@ from ..functions.hashing import (
     MINHASH_A,
     MINHASH_B,
     MINHASH_P,
+    sql_stable_hash32,
 )
 from ..operators import dedup as dd
 from .exprs import sql_stable_round6, stable_round6
@@ -245,6 +246,28 @@ _SPAN_N = 8
 # vocabulary, small enough that the generated oracle SQL stays readable.
 _BPE_MERGES = 6
 
+# Mixing/split parameters for the export/mix/split parts. DYADIC values
+# only (exact in binary): the keep-fraction solve then contains no
+# rounding the two engines could disagree on — every float op in
+# _mix_fractions (w/total with total exactly 1.0, n/w with dyadic w,
+# scale*w, one final /n) is either exact or a single correctly-rounded
+# IEEE op mirrored in the same order by the oracle SQL, so the
+# Python-computed fractions and the SQL-recomputed ones are
+# bit-identical and the hash-threshold keep decisions match row for
+# row. 'zh' is deliberately absent: strata outside the weights map must
+# DROP.
+_MIX_WEIGHTS = {"en": 0.5, "es": 0.25, "de": 0.125, "fr": 0.125}
+_SPLIT_FRAC = 0.125
+_EXPORT_SHARDS = 8
+
+
+def _sql_salted_unit_hash(salt: str) -> str:
+    """SQL twin of sampling._unit_hash / export.training_order's hash:
+    md5 over salt + US + key, as a [0, 1) double (division by 2^32 is
+    exact)."""
+    h = sql_stable_hash32(f"'{salt}' || chr(31) || CAST(doc_id AS VARCHAR)")
+    return f"({h} / 4294967296.0)"
+
 
 def _bpe_cte(n_merges: int) -> str:
     """Generated CTE chain that reproduces the BPE trainer
@@ -398,6 +421,22 @@ evs AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY eval_id),
 common AS (
     SELECT train_id, eval_id, count(*) AS n_common
     FROM tr JOIN ev USING (shingle_hash) GROUP BY 1, 2
+),
+mixc AS (
+    SELECT lang, count(*) AS n FROM documents
+    WHERE lang IN ({", ".join(f"'{s}'" for s in sorted(_MIX_WEIGHTS))})
+    GROUP BY lang
+),
+mixw AS (
+    SELECT lang, n,
+           CAST(CASE lang {" ".join(f"WHEN '{s}' THEN {w}" for s, w in sorted(_MIX_WEIGHTS.items()))} END AS DOUBLE) AS w
+    FROM mixc
+),
+mixs AS (SELECT min(n / w) AS scale FROM mixw),
+mixf AS (
+    SELECT lang, n,
+           least(CAST(1.0 AS DOUBLE), (SELECT scale FROM mixs) * w / n) AS frac
+    FROM mixw
 )
 SELECT 'span_dedup' AS op, d.doc_id AS id_a, CAST(0 AS BIGINT) AS id_b,
        CAST(coalesce(rn.n_raw, 0) - coalesce(ka.n_kept, 0) AS BIGINT) AS n,
@@ -419,6 +458,25 @@ SELECT 'bpe_doc', d.doc_id, CAST(0 AS BIGINT),
             ELSE len(string_split(b.toks, ' ')) END AS BIGINT),
        md5(coalesce(b.toks, ''))
 FROM documents d LEFT JOIN bfinal b ON b.doc_id = d.doc_id
+UNION ALL
+SELECT 'export', doc_id,
+       CAST(eh % {_EXPORT_SHARDS} AS BIGINT), eh, ''
+FROM (SELECT doc_id,
+             {sql_stable_hash32("'export' || chr(31) || CAST(doc_id AS VARCHAR)")} AS eh
+      FROM documents)
+UNION ALL
+SELECT 'mix_keep', d.doc_id, CAST(0 AS BIGINT), CAST(1 AS BIGINT), d.lang
+FROM documents d JOIN mixf f ON f.lang = d.lang
+WHERE {_sql_salted_unit_hash('mix')} < f.frac
+UNION ALL
+SELECT 'mix_frac', CAST(0 AS BIGINT), CAST(0 AS BIGINT), n,
+       lang || '=' || {sql_stable_round6('frac')}
+FROM mixf
+UNION ALL
+SELECT 'split', doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CASE WHEN {_sql_salted_unit_hash('split')} < CAST({_SPLIT_FRAC} AS DOUBLE)
+            THEN 'test' ELSE 'train' END
+FROM documents
 """,
     tags=("dedup", "pipeline", "hygiene"),
     doc="The two destructive hygiene passes of the training pipeline in "
@@ -445,12 +503,24 @@ FROM documents d LEFT JOIN bfinal b ON b.doc_id = d.doc_id
     "generated CTEs (see _bpe_cte: sentinel-delimited symbol strings "
     "make each greedy merge round one left-to-right replace), so an "
     "ITERATIVE algorithm gets the same exact cross-engine proof as the "
-    "one-pass operators. Scale shape: span/decontam passes are "
-    "equi-joins on md5 identities (gram groupBy + cut-list join; "
-    "shingle join bounded by shared vocabulary) — never a cross join; "
-    "BPE training collapses the corpus to its distinct-word frequency "
-    "table in ONE scan and iterates on vocabulary-scale data, the "
-    "driver holding only the merge list.",
+    "one-pass operators. 'export' rows driver-verify the deterministic "
+    "shard export (operators/export.py training_order: shard and "
+    "training order derived from a salted content hash — stable across "
+    "runs, partitionings, and engines, unlike repartition/rand-based "
+    "shuffles). 'mix_keep'/'mix_frac' rows verify domain mixing "
+    "(operators/sampling.py mix_to_proportions over lang with DYADIC "
+    "target weights, so the largest-achievable-output keep-fraction "
+    "solve is bit-identical in both engines — see _MIX_WEIGHTS; the "
+    "absent 'zh' stratum proves unweighted domains drop); 'split' rows "
+    "verify the leak-proof hash train/test split. Scale shape: "
+    "span/decontam passes are equi-joins on md5 identities (gram "
+    "groupBy + cut-list join; shingle join bounded by shared "
+    "vocabulary) — never a cross join; BPE training collapses the "
+    "corpus to its distinct-word frequency table in ONE scan and "
+    "iterates on vocabulary-scale data, the driver holding only the "
+    "merge list; export is one n_shards-way hash shuffle + "
+    "within-partition sort, and mix/split are per-row hash filters "
+    "with a strata-cardinality driver scalar.",
 )
 def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import apply_bpe, merges_table, train_bpe
@@ -491,7 +561,74 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bpe_tokens").alias("n"),
         F.md5(F.col("bpe_tokens").cast("binary")).alias("metric"),
     )
-    return sd.unionByName(dc).unionByName(bm).unionByName(bd)
+    from ..operators.export import training_order
+    from ..operators.sampling import mix_to_proportions, train_test_split
+
+    ex = training_order(
+        docs.select("doc_id"), "doc_id", n_shards=_EXPORT_SHARDS, salt="export"
+    ).select(
+        F.lit("export").alias("op"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("shard").cast("long").alias("id_b"),
+        F.col("_train_ord").cast("long").alias("n"),
+        F.lit("").alias("metric"),
+    )
+    mixed, fractions = mix_to_proportions(
+        docs.select("doc_id", "lang"), "lang", _MIX_WEIGHTS, "doc_id", salt="mix"
+    )
+    mk = mixed.select(
+        F.lit("mix_keep").alias("op"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.lit(0).cast("long").alias("id_b"),
+        F.lit(1).cast("long").alias("n"),
+        F.col("lang").alias("metric"),
+    )
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.where(F.col("lang").isin(*sorted(_MIX_WEIGHTS)))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    mf = spark.createDataFrame(
+        [(s, counts[s], float(f)) for s, f in sorted(fractions.items())],
+        "lang string, n long, frac double",
+    ).select(
+        F.lit("mix_frac").alias("op"),
+        F.lit(0).cast("long").alias("id_a"),
+        F.lit(0).cast("long").alias("id_b"),
+        F.col("n"),
+        F.concat(F.col("lang"), F.lit("="), stable_round6(F.col("frac"))).alias(
+            "metric"
+        ),
+    )
+    tr_side, te_side = train_test_split(
+        docs.select("doc_id"), "doc_id", _SPLIT_FRAC, salt="split"
+    )
+    sp = tr_side.select(
+        F.lit("split").alias("op"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.lit(0).cast("long").alias("id_b"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit("train").alias("metric"),
+    ).unionByName(
+        te_side.select(
+            F.lit("split").alias("op"),
+            F.col("doc_id").cast("long").alias("id_a"),
+            F.lit(0).cast("long").alias("id_b"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit("test").alias("metric"),
+        )
+    )
+    return (
+        sd.unionByName(dc)
+        .unionByName(bm)
+        .unionByName(bd)
+        .unionByName(ex)
+        .unionByName(mk)
+        .unionByName(mf)
+        .unionByName(sp)
+    )
 
 
 @register(

@@ -140,6 +140,39 @@ def test_torn_extend_is_detected_and_rebuilt(spark):
     assert srv.verify_search_index(spark, base, v1)
 
 
+def test_crashed_rebuild_leaves_no_attachable_sidecar(spark):
+    """store_search_index deletes the sidecar FIRST and rewrites it
+    LAST: a crash anywhere mid-rebuild leaves a sidecar-less store that
+    attach refuses and ensure rebuilds — never a stale sidecar whose
+    fingerprint still matches beside half-written tables."""
+    base = "lcrebuild"
+    v1 = _docs_v1(spark)
+    srv.store_search_index(v1, base, n_buckets=4, chunk_size=16)
+    assert os.path.exists(srv._meta_path(spark, base))
+
+    import parallel_inverted_index_map_reduce_spark.operators.serving as serving_mod
+
+    real = serving_mod.write_bucketed
+
+    def crashing_write(df, table, *a, **k):
+        raise OSError("injected crash mid-rebuild")
+
+    serving_mod.write_bucketed = crashing_write
+    try:
+        with pytest.raises(OSError, match="mid-rebuild"):
+            srv.store_search_index(v1, base, n_buckets=4, chunk_size=16)
+    finally:
+        serving_mod.write_bucketed = real
+
+    # the crashed rebuild invalidated the sidecar before touching data
+    assert not os.path.exists(srv._meta_path(spark, base))
+    _drop_tables(spark, base)
+    with pytest.raises(FileNotFoundError):
+        srv.attach_search_index(spark, base)
+    srv.ensure_search_index(v1, base, n_buckets=4, chunk_size=16)
+    assert srv.verify_search_index(spark, base, v1)
+
+
 def test_chunk_swap_crash_windows_never_lose_chunks(spark):
     """Simulate every on-disk state the swap protocol can crash in and
     prove recover_chunks_swap restores a complete, queryable chunks
