@@ -260,6 +260,13 @@ _MIX_WEIGHTS = {"en": 0.5, "es": 0.25, "de": 0.125, "fr": 0.125}
 _SPLIT_FRAC = 0.125
 _EXPORT_SHARDS = 8
 
+# Chunking parameters for the 'chunk' part: small enough that the
+# synthetic docs (median ~56 tokens) actually split into several
+# overlapping windows, exercising the last-start bound.
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
 
 def _sql_salted_unit_hash(salt: str) -> str:
     """SQL twin of sampling._unit_hash / export.training_order's hash:
@@ -437,6 +444,19 @@ mixf AS (
     SELECT lang, n,
            least(CAST(1.0 AS DOUBLE), (SELECT scale FROM mixs) * w / n) AS frac
     FROM mixw
+),
+ctoks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tks
+    FROM documents
+),
+cwins AS (
+    SELECT doc_id, s // {_CHUNK_STRIDE} AS chunk_id,
+           list_slice(tks, s + 1, s + {_CHUNK_TOKENS}) AS ck
+    FROM ctoks,
+         unnest(range(0,
+                      (greatest(0, len(tks) - {_CHUNK_OVERLAP + 1})
+                       // {_CHUNK_STRIDE}) * {_CHUNK_STRIDE} + 1,
+                      {_CHUNK_STRIDE})) AS u(s)
 )
 SELECT 'span_dedup' AS op, d.doc_id AS id_a, CAST(0 AS BIGINT) AS id_b,
        CAST(coalesce(rn.n_raw, 0) - coalesce(ka.n_kept, 0) AS BIGINT) AS n,
@@ -477,6 +497,10 @@ SELECT 'split', doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
        CASE WHEN {_sql_salted_unit_hash('split')} < CAST({_SPLIT_FRAC} AS DOUBLE)
             THEN 'test' ELSE 'train' END
 FROM documents
+UNION ALL
+SELECT 'chunk', doc_id, chunk_id, CAST(len(ck) AS BIGINT),
+       md5(array_to_string(ck, ' '))
+FROM cwins WHERE len(ck) > 0
 """,
     tags=("dedup", "pipeline", "hygiene"),
     doc="The two destructive hygiene passes of the training pipeline in "
@@ -602,6 +626,17 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
             "metric"
         ),
     )
+    from ..operators.chunking import chunk_documents
+
+    ck = chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    ).select(
+        F.lit("chunk").alias("op"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("chunk_id").cast("long").alias("id_b"),
+        F.col("n_tokens").alias("n"),
+        F.md5(F.col("chunk").cast("binary")).alias("metric"),
+    )
     tr_side, te_side = train_test_split(
         docs.select("doc_id"), "doc_id", _SPLIT_FRAC, salt="split"
     )
@@ -627,6 +662,7 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ex)
         .unionByName(mk)
         .unionByName(mf)
+        .unionByName(ck)
         .unionByName(sp)
     )
 
