@@ -26,6 +26,12 @@ hash-ordered shards:
 
     python -m parallel_inverted_index_map_reduce_spark prep docs.parquet \
         --out ./shards --min-quality 0.3 --span-width 20 --shards 16
+
+The serving-store lifecycle is fully drivable: ``index-store`` builds,
+``extend`` folds a fresh-id batch in (append-only; refuses torn
+stores), ``verify-store`` checks the sidecar corpus fingerprint
+(exit 0 match / 3 torn / 4 stale), and ``search --stored`` serves —
+refusing a torn store rather than answering inconsistently.
 """
 
 from __future__ import annotations
@@ -69,6 +75,15 @@ def _search(args) -> int:
             from .operators import serving as srv
 
             srv.attach_search_index(spark, stored)
+            if srv.extend_in_progress(spark, stored):
+                print(
+                    f"store '{stored}' has a torn extend (crashed "
+                    "mid-ingest): answers could be inconsistent across "
+                    "query types. Rebuild with index-store (or re-run "
+                    "extend after a rebuild from the pre-extend corpus).",
+                    file=sys.stderr,
+                )
+                return 3
         else:
             from .sources.corpus import read_manifest_corpus
 
@@ -182,6 +197,62 @@ def _index_store(args) -> int:
         spark.stop()
 
 
+def _read_docs(spark, path: str):
+    if path.endswith(".parquet"):
+        return spark.read.parquet(path)
+    from .sources.corpus import read_manifest_corpus
+
+    return read_manifest_corpus(spark, path)
+
+
+def _extend(args) -> int:
+    from .operators import serving as srv
+    from .session import get_spark
+
+    spark = get_spark(app_name="index-extend")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        srv.attach_search_index(spark, args.base)
+        if srv.extend_in_progress(spark, args.base):
+            print(
+                f"store '{args.base}' already has a torn extend — "
+                "rebuild with index-store before ingesting more",
+                file=sys.stderr,
+            )
+            return 3
+        batch = _read_docs(spark, args.input)
+        srv.extend_search_index(spark, args.base, batch)
+        n = batch.count()
+        print(f"extended '{args.base}' with {n} documents (append-only)")
+        return 0
+    finally:
+        spark.stop()
+
+
+def _verify_store(args) -> int:
+    from .operators import serving as srv
+    from .session import get_spark
+
+    spark = get_spark(app_name="index-verify", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        srv.attach_search_index(spark, args.base)
+        docs = _read_docs(spark, args.input)
+        if srv.extend_in_progress(spark, args.base):
+            print(f"TORN: store '{args.base}' has an unfinished extend")
+            return 3
+        if srv.verify_search_index(spark, args.base, docs):
+            print(f"OK: store '{args.base}' matches the corpus")
+            return 0
+        print(
+            f"STALE: store '{args.base}' does not match the corpus "
+            "(or predates fingerprinting) — rebuild with index-store"
+        )
+        return 4
+    finally:
+        spark.stop()
+
+
 def _prep(args) -> int:
     from . import pipeline as pl
     from .session import get_spark
@@ -254,6 +325,31 @@ def main(argv: list[str] | None = None) -> int:
         )
         parser.add_argument("--shards", type=int, default=16)
         return _prep(parser.parse_args(argv[1:]))
+
+    if argv and argv[0] == "extend":
+        parser = argparse.ArgumentParser(
+            prog="parallel_inverted_index_map_reduce_spark extend",
+            description="Fold NEW documents into a stored serving index "
+            "incrementally (append-only; doc ids must be new). Torn "
+            "extends from a previous crash are refused — rebuild first.",
+        )
+        parser.add_argument("base", help="store name (see index-store)")
+        parser.add_argument(
+            "input", help="manifest file, or a documents .parquet path"
+        )
+        return _extend(parser.parse_args(argv[1:]))
+
+    if argv and argv[0] == "verify-store":
+        parser = argparse.ArgumentParser(
+            prog="parallel_inverted_index_map_reduce_spark verify-store",
+            description="Check a stored serving index against a corpus: "
+            "exit 0 = fingerprint match, 3 = torn extend, 4 = stale.",
+        )
+        parser.add_argument("base", help="store name (see index-store)")
+        parser.add_argument(
+            "input", help="manifest file, or a documents .parquet path"
+        )
+        return _verify_store(parser.parse_args(argv[1:]))
 
     if argv and argv[0] == "index-store":
         parser = argparse.ArgumentParser(

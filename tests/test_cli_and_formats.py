@@ -271,6 +271,65 @@ def test_cli_index_store_then_stored_search_across_processes(tmp_path):
     assert "bm25 'spark query' #1: doc 3" in out
 
 
+def test_cli_extend_and_verify_store_across_processes(spark, tmp_path):
+    """The full ingest lifecycle over the CLI: build a store from a
+    parquet corpus, verify it (OK), extend it with a fresh-id batch in
+    a different process, verify against the extended corpus (OK) and
+    the stale original (STALE, rc 4); a planted torn-extend marker
+    makes verify-store and search --stored refuse (rc 3)."""
+    import os
+
+    v1 = tmp_path / "v1.parquet"
+    batch = tmp_path / "batch.parquet"
+    both = tmp_path / "both.parquet"
+    rows1 = [(1, "spark makes indexes"), (2, "spark query engines rock")]
+    rows2 = [(100, "fresh spark ingest"), (101, "another query doc")]
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(v1))
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(batch))
+    spark.createDataFrame(rows1 + rows2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(both))
+    wh = tmp_path / "wh"
+    env = dict(os.environ, SPARK_GRAFT_WAREHOUSE=str(wh))
+
+    def cli(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "parallel_inverted_index_map_reduce_spark", *args],
+            cwd=REPO, capture_output=True, text=True, timeout=300, env=env,
+        )
+
+    res = cli("index-store", str(v1), "--base", "cliext",
+              "--buckets", "4", "--chunk-size", "16")
+    assert res.returncode == 0, res.stderr[-2000:]
+    res = cli("verify-store", "cliext", str(v1))
+    assert res.returncode == 0 and "OK" in res.stdout, res.stdout + res.stderr[-500:]
+
+    res = cli("extend", "cliext", str(batch))
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "extended 'cliext' with 2 documents" in res.stdout
+
+    res = cli("verify-store", "cliext", str(both))
+    assert res.returncode == 0 and "OK" in res.stdout, res.stdout + res.stderr[-500:]
+    res = cli("verify-store", "cliext", str(v1))
+    assert res.returncode == 4 and "STALE" in res.stdout
+
+    # served answers include the ingested docs
+    res = cli("search", "--stored", "cliext", "--term", "fresh")
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "term fresh: [100]" in res.stdout
+
+    # a torn extend is refused by both verify-store and search --stored
+    (wh / "cliext_extend_inprogress.marker").write_text("{}")
+    res = cli("verify-store", "cliext", str(both))
+    assert res.returncode == 3 and "TORN" in res.stdout
+    res = cli("search", "--stored", "cliext", "--term", "fresh")
+    assert res.returncode == 3 and "torn extend" in res.stderr
+
+
 def test_cli_search_without_manifest_or_store_errors(tmp_path):
     res = subprocess.run(
         [
