@@ -140,12 +140,27 @@ def _count_scans(plan: str) -> int:
 def test_boolean_search_single_scan(spark):
     """The fused AND/OR/NOT form must stay one scan + one aggregation,
     and the phrase branch one more scan (a different projection —
-    positions — over the corpus): two scans TOTAL for four labeled ops.
-    The union-of-ops shape this replaced rebuilt the index per branch
-    (6 scans, 30 exchanges)."""
+    positions — over the corpus): two CORPUS scans TOTAL for the four
+    corpus-side labeled ops (the union-of-ops shape this replaced
+    rebuilt the index per branch: 6 scans, 30 exchanges). The round-5
+    *_stored parts add exactly TWO stored-table reads — one bucket-
+    pruned read of the chunks table for AND/OR/NOT (all three ops
+    project from ONE collected pair of posting arrays) and one
+    letter-pruned read of the positions table for the stored phrase —
+    and those reads must never touch the corpus parquet."""
     plan = _spec_plan(spark, "boolean_search")
-    assert _count_scans(plan) == 2, plan
-    assert _count_exchanges(plan) <= 6, plan
+    import re
+
+    stored = [
+        m
+        for m in re.findall(r"^\(\d+\) Scan parquet ?(\S*)", plan, re.M)
+        if m  # catalog-table scans carry a name; raw corpus scans do not
+    ]
+    assert _count_scans(plan) - len(stored) == 2, plan
+    assert len(stored) == 2 and any("_chunks" in t for t in stored) and any(
+        "_positions" in t for t in stored
+    ), stored
+    assert _count_exchanges(plan) <= 8, plan
 
 
 def test_minhash_skips_shingle_distinct_shuffle(spark):
