@@ -570,6 +570,21 @@ def boolean_search_stored(
 # ---------------------------------------------------------------------------
 
 
+def embeddings_fingerprint(emb: DataFrame) -> dict:
+    """The ANN store's analogue of :func:`corpus_fingerprint`: vector
+    count plus the xor of per-row ``xxhash64(vec_id, embedding)``
+    (xxhash64 hashes array columns natively). Order-independent, one
+    aggregation — a staleness check for "do the stored inverted lists
+    still describe THESE embeddings"."""
+    row = emb.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.col("vec_id"), F.col("embedding"))), F.lit(0)
+        ).alias("x"),
+    ).first()
+    return {"n_vecs": int(row["n"]), "xor64": int(row["x"])}
+
+
 def store_ann_index(
     emb: DataFrame, base: str, n_list: int = 16, n_iters: int = 2
 ) -> None:
@@ -608,7 +623,14 @@ def store_ann_index(
         f"{base}_centroids",
     )
     with open(_meta_path(spark, base, kind="ann"), "w") as fh:
-        json.dump({"version": 1, "n_list": len(centroids)}, fh)
+        json.dump(
+            {
+                "version": 2,
+                "n_list": len(centroids),
+                "fingerprint": embeddings_fingerprint(emb),
+            },
+            fh,
+        )
 
 
 def attach_ann_index(spark: SparkSession, base: str) -> None:
@@ -653,6 +675,49 @@ def attach_ann_index(spark: SparkSession, base: str) -> None:
     )
 
 
+def _read_ann_meta(spark: SparkSession, base: str) -> dict:
+    with open(_meta_path(spark, base, kind="ann")) as fh:
+        return json.load(fh)
+
+
+def verify_ann_index(spark: SparkSession, base: str, emb: DataFrame) -> bool:
+    """True iff the stored ANN layout provably describes ``emb``: the
+    sidecar's embeddings fingerprint matches the one recomputed from
+    ``emb``. A pre-v2 sidecar (no fingerprint) is unverifiable and
+    reports False — the same rebuild-on-unverifiable contract as
+    :func:`verify_search_index`."""
+    try:
+        meta = _read_ann_meta(spark, base)
+    except FileNotFoundError:
+        return False
+    fp = meta.get("fingerprint")
+    return fp is not None and fp == embeddings_fingerprint(emb)
+
+
+def ensure_ann_index(
+    emb: DataFrame, base: str, n_list: int = 16, n_iters: int = 2
+) -> None:
+    """Attach-or-build entry point for the stored ANN layout — the
+    similarity surface's :func:`ensure_search_index`. After this
+    returns, ``<base>_vectors``/``<base>_centroids`` are registered and
+    provably current for ``emb``: tables registered this session are
+    trusted (built or verified by the registering call), a fresh-session
+    attach verifies the sidecar fingerprint, and anything else —
+    missing store, regenerated embeddings at the same path, pre-v2
+    sidecar — triggers a full rebuild."""
+    spark = emb.sparkSession
+    tables = [f"{base}_vectors", f"{base}_centroids"]
+    if all(spark.catalog.tableExists(t) for t in tables):
+        return
+    try:
+        attach_ann_index(spark, base)
+        if verify_ann_index(spark, base, emb):
+            return
+    except FileNotFoundError:
+        pass
+    store_ann_index(emb, base, n_list=n_list, n_iters=n_iters)
+
+
 def load_stored_centroids(spark: SparkSession, base: str) -> list[list[float]]:
     rows = spark.table(f"{base}_centroids").orderBy("list_id").collect()
     return [[float(x) for x in r["centroid"]] for r in rows]
@@ -664,6 +729,7 @@ def ann_search_stored(
     queries: DataFrame,
     k: int = 3,
     nprobe: int = 4,
+    decimal_scores: bool = False,
 ) -> DataFrame:
     """(vec_a, vec_b, cosine, rank): IVF top-k served from the stored
     layout — row-identical to similarity.py ivf_topk run with the SAME
@@ -676,9 +742,22 @@ def ann_search_stored(
     The probe ids collect to the driver (one tiny action over the
     query batch) so the stored scan carries a STATIC IN filter on the
     partition column — pruning holds unconditionally, no reliance on
-    runtime dynamic-partition-pruning kicking in."""
-    from .similarity import _centroid_order, _dot_expr, _norm_expr
+    runtime dynamic-partition-pruning kicking in.
 
+    ``decimal_scores`` mirrors ivf_topk's flag: exact decimal cosine
+    instead of the fast double fold, making ranks bit-identical to the
+    decimal oracle formulation (the cross-engine-checked 'ivf_stored'
+    registry part uses this; the double fold stays the production
+    scoring path)."""
+    from .similarity import (
+        _centroid_order,
+        _dot_expr,
+        _norm_expr,
+        decimal_dot_expr,
+        norm_sq_expr,
+    )
+
+    norm = norm_sq_expr if decimal_scores else _norm_expr
     centroids = load_stored_centroids(spark, base)
     nprobe = min(nprobe, len(centroids))
     # pinned: the probe subplan (queries scan + centroid-distance sort)
@@ -687,7 +766,7 @@ def ann_search_stored(
     q = queries.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("qe"),
-        _norm_expr(F.col("embedding")).alias("qn"),
+        norm(F.col("embedding")).alias("qn"),
         F.explode(
             F.slice(_centroid_order(F.col("embedding"), centroids), 1, nprobe)
         ).alias("list_id"),
@@ -702,13 +781,23 @@ def ann_search_stored(
         "list_id",
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("ce"),
-        _norm_expr(F.col("embedding")).alias("cn"),
+        norm(F.col("embedding")).alias("cn"),
     )
     from .similarity import _topk_by_cosine
 
-    score = F.round(
-        _dot_expr(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
-    )
+    if decimal_scores:
+        score = F.round(
+            decimal_dot_expr(F.col("qe"), F.col("ce")).cast("double")
+            / (
+                F.sqrt(F.col("qn").cast("double"))
+                * F.sqrt(F.col("cn").cast("double"))
+            ),
+            6,
+        )
+    else:
+        score = F.round(
+            _dot_expr(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
+        )
     cos = (
         F.broadcast(q)
         .join(cand, "list_id")

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import quantization as qz
+from ..operators import serving as srv
 from ..operators import similarity as sim
 from ..sources.tables import load_table
 from .registry import register
@@ -50,6 +51,22 @@ buckets AS (
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
+
+
+def _ann_serving_base(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
+    """Attach-or-build the persisted ANN serving layout for ``sf_dir``
+    and return its base name — the similarity surface's twin of
+    queries_index._serving_base. n_list matches the in-session
+    ivf_full_probe part so nprobe == n_list probes every list and the
+    stored ranks are provably the brute-force ranks. ensure_ann_index
+    verifies the sidecar's embeddings fingerprint on cross-session
+    attach, so regenerated embeddings at the same path are rebuilt,
+    never served stale."""
+    import hashlib
+
+    base = "annserve_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    srv.ensure_ann_index(emb, base, n_list=8, n_iters=2)
+    return base
 
 
 @register(
@@ -162,6 +179,10 @@ SELECT 'ivf_full_probe' AS op, vec_a, vec_b, CAST(NULL AS DOUBLE) AS score,
        rk AS "rank"
 FROM exact_ranked WHERE rk <= 3
 UNION ALL
+SELECT 'ivf_stored' AS op, vec_a, vec_b, CAST(NULL AS DOUBLE) AS score,
+       rk AS "rank"
+FROM exact_ranked WHERE rk <= 3
+UNION ALL
 SELECT 'int8' AS op, vec_a, vec_b, CAST(NULL AS DOUBLE) AS score,
        rk AS "rank"
 FROM q_ranked WHERE rk <= 3
@@ -181,15 +202,22 @@ FROM (
     )
 ) WHERE r = 1
 """,
-    tags=("similarity",),
-    doc="Four ANN formulations in ONE labeled result (op column, "
+    tags=("similarity", "serving"),
+    doc="Five ANN formulations in ONE labeled result (op column, "
     "same pattern as boolean_search): 'exact' is the brute-force decimal "
     "cosine; 'ivf_full_probe' runs the full IVF coarse-quantizer path — "
     "deterministic RNG-free k-means fit, shuffle-free assignment, "
     "probe-pruned equi-join — at nprobe == n_list with decimal scoring, "
     "so its ranks are bit-identical to brute force (no rounding-boundary "
     "exposure; the pruned nprobe < n_list recall is asserted in "
-    "tests/test_similarity.py); 'int8' is the quantized shortlist path, "
+    "tests/test_similarity.py); 'ivf_stored' answers the SAME queries "
+    "from the PERSISTED IVF layout (operators/serving.py "
+    "store_ann_index: inverted lists as list_id-partitioned external "
+    "parquet, probes pruned at the directory level via a static IN; "
+    "ensure_ann_index verifies the sidecar's embeddings fingerprint on "
+    "attach) while the oracle stays the brute-force formulation — the "
+    "hash match proves the stored layout loses nothing; 'int8' is the "
+    "quantized shortlist path, "
     "whose integer dot products and scales the oracle reproduces exactly "
     "— ranks order by raw IEEE doubles on both engines (score column "
     "NULL: a 6-decimal display rounding is the one step where Spark and "
@@ -218,6 +246,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("score"),
         "rank",
     )
+    base = _ann_serving_base(spark, sf_dir, emb)
+    ivf_s = srv.ann_search_stored(
+        spark,
+        base,
+        emb.where(F.col("vec_id") < 5),
+        k=3,
+        nprobe=8,
+        decimal_scores=True,
+    ).select(
+        F.lit("ivf_stored").alias("op"),
+        "vec_a",
+        "vec_b",
+        F.lit(None).cast("double").alias("score"),
+        "rank",
+    )
     q8 = qz.quantized_topk(emb, k=3, n_queries=5).select(
         F.lit("int8").alias("op"),
         "vec_a",
@@ -232,7 +275,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("score"),
         F.col("votes").alias("rank"),
     )
-    return exact.unionByName(ivf).unionByName(q8).unionByName(knn)
+    return (
+        exact.unionByName(ivf)
+        .unionByName(ivf_s)
+        .unionByName(q8)
+        .unionByName(knn)
+    )
 
 
 @register(

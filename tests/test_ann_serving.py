@@ -98,6 +98,45 @@ def test_stored_ann_attach_after_catalog_loss(spark, emb):
     srv.attach_ann_index(spark, BASE)  # no-op second attach
 
 
+def test_stored_decimal_scores_match_in_session_ivf(spark, emb):
+    """decimal_scores through the stored path = ivf_topk decimal_scores
+    with the same centroids — the flag the cross-engine-checked
+    'ivf_stored' registry part relies on."""
+    queries = emb.where(F.col("vec_id") < NQ)
+    got = srv.ann_search_stored(
+        spark, BASE, queries, k=K, nprobe=N_LIST, decimal_scores=True
+    )
+    want = ivf_topk(
+        emb,
+        k=K,
+        n_queries=NQ,
+        nprobe=N_LIST,
+        centroids=srv.load_stored_centroids(spark, BASE),
+        decimal_scores=True,
+    )
+    assert _rows(got) == _rows(want) and _rows(got)
+
+
+def test_stale_ann_store_detected_and_rebuilt(spark, emb):
+    """Regenerated embeddings at the same base: the sidecar fingerprint
+    mismatch is CAUGHT and ensure_ann_index rebuilds — never serves the
+    old inverted lists (the ANN twin of the text store's staleness
+    test)."""
+    base = "annstale"
+    old = emb.where(F.col("vec_id") < 50)
+    srv.store_ann_index(old, base, n_list=4, n_iters=1)
+    assert srv.verify_ann_index(spark, base, old)
+    new = emb.where(F.col("vec_id") < 60)  # the "regenerated" corpus
+    assert not srv.verify_ann_index(spark, base, new)
+    # drop catalog entries to force the fresh-session attach+verify path
+    for sfx in ("_vectors", "_centroids"):
+        if spark.catalog.tableExists(f"{base}{sfx}"):
+            spark.sql(f"DROP TABLE {base}{sfx}")
+    srv.ensure_ann_index(new, base, n_list=4, n_iters=1)
+    assert srv.verify_ann_index(spark, base, new)
+    assert spark.table(f"{base}_vectors").count() == new.count()
+
+
 def test_full_probe_equals_brute_force_through_store(spark, emb):
     """nprobe == n_list through the STORED path must equal the exact
     in-session brute force at the fast-scoring tie-break — the stored
