@@ -169,11 +169,21 @@ def temperature_weights(
 def _temperature_weights_from_counts(
     counts: dict[str, int], strata_col: str, alpha: float
 ) -> dict[str, float]:
+    """The engine's cross-engine determinism discipline, applied to the
+    weight solve: each n^alpha is rounded to 9 decimals (libm pow's
+    last bits differ across platforms; the BM25 idf rule), and the
+    normalizer sums those 9-decimal values as exact decimals — addition
+    order cannot change it — so every weight is ONE IEEE division of
+    two bit-reproducible operands, independent of dict/collection order
+    and reproducible by the SQL twin (round(pow(n, a), 9) summed as
+    DECIMAL)."""
+    from decimal import Decimal
+
     if not counts:
         raise ValueError(f"no non-null strata in {strata_col!r}")
-    raw = {s: float(n) ** alpha for s, n in counts.items()}
-    total = sum(raw.values())
-    return {s: w / total for s, w in raw.items()}
+    raw = {s: round(float(n) ** alpha, 9) for s, n in counts.items()}
+    total = float(sum(Decimal(f"{r:.9f}") for r in raw.values()))
+    return {s: r / total for s, r in raw.items()}
 
 
 def temperature_mix(

@@ -260,6 +260,13 @@ _MIX_WEIGHTS = {"en": 0.5, "es": 0.25, "de": 0.125, "fr": 0.125}
 _SPLIT_FRAC = 0.125
 _EXPORT_SHARDS = 8
 
+# Temperature for the 'temp_w' part: alpha=0.5 genuinely exercises the
+# n^alpha power (unlike 0 or 1, which degenerate to constants/identity).
+# Cross-engine safety comes from the weight solve's determinism
+# discipline (sampling.py _temperature_weights_from_counts): round-9
+# powers + decimal-summed normalizer, mirrored verbatim by the SQL twin.
+_TEMP_ALPHA = 0.5
+
 # Chunking parameters for the 'chunk' part: small enough that the
 # synthetic docs (median ~56 tokens) actually split into several
 # overlapping windows, exercising the last-start bound.
@@ -445,6 +452,18 @@ mixf AS (
            least(CAST(1.0 AS DOUBLE), (SELECT scale FROM mixs) * w / n) AS frac
     FROM mixw
 ),
+tmpc AS (
+    SELECT lang, count(*) AS n FROM documents
+    WHERE lang IS NOT NULL GROUP BY lang
+),
+tmpr AS (
+    SELECT lang, n,
+           round(pow(CAST(n AS DOUBLE), {_TEMP_ALPHA}), 9) AS r
+    FROM tmpc
+),
+tmpt AS (
+    SELECT CAST(SUM(CAST(r AS DECIMAL(28,12))) AS DOUBLE) AS t FROM tmpr
+),
 ctoks AS (
     SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tks
     FROM documents
@@ -493,6 +512,10 @@ SELECT 'mix_frac', CAST(0 AS BIGINT), CAST(0 AS BIGINT), n,
        lang || '=' || {sql_stable_round6('frac')}
 FROM mixf
 UNION ALL
+SELECT 'temp_w', CAST(0 AS BIGINT), CAST(0 AS BIGINT), n,
+       lang || '=' || {sql_stable_round6('r / (SELECT t FROM tmpt)')}
+FROM tmpr
+UNION ALL
 SELECT 'split', doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
        CASE WHEN {_sql_salted_unit_hash('split')} < CAST({_SPLIT_FRAC} AS DOUBLE)
             THEN 'test' ELSE 'train' END
@@ -535,7 +558,13 @@ FROM cwins WHERE len(ck) > 0
     "(operators/sampling.py mix_to_proportions over lang with DYADIC "
     "target weights, so the largest-achievable-output keep-fraction "
     "solve is bit-identical in both engines — see _MIX_WEIGHTS; the "
-    "absent 'zh' stratum proves unweighted domains drop); 'split' rows "
+    "absent 'zh' stratum proves unweighted domains drop); 'temp_w' rows "
+    "verify temperature-based domain weighting (sampling.py "
+    "temperature_weights, the n^alpha corpus-mixing rule of the "
+    "multilingual-sampling literature) at alpha=0.5 over ALL non-null "
+    "langs — the weight solve's round-9 powers and decimal-summed "
+    "normalizer make each weight one IEEE division the oracle "
+    "reproduces bit-for-bit; 'split' rows "
     "verify the leak-proof hash train/test split. Scale shape: "
     "span/decontam passes are equi-joins on md5 identities (gram "
     "groupBy + cut-list join; shingle join bounded by shared "
@@ -626,6 +655,28 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
             "metric"
         ),
     )
+    from ..operators.sampling import temperature_weights
+
+    tw = temperature_weights(docs.select("lang"), "lang", alpha=_TEMP_ALPHA)
+    tcounts = {
+        r["lang"]: r["n"]
+        for r in docs.where(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    twf = spark.createDataFrame(
+        [(s, tcounts[s], float(w)) for s, w in sorted(tw.items())],
+        "lang string, n long, w double",
+    ).select(
+        F.lit("temp_w").alias("op"),
+        F.lit(0).cast("long").alias("id_a"),
+        F.lit(0).cast("long").alias("id_b"),
+        F.col("n"),
+        F.concat(F.col("lang"), F.lit("="), stable_round6(F.col("w"))).alias(
+            "metric"
+        ),
+    )
     from ..operators.chunking import chunk_documents
 
     ck = chunk_documents(
@@ -662,6 +713,7 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ex)
         .unionByName(mk)
         .unionByName(mf)
+        .unionByName(twf)
         .unionByName(ck)
         .unionByName(sp)
     )
