@@ -39,22 +39,22 @@ def merge_upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
 
 def upsert_stats(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """(n_updated, n_inserted, n_unchanged) — the audit row a pipeline
-    logs with every merge."""
-    cur_keys = current.select(key)
-    upd_keys = updates.select(key)
-    return (
-        cur_keys.join(upd_keys, key, "left_semi")
-        .agg(F.count("*").alias("n_updated"))
-        .crossJoin(
-            upd_keys.join(cur_keys, key, "left_anti").agg(
-                F.count("*").alias("n_inserted")
-            )
-        )
-        .crossJoin(
-            cur_keys.join(upd_keys, key, "left_anti").agg(
-                F.count("*").alias("n_unchanged")
-            )
-        )
+    logs with every merge. ONE key-only full-outer join + one
+    aggregation classifies every key (both sides -> updated, updates
+    only -> inserted, current only -> unchanged); the previous form —
+    three separate key joins glued by 1-row crossJoins — read both
+    sides three times and carried nested-loop joins the registry-wide
+    plan sweep rightly rejects. Assumes ``updates`` carries one row per
+    key (the merge_upsert contract)."""
+    cur = current.select(key).withColumn("_in_cur", F.lit(True))
+    upd = updates.select(key).withColumn("_in_upd", F.lit(True))
+    both = cur.join(upd, key, "full_outer")
+    return both.agg(
+        F.count(
+            F.when(F.col("_in_cur").isNotNull() & F.col("_in_upd").isNotNull(), 1)
+        ).alias("n_updated"),
+        F.count(F.when(F.col("_in_cur").isNull(), 1)).alias("n_inserted"),
+        F.count(F.when(F.col("_in_upd").isNull(), 1)).alias("n_unchanged"),
     )
 
 

@@ -202,6 +202,24 @@ cdiff AS (
                 ELSE 'changed' END AS status,
            o.old_hash, n.new_hash
     FROM oldh o FULL OUTER JOIN newh n ON n.doc_id = o.doc_id
+),
+umerged AS (
+    SELECT d.doc_id, d.text FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM newdocs n WHERE n.doc_id = d.doc_id)
+    UNION ALL
+    SELECT doc_id, text FROM newdocs
+),
+ustats AS (
+    SELECT
+      (SELECT count(*) FROM documents d
+       WHERE EXISTS (SELECT 1 FROM newdocs n WHERE n.doc_id = d.doc_id))
+          AS n_updated,
+      (SELECT count(*) FROM (SELECT DISTINCT doc_id FROM newdocs) n
+       WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = n.doc_id))
+          AS n_inserted,
+      (SELECT count(*) FROM documents d
+       WHERE NOT EXISTS (SELECT 1 FROM newdocs n WHERE n.doc_id = d.doc_id))
+          AS n_unchanged
 )
 SELECT 'kmv' AS part, 'est_parts' AS metric, CAST(est_parts AS VARCHAR) AS value FROM base
 UNION ALL SELECT 'kmv', 'est_orders', CAST(est_orders AS VARCHAR) FROM base
@@ -242,6 +260,12 @@ FROM (SELECT doc_id, count(*) AS n FROM documents GROUP BY doc_id)
 UNION ALL SELECT 'diff', CAST(doc_id AS VARCHAR),
        status || ':' || coalesce(old_hash, '') || ':' || coalesce(new_hash, '')
 FROM cdiff
+UNION ALL SELECT 'upsert', CAST(doc_id AS VARCHAR), coalesce(md5(text), '')
+FROM umerged
+UNION ALL SELECT 'upsert_stats', 'counts',
+       CAST(n_updated AS VARCHAR) || ':' || CAST(n_inserted AS VARCHAR)
+       || ':' || CAST(n_unchanged AS VARCHAR)
+FROM ustats
 """,
     tags=("relational", "agg", "approx", "sketch"),
     doc="The DETERMINISTIC approximate-aggregate family, hash-verified "
@@ -275,7 +299,12 @@ FROM cdiff
     "unchanged between the corpus and a deterministically perturbed "
     "v2, presence from join-side markers so null content still reads "
     "as present; only 16-byte hashes shuffle through the full-outer "
-    "join, never texts). "
+    "join, never texts). 'upsert'/'upsert_stats' parts driver-verify "
+    "the SCD1 keyed merge (maintenance.py merge_upsert: anti-join + "
+    "union, updates win on key collision — the same v2 batch as the "
+    "diff, so all three collision classes occur) and its audit counts "
+    "(upsert_stats: updated/inserted/unchanged via semi/anti joins), "
+    "against an EXISTS-based oracle twin. "
     "Scale shape: one filtered distinct-count, one filtered "
     "percentile, one token-stream explode into d*w counter rows, and "
     "a candidates-only exact count — no full-vocabulary shuffle "
@@ -359,12 +388,34 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("new_hash"), F.lit("")),
         ).alias("value"),
     )
+    # the same v2 batch drives the SCD1 upsert: the merged snapshot
+    # (anti-join + union) and its audit counts, each with an exact twin
+    from ..operators.maintenance import merge_upsert, upsert_stats
+
+    ups = merge_upsert(docs.select("doc_id", "text"), new_docs, "doc_id").select(
+        F.lit("upsert").alias("part"),
+        F.col("doc_id").cast("string").alias("metric"),
+        F.coalesce(F.md5(F.col("text").cast("binary")), F.lit("")).alias(
+            "value"
+        ),
+    )
+    ust = upsert_stats(
+        docs.select("doc_id"), new_docs.select("doc_id"), "doc_id"
+    ).select(
+        F.lit("upsert_stats").alias("part"),
+        F.lit("counts").alias("metric"),
+        F.concat_ws(":", "n_updated", "n_inserted", "n_unchanged").alias(
+            "value"
+        ),
+    )
     return (
         kmv_sample.unionByName(cms)
         .unionByName(heavy)
         .unionByName(rep)
         .unionByName(chk)
         .unionByName(dif)
+        .unionByName(ups)
+        .unionByName(ust)
     )
 
 
