@@ -31,7 +31,10 @@ The serving-store lifecycle is fully drivable: ``index-store`` builds,
 ``extend`` folds a fresh-id batch in (append-only; refuses torn
 stores), ``verify-store`` checks the sidecar corpus fingerprint
 (exit 0 match / 3 torn / 4 stale), and ``search --stored`` serves —
-refusing a torn store rather than answering inconsistently.
+refusing a torn store rather than answering inconsistently. The
+similarity surface has the same pair: ``ann-store`` persists the IVF
+inverted lists, ``ann --stored`` serves probe-pruned cosine top-k
+(queries from a parquet, or stored vectors via --ids).
 """
 
 from __future__ import annotations
@@ -253,6 +256,65 @@ def _verify_store(args) -> int:
         spark.stop()
 
 
+def _ann_store(args) -> int:
+    from .operators.serving import store_ann_index
+    from .session import get_spark
+
+    spark = get_spark(app_name="ann-store")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        emb = spark.read.parquet(args.input)
+        store_ann_index(emb, args.base, n_list=args.lists, n_iters=args.iters)
+        print(
+            f"stored ANN index '{args.base}' ({args.lists} inverted "
+            f"lists) — query it with: ann --stored {args.base}"
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
+def _ann(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .operators import serving as srv
+    from .session import get_spark
+
+    spark = get_spark(app_name="ann-search", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        srv.attach_ann_index(spark, args.stored)
+        if args.queries:
+            q = spark.read.parquet(args.queries).select("vec_id", "embedding")
+        elif args.ids:
+            q = (
+                spark.table(f"{args.stored}_vectors")
+                .where(F.col("vec_id").isin([int(i) for i in args.ids]))
+                .select("vec_id", "embedding")
+            )
+        else:
+            print(
+                "pass a queries .parquet, or --ids to query stored "
+                "vectors by id",
+                file=sys.stderr,
+            )
+            return 2
+        res = srv.ann_search_stored(
+            spark, args.stored, q, k=args.k, nprobe=args.nprobe
+        )
+        rows = res.orderBy("vec_a", "rank").collect()
+        for r in rows:
+            print(
+                f"ann {r['vec_a']} #{r['rank']}: "
+                f"vec {r['vec_b']} cosine {r['cosine']}"
+            )
+        if not rows:
+            print("no neighbors (empty store or query set)")
+        return 0
+    finally:
+        spark.stop()
+
+
 def _prep(args) -> int:
     from . import pipeline as pl
     from .session import get_spark
@@ -350,6 +412,41 @@ def main(argv: list[str] | None = None) -> int:
             "input", help="manifest file, or a documents .parquet path"
         )
         return _verify_store(parser.parse_args(argv[1:]))
+
+    if argv and argv[0] == "ann-store":
+        parser = argparse.ArgumentParser(
+            prog="parallel_inverted_index_map_reduce_spark ann-store",
+            description="Fit the IVF coarse quantizer over an embeddings "
+            "parquet (vec_id, embedding) and persist the inverted lists "
+            "as a partition-pruned layout for the ann mode.",
+        )
+        parser.add_argument("input", help="embeddings .parquet path")
+        parser.add_argument("--base", required=True, help="store name")
+        parser.add_argument("--lists", type=int, default=16)
+        parser.add_argument("--iters", type=int, default=2)
+        return _ann_store(parser.parse_args(argv[1:]))
+
+    if argv and argv[0] == "ann":
+        parser = argparse.ArgumentParser(
+            prog="parallel_inverted_index_map_reduce_spark ann",
+            description="Cosine top-k neighbors served from a stored ANN "
+            "index (ann-store): each query probes only its nprobe "
+            "nearest inverted lists.",
+        )
+        parser.add_argument(
+            "queries", nargs="?", default=None,
+            help="queries .parquet with (vec_id, embedding); omit with --ids",
+        )
+        parser.add_argument(
+            "--stored", metavar="BASE", required=True,
+            help="ANN store written by ann-store",
+        )
+        parser.add_argument(
+            "--ids", nargs="+", help="query stored vectors by vec_id"
+        )
+        parser.add_argument("--k", type=int, default=3)
+        parser.add_argument("--nprobe", type=int, default=4)
+        return _ann(parser.parse_args(argv[1:]))
 
     if argv and argv[0] == "index-store":
         parser = argparse.ArgumentParser(

@@ -330,6 +330,48 @@ def test_cli_extend_and_verify_store_across_processes(spark, tmp_path):
     assert res.returncode == 3 and "torn extend" in res.stderr
 
 
+def test_cli_ann_store_then_ann_across_processes(spark, tmp_path):
+    """The ANN serving lifecycle across SESSIONS: one process fits and
+    persists the IVF layout (ann-store), a DIFFERENT process re-attaches
+    and serves top-k (ann --stored --ids). lists=2 with nprobe=2 is a
+    full probe, so the served neighbors are exactly brute-force cosine
+    order — assertable by construction of the vectors."""
+    import os
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = tmp_path / "emb.parquet"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(str(emb))
+    env = dict(os.environ, SPARK_GRAFT_WAREHOUSE=str(tmp_path / "wh"))
+
+    def cli(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "parallel_inverted_index_map_reduce_spark", *args],
+            cwd=REPO, capture_output=True, text=True, timeout=300, env=env,
+        )
+
+    res = cli("ann-store", str(emb), "--base", "cliann", "--lists", "2")
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "stored ANN index 'cliann'" in res.stdout
+
+    res = cli("ann", "--stored", "cliann", "--ids", "0", "--k", "2",
+              "--nprobe", "2")
+    assert res.returncode == 0, res.stderr[-2000:]
+    # nearest to e_x is the 0.9/0.1 vector, then the orthogonal ones
+    assert "ann 0 #1: vec 1" in res.stdout
+    assert "ann 0 #2: vec 2" in res.stdout or "ann 0 #2: vec 3" in res.stdout
+
+    res = cli("ann", "--stored", "cliann")
+    assert res.returncode == 2 and "--ids" in res.stderr
+
+
 def test_cli_search_without_manifest_or_store_errors(tmp_path):
     res = subprocess.run(
         [
