@@ -32,8 +32,9 @@ The serving-store lifecycle is fully drivable: ``index-store`` builds,
 stores), ``verify-store`` checks the sidecar corpus fingerprint
 (exit 0 match / 3 torn / 4 stale), and ``search --stored`` serves —
 refusing a torn store rather than answering inconsistently. The
-similarity surface has the same pair: ``ann-store`` persists the IVF
-inverted lists, ``ann --stored`` serves probe-pruned cosine top-k
+similarity surface has the same trio: ``ann-store`` persists the IVF
+inverted lists, ``ann-extend`` appends new vectors under the existing
+quantizer, and ``ann --stored`` serves probe-pruned cosine top-k
 (queries from a parquet, or stored vectors via --ids).
 """
 
@@ -274,6 +275,32 @@ def _ann_store(args) -> int:
         spark.stop()
 
 
+def _ann_extend(args) -> int:
+    from .operators import serving as srv
+    from .session import get_spark
+
+    spark = get_spark(app_name="ann-extend")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        srv.attach_ann_index(spark, args.base)
+        if srv.ann_extend_in_progress(spark, args.base):
+            print(
+                f"ANN store '{args.base}' has a torn extend — rebuild "
+                "with ann-store before ingesting more",
+                file=sys.stderr,
+            )
+            return 3
+        batch = spark.read.parquet(args.input)
+        srv.extend_ann_index(spark, args.base, batch)
+        print(
+            f"extended ANN store '{args.base}' with {batch.count()} "
+            "vectors (append-only)"
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
 def _ann(args) -> int:
     from pyspark.sql import functions as F
 
@@ -425,6 +452,17 @@ def main(argv: list[str] | None = None) -> int:
         parser.add_argument("--lists", type=int, default=16)
         parser.add_argument("--iters", type=int, default=2)
         return _ann_store(parser.parse_args(argv[1:]))
+
+    if argv and argv[0] == "ann-extend":
+        parser = argparse.ArgumentParser(
+            prog="parallel_inverted_index_map_reduce_spark ann-extend",
+            description="Append NEW vectors into a stored ANN index "
+            "under its existing quantizer (vec_ids must be new; torn "
+            "extends from a previous crash are refused).",
+        )
+        parser.add_argument("base", help="store name (see ann-store)")
+        parser.add_argument("input", help="embeddings .parquet path")
+        return _ann_extend(parser.parse_args(argv[1:]))
 
     if argv and argv[0] == "ann":
         parser = argparse.ArgumentParser(

@@ -631,6 +631,11 @@ def store_ann_index(
             },
             fh,
         )
+    # a completed rebuild supersedes any torn extend
+    try:
+        os.remove(_ann_extend_marker_path(spark, base))
+    except FileNotFoundError:
+        pass
 
 
 def attach_ann_index(spark: SparkSession, base: str) -> None:
@@ -680,12 +685,26 @@ def _read_ann_meta(spark: SparkSession, base: str) -> dict:
         return json.load(fh)
 
 
+def _ann_extend_marker_path(spark: SparkSession, base: str) -> str:
+    return table_location(spark, f"{base}_ann_extend_inprogress.marker")
+
+
+def ann_extend_in_progress(spark: SparkSession, base: str) -> bool:
+    """True when a previous :func:`extend_ann_index` started appending
+    and never finished — the vectors table may hold a partial batch the
+    sidecar fingerprint does not cover; rebuild (or re-run the extend
+    after a rebuild from the pre-extend embeddings)."""
+    return os.path.exists(_ann_extend_marker_path(spark, base))
+
+
 def verify_ann_index(spark: SparkSession, base: str, emb: DataFrame) -> bool:
-    """True iff the stored ANN layout provably describes ``emb``: the
-    sidecar's embeddings fingerprint matches the one recomputed from
-    ``emb``. A pre-v2 sidecar (no fingerprint) is unverifiable and
-    reports False — the same rebuild-on-unverifiable contract as
-    :func:`verify_search_index`."""
+    """True iff the stored ANN layout provably describes ``emb``: no
+    torn extend in progress, AND the sidecar's embeddings fingerprint
+    matches the one recomputed from ``emb``. A pre-v2 sidecar (no
+    fingerprint) is unverifiable and reports False — the same
+    rebuild-on-unverifiable contract as :func:`verify_search_index`."""
+    if ann_extend_in_progress(spark, base):
+        return False
     try:
         meta = _read_ann_meta(spark, base)
     except FileNotFoundError:
@@ -707,7 +726,9 @@ def ensure_ann_index(
     sidecar — triggers a full rebuild."""
     spark = emb.sparkSession
     tables = [f"{base}_vectors", f"{base}_centroids"]
-    if all(spark.catalog.tableExists(t) for t in tables):
+    if all(spark.catalog.tableExists(t) for t in tables) and not (
+        ann_extend_in_progress(spark, base)
+    ):
         return
     try:
         attach_ann_index(spark, base)
@@ -716,6 +737,71 @@ def ensure_ann_index(
     except FileNotFoundError:
         pass
     store_ann_index(emb, base, n_list=n_list, n_iters=n_iters)
+
+
+def extend_ann_index(
+    spark: SparkSession, base: str, new_emb: DataFrame
+) -> None:
+    """Append-only ingest of NEW vectors into a stored ANN layout — the
+    similarity surface's :func:`extend_search_index`.
+
+    Each new vector is assigned to its nearest EXISTING centroid: the
+    coarse quantizer is fixed at build time (the standard IVF ingest
+    contract — assignments of already-stored vectors must not move, or
+    the stored lists would silently disagree with the quantizer), so
+    the write is a pure partition-directory append of the batch's rows;
+    cost grows with the BATCH, never the store. Re-fitting centroids
+    when drift accumulates is a rebuild decision
+    (:func:`store_ann_index`), not an append.
+
+    Vec ids must be NEW (one semi-join against the stored vec_id
+    column, bounded by the broadcast batch ids). Durability mirrors the
+    text extend: assignment is computed and pinned before the store is
+    touched; an ``ann_extend_inprogress`` marker brackets the append +
+    sidecar update, so a crash mid-append is detectable
+    (verify/ensure_ann_index refuse and rebuild); the sidecar
+    fingerprint xor-composes with the batch's, so a later ensure over
+    (old vectors + batch) verifies clean without a rebuild."""
+    new_ids = new_emb.select("vec_id").distinct()
+    n_overlap = (
+        spark.table(f"{base}_vectors")
+        .join(F.broadcast(new_ids), "vec_id", "left_semi")
+        .count()
+    )
+    if n_overlap:
+        raise ValueError(
+            f"{n_overlap} vec_ids already exist in '{base}' — "
+            "extend_ann_index is append-only (re-ingest requires a "
+            "rebuild)"
+        )
+    from .similarity import ivf_assign
+
+    meta = _read_ann_meta(spark, base)
+    assigned = ivf_assign(
+        new_emb, load_stored_centroids(spark, base)
+    ).localCheckpoint()
+    batch_fp = embeddings_fingerprint(new_emb)
+
+    with open(_ann_extend_marker_path(spark, base), "w") as fh:
+        json.dump({"n_new_vecs": batch_fp["n_vecs"]}, fh)
+    loc = table_location(spark, f"{base}_vectors")
+    (
+        assigned.write.format("parquet")
+        .mode("append")
+        .option("path", loc)
+        .partitionBy("list_id")
+        .saveAsTable(f"{base}_vectors")
+    )
+    spark.catalog.recoverPartitions(f"{base}_vectors")
+    old_fp = meta.get("fingerprint")
+    if old_fp is not None:
+        meta["fingerprint"] = {
+            "n_vecs": int(old_fp["n_vecs"]) + batch_fp["n_vecs"],
+            "xor64": int(old_fp["xor64"]) ^ batch_fp["xor64"],
+        }
+    with open(_meta_path(spark, base, kind="ann"), "w") as fh:
+        json.dump(meta, fh)
+    os.remove(_ann_extend_marker_path(spark, base))
 
 
 def load_stored_centroids(spark: SparkSession, base: str) -> list[list[float]]:

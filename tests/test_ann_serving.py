@@ -137,6 +137,51 @@ def test_stale_ann_store_detected_and_rebuilt(spark, emb):
     assert spark.table(f"{base}_vectors").count() == new.count()
 
 
+def test_extend_ann_index_appends_and_serves(spark, emb):
+    """Append-only vector ingest: the batch lands under the FIXED
+    quantizer, the sidecar fingerprint xor-composes (verify passes
+    against old+batch without a rebuild), and the served answers equal
+    the in-session IVF over the full corpus with the stored centroids.
+    Re-ingesting an existing id is refused."""
+    base = "annext"
+    old = emb.where(F.col("vec_id") < 80)
+    batch = emb.where((F.col("vec_id") >= 80) & (F.col("vec_id") < 100))
+    both = emb.where(F.col("vec_id") < 100)
+    srv.store_ann_index(old, base, n_list=4, n_iters=1)
+    srv.extend_ann_index(spark, base, batch)
+    assert srv.verify_ann_index(spark, base, both)
+    assert spark.table(f"{base}_vectors").count() == both.count()
+    queries = emb.where(F.col("vec_id") < 3)
+    got = srv.ann_search_stored(spark, base, queries, k=K, nprobe=2)
+    want = ivf_topk(
+        both,
+        k=K,
+        n_queries=3,
+        nprobe=2,
+        centroids=srv.load_stored_centroids(spark, base),
+    )
+    assert _rows(got) == _rows(want) and _rows(got)
+    with pytest.raises(ValueError, match="append-only"):
+        srv.extend_ann_index(spark, base, old.limit(1))
+
+
+def test_torn_ann_extend_detected_and_rebuilt(spark, emb):
+    """A crash mid-append (simulated by the planted marker) makes the
+    store unverifiable; ensure_ann_index rebuilds and the rebuild
+    clears the marker."""
+    base = "anntorn"
+    sub = emb.where(F.col("vec_id") < 40)
+    srv.store_ann_index(sub, base, n_list=2, n_iters=1)
+    assert srv.verify_ann_index(spark, base, sub)
+    with open(srv._ann_extend_marker_path(spark, base), "w") as fh:
+        fh.write("{}")
+    assert srv.ann_extend_in_progress(spark, base)
+    assert not srv.verify_ann_index(spark, base, sub)
+    srv.ensure_ann_index(sub, base, n_list=2, n_iters=1)
+    assert not srv.ann_extend_in_progress(spark, base)
+    assert srv.verify_ann_index(spark, base, sub)
+
+
 def test_full_probe_equals_brute_force_through_store(spark, emb):
     """nprobe == n_list through the STORED path must equal the exact
     in-session brute force at the fast-scoring tie-break — the stored

@@ -368,6 +368,20 @@ def test_cli_ann_store_then_ann_across_processes(spark, tmp_path):
     assert "ann 0 #1: vec 1" in res.stdout
     assert "ann 0 #2: vec 2" in res.stdout or "ann 0 #2: vec 3" in res.stdout
 
+    # a third process appends a closer vector; a fourth serves it as #1
+    batch = tmp_path / "batch.parquet"
+    spark.createDataFrame(
+        [(5, [0.95, 0.05, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(str(batch))
+    res = cli("ann-extend", "cliann", str(batch))
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "extended ANN store 'cliann' with 1 vectors" in res.stdout
+    res = cli("ann", "--stored", "cliann", "--ids", "0", "--k", "2",
+              "--nprobe", "2")
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "ann 0 #1: vec 5" in res.stdout
+    assert "ann 0 #2: vec 1" in res.stdout
+
     res = cli("ann", "--stored", "cliann")
     assert res.returncode == 2 and "--ids" in res.stderr
 
