@@ -265,9 +265,16 @@ def _ann_store(args) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         emb = spark.read.parquet(args.input)
-        store_ann_index(emb, args.base, n_list=args.lists, n_iters=args.iters)
+        store_ann_index(
+            emb,
+            args.base,
+            n_list=args.lists,
+            n_iters=args.iters,
+            quantize=args.quantize,
+        )
+        kind = "int8-quantized " if args.quantize else ""
         print(
-            f"stored ANN index '{args.base}' ({args.lists} inverted "
+            f"stored {kind}ANN index '{args.base}' ({args.lists} inverted "
             f"lists) — query it with: ann --stored {args.base}"
         )
         return 0
@@ -451,6 +458,10 @@ def main(argv: list[str] | None = None) -> int:
         parser.add_argument("--base", required=True, help="store name")
         parser.add_argument("--lists", type=int, default=16)
         parser.add_argument("--iters", type=int, default=2)
+        parser.add_argument(
+            "--quantize", action="store_true",
+            help="store int8-quantized vectors (4x fewer bytes per probe)",
+        )
         return _ann_store(parser.parse_args(argv[1:]))
 
     if argv and argv[0] == "ann-extend":

@@ -585,8 +585,22 @@ def embeddings_fingerprint(emb: DataFrame) -> dict:
     return {"n_vecs": int(row["n"]), "xor64": int(row["x"])}
 
 
+def _quantized_assignment(assigned: DataFrame) -> DataFrame:
+    """(vec_id, q, q_scale, list_id): int8-quantize an assignment
+    frame's embedding column — the stored row format of a
+    quantize=True ANN layout (4x fewer vector bytes on disk and per
+    probed scan)."""
+    from .quantization import quantize_int8
+
+    return quantize_int8(assigned).select("vec_id", "q", "q_scale", "list_id")
+
+
 def store_ann_index(
-    emb: DataFrame, base: str, n_list: int = 16, n_iters: int = 2
+    emb: DataFrame,
+    base: str,
+    n_list: int = 16,
+    n_iters: int = 2,
+    quantize: bool = False,
 ) -> None:
     """Fit the IVF coarse quantizer once and persist the similarity
     serving layout under ``base``:
@@ -595,11 +609,18 @@ def store_ann_index(
       parquet PARTITIONED BY list_id: each inverted list is its own
       directory, so a query's nprobe probes prune to nprobe/n_list of
       the corpus at the DIRECTORY level (PartitionFilters), before any
-      file is opened.
+      file is opened. With ``quantize=True`` the rows are
+      (vec_id, q array<tinyint>, q_scale, list_id) instead — int8
+      symmetric quantization (operators/quantization.py), 4x fewer
+      vector bytes in every probed scan; scoring stays exact relative
+      to the quantized representation because per-vector scales cancel
+      in the cosine (quantized_cosine).
     - ``<base>_centroids`` — (list_id, centroid), n_list rows; query
       time collects them back as the driver-side constant the probe
       expressions fold in (the documented driver-scalar pattern —
-      n_list * dim floats).
+      n_list * dim floats). Centroids stay full-precision either way:
+      they are n_list rows, and probe selection quality should not pay
+      for list compression.
 
     A JSON sidecar + :func:`attach_ann_index` give the same fresh-
     session re-attachment story as the text index — and the same
@@ -614,9 +635,10 @@ def store_ann_index(
     except FileNotFoundError:
         pass
     centroids = ivf_fit(emb, n_list=n_list, n_iters=n_iters)
-    write_partitioned_table(
-        ivf_assign(emb, centroids), f"{base}_vectors", ("list_id",)
-    )
+    assigned = ivf_assign(emb, centroids)
+    if quantize:
+        assigned = _quantized_assignment(assigned)
+    write_partitioned_table(assigned, f"{base}_vectors", ("list_id",))
     rows = [(j, [float(x) for x in c]) for j, c in enumerate(centroids)]
     write_table(
         spark.createDataFrame(rows, "list_id int, centroid array<double>"),
@@ -627,6 +649,7 @@ def store_ann_index(
             {
                 "version": 2,
                 "n_list": len(centroids),
+                "quantized": bool(quantize),
                 "fingerprint": embeddings_fingerprint(emb),
             },
             fh,
@@ -658,17 +681,21 @@ def attach_ann_index(spark: SparkSession, base: str) -> None:
             with open(legacy) as fh:
                 if "n_list" in json.load(fh):
                     meta_path = legacy
-    with open(meta_path):
-        pass  # a missing ANN sidecar is a loud error, not empty tables
+    with open(meta_path) as fh:
+        meta = json.load(fh)  # a missing ANN sidecar is a loud error
     for t in tables:
         if not os.path.isdir(table_location(spark, t)):
             raise FileNotFoundError(
                 f"no stored data for {t} at {table_location(spark, t)}"
             )
     loc = table_location(spark, f"{base}_vectors")
+    vec_cols = (
+        "vec_id bigint, q array<tinyint>, q_scale double, list_id int"
+        if meta.get("quantized")
+        else "vec_id bigint, embedding array<float>, list_id int"
+    )
     spark.sql(
-        f"CREATE TABLE {base}_vectors "
-        "(vec_id bigint, embedding array<float>, list_id int) "
+        f"CREATE TABLE {base}_vectors ({vec_cols}) "
         f"USING parquet PARTITIONED BY (list_id) LOCATION '{loc}'"
     )
     spark.catalog.recoverPartitions(f"{base}_vectors")
@@ -714,7 +741,11 @@ def verify_ann_index(spark: SparkSession, base: str, emb: DataFrame) -> bool:
 
 
 def ensure_ann_index(
-    emb: DataFrame, base: str, n_list: int = 16, n_iters: int = 2
+    emb: DataFrame,
+    base: str,
+    n_list: int = 16,
+    n_iters: int = 2,
+    quantize: bool = False,
 ) -> None:
     """Attach-or-build entry point for the stored ANN layout — the
     similarity surface's :func:`ensure_search_index`. After this
@@ -722,8 +753,9 @@ def ensure_ann_index(
     provably current for ``emb``: tables registered this session are
     trusted (built or verified by the registering call), a fresh-session
     attach verifies the sidecar fingerprint, and anything else —
-    missing store, regenerated embeddings at the same path, pre-v2
-    sidecar — triggers a full rebuild."""
+    missing store, regenerated embeddings at the same path, a storage
+    format not matching ``quantize``, pre-v2 sidecar — triggers a full
+    rebuild."""
     spark = emb.sparkSession
     tables = [f"{base}_vectors", f"{base}_centroids"]
     if all(spark.catalog.tableExists(t) for t in tables) and not (
@@ -732,11 +764,13 @@ def ensure_ann_index(
         return
     try:
         attach_ann_index(spark, base)
-        if verify_ann_index(spark, base, emb):
+        if verify_ann_index(spark, base, emb) and bool(
+            _read_ann_meta(spark, base).get("quantized")
+        ) == bool(quantize):
             return
     except FileNotFoundError:
         pass
-    store_ann_index(emb, base, n_list=n_list, n_iters=n_iters)
+    store_ann_index(emb, base, n_list=n_list, n_iters=n_iters, quantize=quantize)
 
 
 def extend_ann_index(
@@ -777,9 +811,10 @@ def extend_ann_index(
     from .similarity import ivf_assign
 
     meta = _read_ann_meta(spark, base)
-    assigned = ivf_assign(
-        new_emb, load_stored_centroids(spark, base)
-    ).localCheckpoint()
+    assigned = ivf_assign(new_emb, load_stored_centroids(spark, base))
+    if meta.get("quantized"):
+        assigned = _quantized_assignment(assigned)
+    assigned = assigned.localCheckpoint()
     batch_fp = embeddings_fingerprint(new_emb)
 
     with open(_ann_extend_marker_path(spark, base), "w") as fh:
@@ -834,18 +869,69 @@ def ann_search_stored(
     instead of the fast double fold, making ranks bit-identical to the
     decimal oracle formulation (the cross-engine-checked 'ivf_stored'
     registry part uses this; the double fold stays the production
-    scoring path)."""
+    scoring path).
+
+    Against a quantize=True store, scoring is quantized_cosine over the
+    stored int8 rows and an int8 quantization of the query — per-vector
+    scales cancel, so the result is row-identical to brute force over
+    the quantized representation (quantization.quantized_topk); probe
+    selection still uses the full-precision query and centroids.
+    decimal_scores is meaningless there and refused."""
     from .similarity import (
         _centroid_order,
         _dot_expr,
         _norm_expr,
+        _topk_by_cosine,
         decimal_dot_expr,
         norm_sq_expr,
     )
 
-    norm = norm_sq_expr if decimal_scores else _norm_expr
     centroids = load_stored_centroids(spark, base)
     nprobe = min(nprobe, len(centroids))
+    if _read_ann_meta(spark, base).get("quantized"):
+        if decimal_scores:
+            raise ValueError(
+                "decimal_scores applies to full-precision stores only — "
+                "a quantized store's exact representation IS the int8 one"
+            )
+        from .quantization import quantize_int8, quantized_cosine
+
+        q = (
+            quantize_int8(queries)
+            .select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("q").alias("qa"),
+                F.explode(
+                    F.slice(
+                        _centroid_order(F.col("embedding"), centroids),
+                        1,
+                        nprobe,
+                    )
+                ).alias("list_id"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        probe_ids = sorted(
+            r["list_id"] for r in q.select("list_id").distinct().collect()
+        )
+        cand = (
+            spark.table(f"{base}_vectors")
+            .where(F.col("list_id").isin(probe_ids))
+            .select("list_id", F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
+        )
+        cos = (
+            F.broadcast(q)
+            .join(cand, "list_id")
+            .where(F.col("vec_a") != F.col("vec_b"))
+            .select(
+                "vec_a",
+                "vec_b",
+                quantized_cosine(F.col("qa"), F.col("qb")).alias("cosine"),
+            )
+        )
+        return _topk_by_cosine(cos, k)
+
+    norm = norm_sq_expr if decimal_scores else _norm_expr
     # pinned: the probe subplan (queries scan + centroid-distance sort)
     # is used twice — collected for the partition filter AND broadcast
     # into the join — and `queries` may itself be expensive

@@ -182,6 +182,42 @@ def test_torn_ann_extend_detected_and_rebuilt(spark, emb):
     assert srv.verify_ann_index(spark, base, sub)
 
 
+def test_quantized_stored_ann_lifecycle(spark, emb):
+    """quantize=True store: int8 rows on disk (4x fewer vector bytes
+    per probed scan), full-probe answers row-identical to brute force
+    over the quantized representation (quantization.quantized_topk —
+    per-vector scales cancel in the cosine, so the stored layout loses
+    NOTHING relative to int8 itself), append-only ingest preserves the
+    format, attach after catalog loss restores the quantized schema,
+    and decimal_scores is refused."""
+    from parallel_inverted_index_map_reduce_spark.operators.quantization import (
+        quantized_topk,
+    )
+
+    base = "annq"
+    old = emb.where(F.col("vec_id") < 80)
+    batch = emb.where((F.col("vec_id") >= 80) & (F.col("vec_id") < 100))
+    both = emb.where(F.col("vec_id") < 100)
+    srv.store_ann_index(old, base, n_list=4, n_iters=1, quantize=True)
+    assert dict(spark.table(f"{base}_vectors").dtypes)["q"] == "array<tinyint>"
+    srv.extend_ann_index(spark, base, batch)
+    assert srv.verify_ann_index(spark, base, both)
+    queries = both.where(F.col("vec_id") < NQ)
+    got = srv.ann_search_stored(spark, base, queries, k=K, nprobe=4)
+    want = quantized_topk(both, k=K, n_queries=NQ)
+    assert _rows(got) == _rows(want) and _rows(got)
+    for sfx in ("_vectors", "_centroids"):
+        spark.sql(f"DROP TABLE {base}{sfx}")
+    srv.attach_ann_index(spark, base)
+    assert dict(spark.table(f"{base}_vectors").dtypes)["q"] == "array<tinyint>"
+    got2 = srv.ann_search_stored(spark, base, queries, k=K, nprobe=4)
+    assert _rows(got2) == _rows(want)
+    with pytest.raises(ValueError, match="decimal_scores"):
+        srv.ann_search_stored(
+            spark, base, queries, k=K, nprobe=4, decimal_scores=True
+        )
+
+
 def test_full_probe_equals_brute_force_through_store(spark, emb):
     """nprobe == n_list through the STORED path must equal the exact
     in-session brute force at the fast-scoring tie-break — the stored
