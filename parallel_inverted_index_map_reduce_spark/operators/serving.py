@@ -877,6 +877,34 @@ def ann_search_stored(
     the quantized representation (quantization.quantized_topk); probe
     selection still uses the full-precision query and centroids.
     decimal_scores is meaningless there and refused."""
+    return ann_from_frames(
+        spark.table(f"{base}_vectors"),
+        load_stored_centroids(spark, base),
+        queries,
+        k=k,
+        nprobe=nprobe,
+        decimal_scores=decimal_scores,
+        quantized=bool(_read_ann_meta(spark, base).get("quantized")),
+    )
+
+
+def ann_from_frames(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    decimal_scores: bool = False,
+    quantized: bool = False,
+) -> DataFrame:
+    """The frame-parameterized IVF search body — the similarity
+    surface's :func:`bm25_from_frames`: ``vectors`` is any
+    (vec_id, embedding|q[,q_scale], list_id) frame (the stored table, a
+    streamed snapshot's parquet, an in-memory assignment), so the
+    stored and streamed paths share one implementation and answer
+    identically by construction. The probed list_ids land as a STATIC
+    IN filter, which prunes partition directories whenever the frame is
+    list_id-partitioned parquet."""
     from .similarity import (
         _centroid_order,
         _dot_expr,
@@ -886,9 +914,8 @@ def ann_search_stored(
         norm_sq_expr,
     )
 
-    centroids = load_stored_centroids(spark, base)
     nprobe = min(nprobe, len(centroids))
-    if _read_ann_meta(spark, base).get("quantized"):
+    if quantized:
         if decimal_scores:
             raise ValueError(
                 "decimal_scores applies to full-precision stores only — "
@@ -914,10 +941,8 @@ def ann_search_stored(
         probe_ids = sorted(
             r["list_id"] for r in q.select("list_id").distinct().collect()
         )
-        cand = (
-            spark.table(f"{base}_vectors")
-            .where(F.col("list_id").isin(probe_ids))
-            .select("list_id", F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
+        cand = vectors.where(F.col("list_id").isin(probe_ids)).select(
+            "list_id", F.col("vec_id").alias("vec_b"), F.col("q").alias("qb")
         )
         cos = (
             F.broadcast(q)
@@ -946,17 +971,12 @@ def ann_search_stored(
     probe_ids = sorted(
         r["list_id"] for r in q.select("list_id").distinct().collect()
     )
-    cand = spark.table(f"{base}_vectors").where(
-        F.col("list_id").isin(probe_ids)
-    )
-    cand = cand.select(
+    cand = vectors.where(F.col("list_id").isin(probe_ids)).select(
         "list_id",
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("ce"),
         norm(F.col("embedding")).alias("cn"),
     )
-    from .similarity import _topk_by_cosine
-
     if decimal_scores:
         score = F.round(
             decimal_dot_expr(F.col("qe"), F.col("ce")).cast("double")
