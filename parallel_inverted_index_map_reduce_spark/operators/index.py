@@ -331,14 +331,12 @@ def store_chunked_index(
     )
 
 
-def lookup_stored_terms(spark, table: str, terms: list[str]) -> DataFrame:
-    """Point lookup against the stored chunked index: the IN filter
-    pushes into the parquet scan (PushedFilters) AND prunes buckets, so
-    the read cost is one bucket's worth of one column-pruned scan —
-    independent of index size. Chunks reassemble per word (tiny:
-    df/chunk_size rows each).
-    """
-    chunks = spark.table(table).where(F.col("word").isin(terms))
+def assemble_term_chunks(chunks: DataFrame) -> DataFrame:
+    """(letter, word, df, postings) from a (pre-filtered) slice of the
+    chunked layout: each word's chunks concatenate in chunk_id order.
+    The reassembly tail shared by point lookups and prefix scans —
+    callers prune the slice first; the per-word merge is tiny
+    (df/chunk_size rows each)."""
     merged = chunks.groupBy("word").agg(
         F.flatten(
             F.transform(
@@ -349,6 +347,17 @@ def lookup_stored_terms(spark, table: str, terms: list[str]) -> DataFrame:
     )
     # no rank column: rank is a whole-index property, not a lookup's
     return _with_df_letter(merged).select("letter", "word", "df", "postings")
+
+
+def lookup_stored_terms(spark, table: str, terms: list[str]) -> DataFrame:
+    """Point lookup against the stored chunked index: the IN filter
+    pushes into the parquet scan (PushedFilters) AND prunes buckets, so
+    the read cost is one bucket's worth of one column-pruned scan —
+    independent of index size.
+    """
+    return assemble_term_chunks(
+        spark.table(table).where(F.col("word").isin(terms))
+    )
 
 
 def document_frequency(docs: DataFrame) -> DataFrame:
@@ -789,3 +798,133 @@ def tf_idf(docs: DataFrame, round_to: int = 6) -> DataFrame:
             F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), round_to
         ).alias("tfidf"),
     )
+
+
+def _normalize_single_term(text: str, what: str) -> str:
+    """One normalized term from a query string — vocabulary searches
+    (prefix / fuzzy) address single terms, so multi-token or
+    normalizes-to-nothing input is a caller error, loudly."""
+    words = normalize_query_tokens(text)
+    if len(words) != 1:
+        raise ValueError(
+            f"{what} must normalize to exactly one term, got {words!r} "
+            f"from {text!r}"
+        )
+    return words[0]
+
+
+def prefix_search(docs: DataFrame, prefix: str) -> DataFrame:
+    """(letter, word, df, postings): every vocabulary term starting with
+    ``prefix`` and its posting list — the wildcard-tail query
+    (``spar*``) the reference's per-letter output files gesture at
+    (ref: src/main.cpp:298-320 partitions by first letter but never
+    queries) made a real operator.
+
+    Scale shape: the prefix predicate filters the TOKEN stream before
+    the aggregation, so only matching tokens shuffle — cost is bounded
+    by the prefix's corpus frequency, not the vocabulary. Against the
+    stored layout use serving.prefix_search_stored, which additionally
+    prunes to the first letter's partition directory."""
+    p = _normalize_single_term(prefix, "prefix")
+    matched = tokens_df(docs).where(F.col("word").startswith(p))
+    idx = matched.groupBy("word").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("postings")
+    )
+    return _with_df_letter(idx).select("letter", "word", "df", "postings")
+
+
+def deletion_variants(
+    words: DataFrame, max_deletes: int = 1, col: str = "word"
+) -> DataFrame:
+    """(word, variant): every string reachable from ``col`` by deleting
+    up to ``max_deletes`` characters (the word itself included) — the
+    SymSpell candidate-generation relation (Garbe's symmetric-delete
+    spelling correction), built as ``max_deletes`` rounds of one-char
+    deletion expressed with sequence+explode (pure codegen, no UDF).
+
+    Row count is vocabulary-scale times the deletion-neighborhood size
+    (sum of C(len, j) for j <= max_deletes — bounded, e.g. <= 1+len for
+    one delete), never corpus-scale."""
+    if max_deletes < 0:
+        raise ValueError("max_deletes must be >= 0")
+    out = words.select(col, F.col(col).alias("variant")).distinct()
+    frontier = out
+    for _ in range(max_deletes):
+        frontier = (
+            frontier.where(F.length("variant") > 1)
+            .select(
+                col,
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("variant")),
+                        lambda i: F.concat(
+                            F.col("variant").substr(F.lit(1), i - 1),
+                            F.col("variant").substr(
+                                i + 1, F.length("variant")
+                            ),
+                        ),
+                    )
+                ).alias("variant"),
+            )
+            .distinct()
+        )
+        out = out.unionByName(frontier).distinct()
+    return out
+
+
+def fuzzy_term_search(
+    docs: DataFrame, term: str, max_dist: int = 1
+) -> DataFrame:
+    """(letter, word, df, postings): every vocabulary term within
+    Levenshtein distance ``max_dist`` of ``term`` and its posting list —
+    typo-tolerant lookup.
+
+    Scale shape (the reason this is not ``levenshtein`` over the whole
+    vocabulary): candidates come from the SymSpell symmetric-delete
+    relation — a vocabulary word is a candidate iff its
+    deletion-neighborhood (:func:`deletion_variants`, <= max_dist
+    deletes) intersects the query term's, a guaranteed SUPERSET of the
+    true <= max_dist matches — and because the query side is ONE term,
+    the intersection is a pushed ``variant IN (...)`` filter over the
+    vocabulary's variants, not a join. Candidates (a handful) are then
+    exact-verified with ``levenshtein() <= max_dist``, and only THEIR
+    tokens aggregate into posting lists via a broadcast semi-join. The
+    expensive corpus-scale aggregation is bounded by the matched terms'
+    document frequency; the vocabulary-scale work is one distinct +
+    the bounded variant expansion. At 100 TB the vocabulary (~10^8) is
+    the small table here; the corpus never cross-joins anything."""
+    q = _normalize_single_term(term, "fuzzy term")
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    q_variants = sorted(_py_deletion_variants(q, max_dist))
+    vocab = tokens_df(docs).select("word").distinct()
+    cand = (
+        deletion_variants(vocab, max_deletes=max_dist)
+        .where(F.col("variant").isin(q_variants))
+        .select("word")
+        .distinct()
+    )
+    matched = cand.where(F.levenshtein(F.col("word"), F.lit(q)) <= max_dist)
+    idx = (
+        tokens_df(docs)
+        .join(F.broadcast(matched), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("postings"))
+    )
+    return _with_df_letter(idx).select("letter", "word", "df", "postings")
+
+
+def _py_deletion_variants(word: str, max_deletes: int) -> set[str]:
+    """Driver-side twin of :func:`deletion_variants` for the (single)
+    query term — the string set is C(len, <=max_deletes)-bounded."""
+    out = {word}
+    frontier = {word}
+    for _ in range(max_deletes):
+        frontier = {
+            v[:i] + v[i + 1 :]
+            for v in frontier
+            if len(v) > 1
+            for i in range(len(v))
+        }
+        out |= frontier
+    return out

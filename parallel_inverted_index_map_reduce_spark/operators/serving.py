@@ -52,8 +52,13 @@ from .bucketing import (
     write_table,
 )
 from .index import (
+    _normalize_single_term,
+    _py_deletion_variants,
+    _with_df_letter,
+    assemble_term_chunks,
     bm25_rank,
     chunk_pairs,
+    deletion_variants,
     lookup_stored_terms,
     normalize_query_tokens,
     phrase_adjacency_filter,
@@ -152,6 +157,9 @@ def store_search_index(
                 "n_buckets": n_buckets,
                 "chunk_size": chunk_size,
                 "fingerprint": fp,
+                # chunks cover the whole corpus on a fresh build; a
+                # deferred extend flips this (see extend_search_index)
+                "chunks_current": True,
             },
             fh,
         )
@@ -517,15 +525,112 @@ def proximity_search_stored(
     return proximity_min_filter(per_doc, max_dist)
 
 
+def chunks_current(spark: SparkSession, base: str) -> bool:
+    """False when a deferred-chunks extend left the chunks table lagging
+    the positions table (see :func:`extend_search_index`'s
+    ``defer_chunks``) — chunk-served queries must fall back to the
+    positions table until :func:`compact_search_index` runs. Absent
+    flag (pre-deferral sidecars) means current."""
+    return bool(_read_meta(spark, base).get("chunks_current", True))
+
+
+def stored_term_postings(
+    spark: SparkSession, base: str, terms: list[str]
+) -> DataFrame:
+    """(letter, word, df, postings) for exact ``terms`` from the store,
+    routing around staleness: the chunks table when it is current
+    (bucket-pruned point lookup, the fast path), else the positions
+    table (same letter-partitioned/word-bucketed pruning; postings
+    re-aggregate from the pruned rows — slower per query, but CORRECT
+    the instant a deferred extend commits, which is the contract that
+    makes deferring the chunks rewrite safe)."""
+    words = sorted({t for t in terms if t})
+    if not words:
+        # empty lookup: an always-false filter keeps the schema without
+        # isin() over zero values
+        return assemble_term_chunks(
+            spark.table(f"{base}_chunks").where(F.lit(False))
+        )
+    if chunks_current(spark, base):
+        return lookup_stored_terms(spark, f"{base}_chunks", words)
+    idx = (
+        _positions_for(spark, base, set(words))
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("postings"))
+    )
+    return _with_df_letter(idx).select("letter", "word", "df", "postings")
+
+
+def prefix_search_stored(
+    spark: SparkSession, base: str, prefix: str
+) -> DataFrame:
+    """(letter, word, df, postings): index.py prefix_search served from
+    the stored layout — the prefix's FIRST LETTER prunes to one
+    partition directory (PartitionFilters), and the StartsWith predicate
+    pushes into the parquet scan over word-sorted files. Row-identical
+    to the corpus-scan form (shared reassembly/aggregation tails).
+    Routes around a stale chunks table like :func:`stored_term_postings`."""
+    p = _normalize_single_term(prefix, "prefix")
+    if chunks_current(spark, base):
+        return assemble_term_chunks(
+            spark.table(f"{base}_chunks").where(
+                (F.col("letter") == p[0]) & F.col("word").startswith(p)
+            )
+        )
+    idx = (
+        spark.table(f"{base}_positions")
+        .where((F.col("letter") == p[0]) & F.col("word").startswith(p))
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("postings"))
+    )
+    return _with_df_letter(idx).select("letter", "word", "df", "postings")
+
+
+def fuzzy_term_search_stored(
+    spark: SparkSession, base: str, term: str, max_dist: int = 1
+) -> DataFrame:
+    """(letter, word, df, postings): index.py fuzzy_term_search served
+    from the stored layout. Two stored reads, each pruned its own way:
+
+    1. vocabulary pass — ONE COLUMN (word) of the chunks table (or
+       positions when chunks are stale), distinct, through the SymSpell
+       deletion-neighborhood filter + levenshtein verify; vocabulary-
+       scale, postings never read.
+    2. postings fetch — the verified matches (a neighborhood-bounded
+       handful, collected as the driver-scalar probe list, same pattern
+       as the ANN probe ids) go through :func:`stored_term_postings`,
+       i.e. a static word-IN lookup that prunes buckets/partitions.
+
+    Row-identical to the corpus-scan form by construction (same
+    candidate relation, same verify predicate, same postings source of
+    truth)."""
+    q = _normalize_single_term(term, "fuzzy term")
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    src = "_chunks" if chunks_current(spark, base) else "_positions"
+    vocab = spark.table(f"{base}{src}").select("word").distinct()
+    q_variants = sorted(_py_deletion_variants(q, max_dist))
+    matched = (
+        deletion_variants(vocab, max_deletes=max_dist)
+        .where(F.col("variant").isin(q_variants))
+        .select("word")
+        .distinct()
+        .where(F.levenshtein(F.col("word"), F.lit(q)) <= max_dist)
+    )
+    words = sorted(r["word"] for r in matched.collect())
+    return stored_term_postings(spark, base, words)
+
+
 def boolean_search_stored(
     spark: SparkSession, base: str, t1: str, t2: str
 ) -> DataFrame:
     """(op, term1, term2, doc_ids): AND/OR/NOT posting ops served from
     the stored chunked index — the lookup reads one bucket per term
-    (lookup_stored_terms), the three ops project from ONE collected
+    (stored_term_postings; positions-table fallback when a deferred
+    extend left chunks stale), the three ops project from ONE collected
     pair of posting arrays. Emits 0 rows when either term is absent,
     matching index.py boolean_search's both-present semantics."""
-    merged = lookup_stored_terms(spark, f"{base}_chunks", [t1, t2])
+    merged = stored_term_postings(spark, base, [t1, t2])
     empty = F.array().cast("array<long>")
     two = merged.groupBy().agg(
         F.coalesce(
@@ -1009,7 +1114,10 @@ def ann_probe_order(spark: SparkSession, base: str, embedding_col) -> F.Column:
 
 
 def extend_search_index(
-    spark: SparkSession, base: str, new_docs: DataFrame
+    spark: SparkSession,
+    base: str,
+    new_docs: DataFrame,
+    defer_chunks: bool = False,
 ) -> None:
     """Fold NEW documents into a stored serving layout incrementally —
     the daily-ingest path (same role as index.py merge_index_chunked,
@@ -1028,11 +1136,19 @@ def extend_search_index(
       re-chunks only the words the new docs touch (untouched words
       pass through byte-identical via merge_index_chunked's anti-join)
       but the rewrite is table-sized, because plain parquet cannot
-      replace individual bucketed rows. At scale this is the
-      compaction job you run on a schedule (or the versioned-commit
-      swap streaming/index_stream.py already implements); between
-      compactions every query could be served exactly from the
-      appended positions table.
+      replace individual bucketed rows. ``defer_chunks=True`` removes
+      this term entirely — the ONE store-proportional cost in the
+      extend (measured in BENCH_NOTES.md round 5): the chunks table is
+      left as-is and flagged stale in the sidecar
+      (``chunks_current: false``), every chunk-served query path
+      (:func:`stored_term_postings` and everything built on it)
+      transparently falls back to the appended positions table — same
+      letter/bucket pruning, correct the instant the extend commits —
+      and :func:`compact_search_index` is the scheduled job that
+      rebuilds chunks from positions (atomic swap) and restores the
+      fast path. A non-deferred extend on a stale store folds the
+      catch-up in: chunks rebuild from (positions + batch), so the
+      merge can never resurrect a pre-deferral view.
 
     Doc ids must be NEW: a re-ingested id would corrupt the append-only
     positions contract, so overlap is a loud error (one semi-join
@@ -1083,14 +1199,27 @@ def extend_search_index(
         .withColumn("letter", F.substring("word", 1, 1))
         .localCheckpoint(eager=False)
     )
-    # chunks: merge BEFORE touching storage, materialized so the write
-    # does not lazily re-read the table it replaces
-    merged = merge_index_chunked(
-        spark.table(f"{base}_chunks"),
-        new_docs,
-        chunk_size=chunk_size,
-        new_pairs=new_pos.select("word", "doc_id"),
-    ).localCheckpoint()
+    # chunks: merge BEFORE touching storage, EAGERLY materialized so the
+    # write cannot lazily re-read tables this extend mutates first
+    if defer_chunks:
+        merged = None  # positions fallback serves until compaction
+    elif not meta.get("chunks_current", True):
+        # stale store: an incremental merge against the lagging chunks
+        # would miss earlier deferred batches — rebuild from the source
+        # of truth (stored positions + this batch) instead
+        merged = chunk_pairs(
+            spark.table(f"{base}_positions")
+            .select("word", "doc_id")
+            .unionByName(new_pos.select("word", "doc_id")),
+            chunk_size=chunk_size,
+        ).localCheckpoint()
+    else:
+        merged = merge_index_chunked(
+            spark.table(f"{base}_chunks"),
+            new_docs,
+            chunk_size=chunk_size,
+            new_pairs=new_pos.select("word", "doc_id"),
+        ).localCheckpoint()
     batch_fp = corpus_fingerprint(new_docs)
 
     # ---- mutate phase: bracketed by the torn-extend marker ----
@@ -1117,7 +1246,8 @@ def extend_search_index(
         .sortBy("doc_id")
         .saveAsTable(f"{base}_doclen")
     )
-    _replace_chunks_atomic(spark, base, merged, n_buckets)
+    if merged is not None:
+        _replace_chunks_atomic(spark, base, merged, n_buckets)
     old = spark.table(f"{base}_stats").first()
     n_docs = int(old["n_docs"]) + batch_fp["n_docs"]
     stats = spark.table(f"{base}_doclen").agg(
@@ -1131,6 +1261,37 @@ def extend_search_index(
             "n_docs": int(old_fp["n_docs"]) + batch_fp["n_docs"],
             "xor64": int(old_fp["xor64"]) ^ batch_fp["xor64"],
         }
+    # merged is None  -> this extend deferred: chunks now lag positions;
+    # merged written  -> chunks cover everything again (incl. catch-up)
+    meta["chunks_current"] = merged is not None
     with open(_meta_path(spark, base), "w") as fh:
         json.dump(meta, fh)
     _clear_extend_marker(spark, base)
+
+
+def compact_search_index(spark: SparkSession, base: str) -> None:
+    """Rebuild the chunks table from the positions table and restore
+    the fast chunk-served lookup path — the scheduled compaction that
+    pairs with ``extend_search_index(defer_chunks=True)``. No-op when
+    chunks are already current.
+
+    The rebuild reads ONE projection (word, doc_id) of positions —
+    already distinct by construction — through the same spillable
+    chunking as a from-scratch build, and publishes via the atomic
+    __next-then-rename swap, so a crash at any point leaves a complete
+    chunks table on disk. The sidecar flag flips only AFTER the swap:
+    a crash between the two leaves fresh chunks still flagged stale —
+    queries stay correct on the positions path and the next compaction
+    (or non-deferred extend) clears it; never the reverse state, where
+    a stale table would be trusted."""
+    meta = _read_meta(spark, base)
+    if meta.get("chunks_current", True):
+        return
+    merged = chunk_pairs(
+        spark.table(f"{base}_positions").select("word", "doc_id"),
+        chunk_size=int(meta["chunk_size"]),
+    ).localCheckpoint()
+    _replace_chunks_atomic(spark, base, merged, int(meta["n_buckets"]))
+    meta["chunks_current"] = True
+    with open(_meta_path(spark, base), "w") as fh:
+        json.dump(meta, fh)

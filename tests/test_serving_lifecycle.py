@@ -254,3 +254,120 @@ def test_extend_crash_inside_chunk_swap_is_recoverable(spark):
     got = _rows(srv.bm25_search_stored(spark, base, "spark query", k=5))
     want = _rows(bm25_search(both, "spark query", k=5))
     assert got == want
+
+
+def test_deferred_extend_skips_chunk_rewrite_and_stays_correct(spark):
+    """defer_chunks=True must not touch the chunks table's files at all
+    (the whole point: the ONE store-proportional cost removed), while
+    every query path stays correct via the positions fallback, and
+    BM25 — which never read chunks — is unaffected."""
+    base = "lcdefer"
+    docs = load_table(spark, SF_ORACLE, "documents")
+    first = docs.where(F.col("doc_id") < 40)
+    batch = docs.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 70))
+    both = docs.where(F.col("doc_id") < 70)
+    srv.store_search_index(first, base, n_buckets=4, chunk_size=16)
+
+    loc = table_location(spark, f"{base}_chunks")
+    before = sorted(os.listdir(loc))
+    mtimes = {
+        f: os.path.getmtime(os.path.join(loc, f)) for f in before
+    }
+    srv.extend_search_index(spark, base, batch, defer_chunks=True)
+    assert sorted(os.listdir(loc)) == before
+    assert {
+        f: os.path.getmtime(os.path.join(loc, f)) for f in before
+    } == mtimes
+    assert not srv.chunks_current(spark, base)
+    assert not srv.extend_in_progress(spark, base)
+    assert srv.verify_search_index(spark, base, both)
+
+    got = _rows(srv.bm25_search_stored(spark, base, "spark query", k=5))
+    assert got == _rows(bm25_search(both, "spark query", k=5))
+
+
+def test_compact_noop_when_current(spark):
+    base = "lcnoop"
+    srv.store_search_index(_docs_v1(spark), base, n_buckets=4, chunk_size=16)
+    loc = table_location(spark, f"{base}_chunks")
+    before = sorted(os.listdir(loc))
+    srv.compact_search_index(spark, base)
+    assert sorted(os.listdir(loc)) == before
+    assert srv.chunks_current(spark, base)
+
+
+def test_compact_crash_after_swap_keeps_positions_path(spark):
+    """Crash between the atomic chunk swap and the sidecar flag flip:
+    the fresh chunks are on disk but still flagged stale. That state
+    must (a) keep answering correctly (positions path), (b) verify
+    clean, and (c) heal on the next compaction."""
+    from parallel_inverted_index_map_reduce_spark.operators.index import (
+        boolean_search,
+    )
+
+    base = "lccompactcrash"
+    docs = load_table(spark, SF_ORACLE, "documents")
+    first = docs.where(F.col("doc_id") < 40)
+    batch = docs.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 70))
+    both = docs.where(F.col("doc_id") < 70)
+    srv.store_search_index(first, base, n_buckets=4, chunk_size=16)
+    srv.extend_search_index(spark, base, batch, defer_chunks=True)
+
+    real_replace = srv._replace_chunks_atomic
+
+    def replace_then_crash(*a, **kw):
+        real_replace(*a, **kw)
+        raise OSError("injected crash after the swap, before the flag")
+
+    srv._replace_chunks_atomic = replace_then_crash
+    try:
+        with pytest.raises(OSError, match="injected crash"):
+            srv.compact_search_index(spark, base)
+    finally:
+        srv._replace_chunks_atomic = real_replace
+
+    # fresh chunks on disk, flag still stale -> positions path serves
+    assert not srv.chunks_current(spark, base)
+    assert srv.verify_search_index(spark, base, both)
+    want = sorted(
+        (r["op"], tuple(r["doc_ids"]))
+        for r in boolean_search(both, "spark", "query").collect()
+    )
+    got = sorted(
+        (r["op"], tuple(r["doc_ids"]))
+        for r in srv.boolean_search_stored(spark, base, "spark", "query").collect()
+    )
+    assert got == want
+
+    srv.compact_search_index(spark, base)  # heals
+    assert srv.chunks_current(spark, base)
+    got2 = sorted(
+        (r["op"], tuple(r["doc_ids"]))
+        for r in srv.boolean_search_stored(spark, base, "spark", "query").collect()
+    )
+    assert got2 == want
+
+
+def test_nondeferred_extend_on_stale_store_catches_up(spark):
+    """A plain extend after a deferred one must fold the catch-up in:
+    chunks rebuild from (positions + batch), never an incremental merge
+    against the lagging chunks that would resurrect a pre-deferral
+    view. Proven by comparing against a from-scratch store of the full
+    corpus."""
+    base = "lccatchup"
+    docs = load_table(spark, SF_ORACLE, "documents")
+    a = docs.where(F.col("doc_id") < 30)
+    b = docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 55))
+    c = docs.where((F.col("doc_id") >= 55) & (F.col("doc_id") < 80))
+    full = docs.where(F.col("doc_id") < 80)
+    srv.store_search_index(a, base, n_buckets=4, chunk_size=16)
+    srv.extend_search_index(spark, base, b, defer_chunks=True)
+    srv.extend_search_index(spark, base, c)  # catch-up
+    assert srv.chunks_current(spark, base)
+    assert srv.verify_search_index(spark, base, full)
+
+    ref = "lccatchupref"
+    srv.store_search_index(full, ref, n_buckets=4, chunk_size=16)
+    assert _rows(spark.table(f"{base}_chunks")) == _rows(
+        spark.table(f"{ref}_chunks")
+    )

@@ -1,0 +1,264 @@
+"""Vocabulary search: prefix (wildcard-tail) and SymSpell fuzzy term
+lookup, scan and stored forms.
+
+The load-bearing claim is the fuzzy candidate generation: a vocabulary
+word is a candidate iff its deletion-neighborhood intersects the query
+term's — a guaranteed SUPERSET of the true Levenshtein <= d matches, so
+after the exact levenshtein verify the result must equal the brute-force
+"levenshtein over the whole vocabulary" formulation on EVERY corpus.
+That equality is asserted here on the oracle corpus and on randomized
+mutation corpora; the stored forms are asserted row-identical to the
+scan forms (fresh store, stale-chunks store, and compacted store)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_inverted_index_map_reduce_spark.functions.text import tokens_df
+from parallel_inverted_index_map_reduce_spark.operators import serving as srv
+from parallel_inverted_index_map_reduce_spark.operators.index import (
+    _py_deletion_variants,
+    deletion_variants,
+    fuzzy_term_search,
+    prefix_search,
+)
+from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+from .conftest import SF_ORACLE
+
+
+def _docs(spark):
+    return load_table(spark, SF_ORACLE, "documents").where(F.col("doc_id") < 60)
+
+
+def _rows(df):
+    return sorted(
+        (r["letter"], r["word"], r["df"], tuple(r["postings"]))
+        for r in df.collect()
+    )
+
+
+def _brute_fuzzy(docs, term, max_dist):
+    """The formulation the operator avoids: levenshtein over the WHOLE
+    vocabulary — the correctness oracle for the candidate generation."""
+    toks = tokens_df(docs)
+    matched = (
+        toks.select("word")
+        .distinct()
+        .where(F.levenshtein(F.col("word"), F.lit(term)) <= max_dist)
+    )
+    idx = (
+        toks.join(F.broadcast(matched), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("postings"))
+    )
+    return idx.select(
+        F.substring("word", 1, 1).alias("letter"),
+        "word",
+        F.size("postings").cast("long").alias("df"),
+        "postings",
+    )
+
+
+def _brute_prefix(docs, prefix):
+    toks = tokens_df(docs).where(F.col("word").startswith(prefix))
+    return toks.groupBy("word").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("postings")
+    ).select(
+        F.substring("word", 1, 1).alias("letter"),
+        "word",
+        F.size("postings").cast("long").alias("df"),
+        "postings",
+    )
+
+
+def test_prefix_search_matches_brute_filter(spark):
+    docs = _docs(spark)
+    got = _rows(prefix_search(docs, "s"))
+    want = _rows(_brute_prefix(docs, "s"))
+    assert got == want
+    assert len(got) > 1  # the corpus really has several s-words
+
+
+def test_prefix_normalizes_and_rejects_junk(spark):
+    docs = _docs(spark)
+    # normalization applies to the prefix too: 'S9' -> 's'
+    assert _rows(prefix_search(docs, "S9")) == _rows(prefix_search(docs, "s"))
+    with pytest.raises(ValueError):
+        prefix_search(docs, "two words")
+    with pytest.raises(ValueError):
+        prefix_search(docs, "42")
+
+
+def test_deletion_variants_match_python_twin(spark):
+    words = ["spark", "a", "ab", "query"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    for d in (1, 2):
+        got = {
+            (r["word"], r["variant"])
+            for r in deletion_variants(df, max_deletes=d).collect()
+        }
+        want = {
+            (w, v) for w in words for v in _py_deletion_variants(w, d)
+        }
+        assert got == want
+
+
+@pytest.mark.parametrize("term,max_dist", [("sow", 1), ("quary", 1), ("sprk", 2)])
+def test_fuzzy_matches_brute_levenshtein(spark, term, max_dist):
+    docs = _docs(spark)
+    got = _rows(fuzzy_term_search(docs, term, max_dist=max_dist))
+    want = _rows(_brute_fuzzy(docs, term, max_dist))
+    assert got == want
+
+
+def test_fuzzy_finds_multiple_neighbors(spark):
+    # 'sow': distance-1 neighbors of both shapes — substitution ('row')
+    # and insertion ('slow') — must surface together
+    got = {r[1] for r in _rows(fuzzy_term_search(_docs(spark), "sow"))}
+    assert {"row", "slow"} <= got
+
+
+def test_fuzzy_randomized_mutations_match_brute(spark):
+    """Randomized corpora: mutate dictionary words by one random edit
+    and assert the SymSpell path equals brute levenshtein for several
+    query terms — the superset property exercised beyond the fixture
+    vocabulary."""
+    rng = random.Random(7)
+    alphabet = "abcdefgh"
+    base_words = ["".join(rng.choice(alphabet) for _ in range(rng.randint(2, 7))) for _ in range(30)]
+
+    def mutate(w):
+        i = rng.randrange(len(w))
+        op = rng.choice(["del", "sub", "ins"])
+        if op == "del" and len(w) > 1:
+            return w[:i] + w[i + 1 :]
+        if op == "sub":
+            return w[:i] + rng.choice(alphabet) + w[i + 1 :]
+        return w[:i] + rng.choice(alphabet) + w[i:]
+
+    texts = []
+    for i in range(40):
+        ws = [rng.choice(base_words) for _ in range(6)]
+        if i % 2:
+            ws.append(mutate(rng.choice(base_words)))
+        texts.append((i, " ".join(ws)))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    for term in rng.sample(base_words, 3) + [mutate(base_words[0])]:
+        got = _rows(fuzzy_term_search(docs, term, max_dist=1))
+        want = _rows(_brute_fuzzy(docs, term, 1))
+        assert got == want, term
+
+
+def test_fuzzy_rejects_bad_args(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        fuzzy_term_search(docs, "sow", max_dist=0)
+    with pytest.raises(ValueError):
+        fuzzy_term_search(docs, "two words")
+
+
+# --------------------------------------------------------------------------
+# stored forms: fresh store, stale-chunks store, compacted store
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vocab_store(spark):
+    base = "vocstore"
+    docs = _docs(spark)
+    srv.store_search_index(docs, base, n_buckets=4, chunk_size=16)
+    return base, docs
+
+
+def test_prefix_stored_matches_scan(spark, vocab_store):
+    base, docs = vocab_store
+    assert _rows(srv.prefix_search_stored(spark, base, "s")) == _rows(
+        prefix_search(docs, "s")
+    )
+
+
+def test_prefix_stored_prunes_letter_partition(spark, vocab_store):
+    import contextlib
+    import io
+
+    base, _ = vocab_store
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        srv.prefix_search_stored(spark, base, "s").explain("formatted")
+    formatted = buf.getvalue()
+    # the letter predicate must reach the scan's partition filters, and
+    # the prefix predicate must push into the parquet scan
+    assert any(
+        "PartitionFilters" in line and "letter" in line
+        for line in formatted.splitlines()
+    )
+    assert "StartsWith(word,s)" in formatted.replace(" ", "").replace(
+        "'", ""
+    ) or "StartsWith" in formatted
+
+
+def test_fuzzy_stored_matches_scan(spark, vocab_store):
+    base, docs = vocab_store
+    for term, d in (("sow", 1), ("quary", 1), ("sprk", 2)):
+        assert _rows(srv.fuzzy_term_search_stored(spark, base, term, max_dist=d)) == _rows(
+            fuzzy_term_search(docs, term, max_dist=d)
+        ), term
+
+
+def test_fuzzy_stored_no_match_is_empty(spark, vocab_store):
+    base, _ = vocab_store
+    assert srv.fuzzy_term_search_stored(spark, base, "zzzzqqq").count() == 0
+
+
+def test_stored_paths_follow_deferred_extend(spark, vocab_store):
+    """After a deferred-chunks extend the chunks table lags; prefix,
+    fuzzy, and boolean stored paths must answer from positions —
+    correct over the FULL corpus — and return to the chunk path after
+    compaction with identical answers."""
+    from parallel_inverted_index_map_reduce_spark.operators.index import (
+        boolean_search,
+    )
+
+    base = "vocdefer"
+    docs = _docs(spark)
+    srv.store_search_index(docs, base, n_buckets=4, chunk_size=16)
+    new = (
+        load_table(spark, SF_ORACLE, "documents")
+        .where((F.col("doc_id") >= 60) & (F.col("doc_id") < 90))
+    )
+    srv.extend_search_index(spark, base, new, defer_chunks=True)
+    assert not srv.chunks_current(spark, base)
+    combined = docs.unionByName(new)
+    # a deferred extend is NOT a torn store: it verifies clean
+    assert srv.verify_search_index(spark, base, combined)
+
+    stale_prefix = _rows(srv.prefix_search_stored(spark, base, "s"))
+    assert stale_prefix == _rows(prefix_search(combined, "s"))
+    stale_fuzzy = _rows(srv.fuzzy_term_search_stored(spark, base, "sow"))
+    assert stale_fuzzy == _rows(fuzzy_term_search(combined, "sow"))
+    stale_bool = sorted(
+        (r["op"], tuple(r["doc_ids"]))
+        for r in srv.boolean_search_stored(spark, base, "spark", "query").collect()
+    )
+    assert stale_bool == sorted(
+        (r["op"], tuple(r["doc_ids"]))
+        for r in boolean_search(combined, "spark", "query").collect()
+    )
+
+    srv.compact_search_index(spark, base)
+    assert srv.chunks_current(spark, base)
+    assert _rows(srv.prefix_search_stored(spark, base, "s")) == stale_prefix
+    assert _rows(srv.fuzzy_term_search_stored(spark, base, "sow")) == stale_fuzzy
+    assert (
+        sorted(
+            (r["op"], tuple(r["doc_ids"]))
+            for r in srv.boolean_search_stored(
+                spark, base, "spark", "query"
+            ).collect()
+        )
+        == stale_bool
+    )
