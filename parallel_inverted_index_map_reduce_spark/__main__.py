@@ -29,9 +29,13 @@ hash-ordered shards:
 
 The serving-store lifecycle is fully drivable: ``index-store`` builds,
 ``extend`` folds a fresh-id batch in (append-only; refuses torn
-stores), ``verify-store`` checks the sidecar corpus fingerprint
+stores; ``--defer-chunks`` skips the one store-proportional rewrite),
+``compact`` rebuilds chunks from positions after deferred extends,
+``verify-store`` checks the sidecar corpus fingerprint
 (exit 0 match / 3 torn / 4 stale), and ``search --stored`` serves —
-refusing a torn store rather than answering inconsistently. The
+refusing a torn store rather than answering inconsistently (--term,
+--prefix wildcard-tail, --fuzzy typo-tolerant, --and, --phrase,
+--near, --bm25). The
 similarity surface has the same trio: ``ann-store`` persists the IVF
 inverted lists, ``ann-extend`` appends new vectors under the existing
 quantizer, and ``ann --stored`` serves probe-pruned cosine top-k
@@ -102,13 +106,47 @@ def _search(args) -> int:
         if args.term:
             ran = True
             if stored:
-                hits = srv.lookup_stored_terms(
-                    spark, f"{stored}_chunks", args.term
-                )
+                # staleness-aware: falls back to the positions table
+                # after a deferred-chunks extend (see compact mode)
+                hits = srv.stored_term_postings(spark, stored, args.term)
             else:
                 hits = ix.term_lookup(ix.build_index(docs), args.term)
             for r in hits.orderBy("word").collect():
                 print(f"term {r['word']}: [{' '.join(map(str, r['postings']))}]")
+        if args.prefix:
+            ran = True
+            hits = (
+                srv.prefix_search_stored(spark, stored, args.prefix)
+                if stored
+                else ix.prefix_search(docs, args.prefix)
+            )
+            rows = hits.orderBy("word").collect()
+            for r in rows:
+                print(
+                    f"prefix {args.prefix}*: {r['word']} "
+                    f"[{' '.join(map(str, r['postings']))}]"
+                )
+            if not rows:
+                print(f"prefix {args.prefix}*: no matches")
+        if args.fuzzy:
+            ran = True
+            hits = (
+                srv.fuzzy_term_search_stored(
+                    spark, stored, args.fuzzy, max_dist=args.fuzzy_dist
+                )
+                if stored
+                else ix.fuzzy_term_search(
+                    docs, args.fuzzy, max_dist=args.fuzzy_dist
+                )
+            )
+            rows = hits.orderBy("word").collect()
+            for r in rows:
+                print(
+                    f"fuzzy~{args.fuzzy_dist} {args.fuzzy}: {r['word']} "
+                    f"[{' '.join(map(str, r['postings']))}]"
+                )
+            if not rows:
+                print(f"fuzzy~{args.fuzzy_dist} {args.fuzzy}: no matches")
         if args.boolean:
             ran = True
             t1, t2 = args.boolean
@@ -166,7 +204,8 @@ def _search(args) -> int:
                 )
         if not ran:
             print(
-                "nothing to do: pass --term/--and/--phrase/--near/--bm25",
+                "nothing to do: pass --term/--prefix/--fuzzy/--and/"
+                "--phrase/--near/--bm25",
                 file=sys.stderr,
             )
             return 2
@@ -225,9 +264,45 @@ def _extend(args) -> int:
             )
             return 3
         batch = _read_docs(spark, args.input)
-        srv.extend_search_index(spark, args.base, batch)
+        srv.extend_search_index(
+            spark, args.base, batch, defer_chunks=args.defer_chunks
+        )
         n = batch.count()
-        print(f"extended '{args.base}' with {n} documents (append-only)")
+        suffix = (
+            " — chunks deferred; run compact to restore the fast "
+            "lookup path"
+            if args.defer_chunks
+            else ""
+        )
+        print(f"extended '{args.base}' with {n} documents (append-only){suffix}")
+        return 0
+    finally:
+        spark.stop()
+
+
+def _compact(args) -> int:
+    from .operators import serving as srv
+    from .session import get_spark
+
+    spark = get_spark(app_name="index-compact")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        srv.attach_search_index(spark, args.base)
+        if srv.extend_in_progress(spark, args.base):
+            print(
+                f"store '{args.base}' has a torn extend — rebuild with "
+                "index-store before compacting",
+                file=sys.stderr,
+            )
+            return 3
+        if srv.chunks_current(spark, args.base):
+            print(f"store '{args.base}' chunks already current — nothing to do")
+            return 0
+        srv.compact_search_index(spark, args.base)
+        print(
+            f"compacted '{args.base}': chunks rebuilt from positions "
+            "(atomic swap); fast lookup path restored"
+        )
         return 0
     finally:
         spark.stop()
@@ -433,7 +508,23 @@ def main(argv: list[str] | None = None) -> int:
         parser.add_argument(
             "input", help="manifest file, or a documents .parquet path"
         )
+        parser.add_argument(
+            "--defer-chunks", action="store_true",
+            help="skip the chunks rewrite (the one store-proportional "
+            "cost): queries fall back to the positions table until "
+            "'compact' runs",
+        )
         return _extend(parser.parse_args(argv[1:]))
+
+    if argv and argv[0] == "compact":
+        parser = argparse.ArgumentParser(
+            prog="parallel_inverted_index_map_reduce_spark compact",
+            description="Rebuild a stored index's chunks table from its "
+            "positions table (atomic swap) after deferred-chunks "
+            "extends, restoring the fast lookup path.",
+        )
+        parser.add_argument("base", help="store name (see index-store)")
+        return _compact(parser.parse_args(argv[1:]))
 
     if argv and argv[0] == "verify-store":
         parser = argparse.ArgumentParser(
@@ -529,6 +620,16 @@ def main(argv: list[str] | None = None) -> int:
             help="serve from the stored index written by index-store",
         )
         parser.add_argument("--term", nargs="+", help="posting-list lookups")
+        parser.add_argument(
+            "--prefix", help="wildcard-tail lookup: all terms starting here"
+        )
+        parser.add_argument(
+            "--fuzzy", help="typo-tolerant lookup (Levenshtein neighbors)"
+        )
+        parser.add_argument(
+            "--fuzzy-dist", type=int, default=1,
+            help="max edit distance for --fuzzy",
+        )
         parser.add_argument(
             "--and", dest="boolean", nargs=2, metavar=("T1", "T2"),
             help="boolean AND/OR/NOT report for two terms",

@@ -848,27 +848,28 @@ def deletion_variants(
     if max_deletes < 0:
         raise ValueError("max_deletes must be >= 0")
     out = words.select(col, F.col(col).alias("variant")).distinct()
-    frontier = out
+    # each round explodes [variant itself] + [its one-char deletions], so
+    # after round r `out` holds every <= r-delete variant — ONE linear
+    # lineage (a union-of-rounds shape would re-scan the vocabulary once
+    # per round; single-char variants contribute only themselves, never
+    # the empty string)
+    one_shorter = F.when(
+        F.length("variant") > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length("variant")),
+            lambda i: F.concat(
+                F.col("variant").substr(F.lit(1), i - 1),
+                F.col("variant").substr(i + 1, F.length("variant")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     for _ in range(max_deletes):
-        frontier = (
-            frontier.where(F.length("variant") > 1)
-            .select(
-                col,
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.length("variant")),
-                        lambda i: F.concat(
-                            F.col("variant").substr(F.lit(1), i - 1),
-                            F.col("variant").substr(
-                                i + 1, F.length("variant")
-                            ),
-                        ),
-                    )
-                ).alias("variant"),
-            )
-            .distinct()
-        )
-        out = out.unionByName(frontier).distinct()
+        out = out.select(
+            col,
+            F.explode(
+                F.concat(F.array(F.col("variant")), one_shorter)
+            ).alias("variant"),
+        ).distinct()
     return out
 
 

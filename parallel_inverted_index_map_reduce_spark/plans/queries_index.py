@@ -226,6 +226,19 @@ SELECT 'phrase_stored', 'stream table hash', '', ds FROM (
         WHERE a.word = 'stream'
     )
 ) WHERE n > 0
+UNION ALL
+SELECT 'prefix' AS op, 's' AS term1, word AS term2,
+       array_to_string(postings, ' ') AS doc_ids
+FROM idx WHERE word LIKE 's%'
+UNION ALL
+SELECT 'prefix_stored', 's', word, array_to_string(postings, ' ')
+FROM idx WHERE word LIKE 's%'
+UNION ALL
+SELECT 'fuzzy', 'sow', word, array_to_string(postings, ' ')
+FROM idx WHERE levenshtein(word, 'sow') <= 1
+UNION ALL
+SELECT 'fuzzy_stored', 'sow', word, array_to_string(postings, ' ')
+FROM idx WHERE levenshtein(word, 'sow') <= 1
 """,
     tags=("index", "search", "serving"),
     doc="Point lookup + boolean + phrase search over the index in one "
@@ -245,7 +258,17 @@ SELECT 'phrase_stored', 'stream table hash', '', ds FROM (
     "letter-partitioned positional store) while the oracle stays the "
     "corpus-scan formulation — the hash match PROVES each stored path "
     "returns exactly what a full corpus scan returns, at pruned-lookup "
-    "cost.",
+    "cost. 'prefix'/'prefix_stored' rows are the wildcard-tail lookup "
+    "(index.py prefix_search: the startswith predicate filters the "
+    "token stream BEFORE aggregation; the stored twin additionally "
+    "prunes to the first letter's partition directory), one row per "
+    "matching vocabulary term. 'fuzzy'/'fuzzy_stored' rows are the "
+    "typo-tolerant lookup (fuzzy_term_search, SymSpell symmetric-delete "
+    "candidate generation + exact levenshtein verify — the oracle IS "
+    "the brute-force levenshtein-over-the-vocabulary formulation the "
+    "operator avoids, so the hash match proves the deletion-"
+    "neighborhood candidates lose nothing), one row per vocabulary "
+    "term within distance 1 of the query.",
 )
 def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import serving as srv
@@ -280,7 +303,32 @@ def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph_stored = phrase_rows(
         srv.phrase_search_stored(spark, base, phrase), "phrase_stored"
     )
-    return bs.unionByName(ph).unionByName(bs_stored).unionByName(ph_stored)
+
+    def vocab_rows(df: DataFrame, op: str, q: str) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            F.lit(q).alias("term1"),
+            F.col("word").alias("term2"),
+            F.array_join("postings", " ").alias("doc_ids"),
+        )
+
+    pf = vocab_rows(ix.prefix_search(docs, "s"), "prefix", "s")
+    pf_stored = vocab_rows(
+        srv.prefix_search_stored(spark, base, "s"), "prefix_stored", "s"
+    )
+    fz = vocab_rows(ix.fuzzy_term_search(docs, "sow"), "fuzzy", "sow")
+    fz_stored = vocab_rows(
+        srv.fuzzy_term_search_stored(spark, base, "sow"), "fuzzy_stored", "sow"
+    )
+    return (
+        bs.unionByName(ph)
+        .unionByName(bs_stored)
+        .unionByName(ph_stored)
+        .unionByName(pf)
+        .unionByName(pf_stored)
+        .unionByName(fz)
+        .unionByName(fz_stored)
+    )
 
 
 @register(

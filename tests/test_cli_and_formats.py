@@ -396,3 +396,72 @@ def test_cli_search_without_manifest_or_store_errors(tmp_path):
     )
     assert res.returncode == 2
     assert "manifest" in res.stderr
+
+
+def test_cli_defer_extend_vocab_search_and_compact(spark, tmp_path):
+    """Deferred-chunks ingest over the CLI, across processes: extend
+    --defer-chunks leaves the store answering from positions (prefix /
+    fuzzy / term lookups all include the fresh docs), compact restores
+    the chunk path with identical answers, and a second compact is a
+    no-op."""
+    import os
+
+    v1 = tmp_path / "v1.parquet"
+    batch = tmp_path / "batch.parquet"
+    rows1 = [(1, "spark makes indexes"), (2, "spark query engines rock")]
+    rows2 = [(100, "sparse spray of fresh docs"), (101, "quary typo doc")]
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(v1))
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(batch))
+    wh = tmp_path / "wh"
+    env = dict(os.environ, SPARK_GRAFT_WAREHOUSE=str(wh))
+
+    def cli(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "parallel_inverted_index_map_reduce_spark", *args],
+            cwd=REPO, capture_output=True, text=True, timeout=300, env=env,
+        )
+
+    res = cli("index-store", str(v1), "--base", "clidef",
+              "--buckets", "4", "--chunk-size", "16")
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    res = cli("extend", "clidef", str(batch), "--defer-chunks")
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "chunks deferred" in res.stdout
+
+    # positions fallback: fresh docs visible to every lookup flavor
+    res = cli(
+        "search", "--stored", "clidef",
+        "--term", "sparse",
+        "--prefix", "sp",
+        "--fuzzy", "query",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "term sparse: [100]" in res.stdout
+    assert "prefix sp*: spark [1 2]" in res.stdout
+    assert "prefix sp*: sparse [100]" in res.stdout
+    assert "prefix sp*: spray [100]" in res.stdout
+    assert "fuzzy~1 query: query [2]" in res.stdout
+    assert "fuzzy~1 query: quary [101]" in res.stdout
+    stale_out = res.stdout
+
+    res = cli("compact", "clidef")
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "compacted 'clidef'" in res.stdout
+
+    res = cli(
+        "search", "--stored", "clidef",
+        "--term", "sparse",
+        "--prefix", "sp",
+        "--fuzzy", "query",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert res.stdout == stale_out  # identical answers, faster path
+
+    res = cli("compact", "clidef")
+    assert res.returncode == 0
+    assert "already current" in res.stdout

@@ -138,16 +138,19 @@ def _count_scans(plan: str) -> int:
 
 
 def test_boolean_search_single_scan(spark):
-    """The fused AND/OR/NOT form must stay one scan + one aggregation,
-    and the phrase branch one more scan (a different projection —
-    positions — over the corpus): two CORPUS scans TOTAL for the four
-    corpus-side labeled ops (the union-of-ops shape this replaced
-    rebuilt the index per branch: 6 scans, 30 exchanges). The round-5
-    *_stored parts add exactly TWO stored-table reads — one bucket-
-    pruned read of the chunks table for AND/OR/NOT (all three ops
-    project from ONE collected pair of posting arrays) and one
-    letter-pruned read of the positions table for the stored phrase —
-    and those reads must never touch the corpus parquet."""
+    """The fused AND/OR/NOT form must stay one scan + one aggregation
+    (the union-of-ops shape this replaced rebuilt the index per branch:
+    6 scans, 30 exchanges). Corpus-scan budget, exactly FIVE: the fused
+    boolean aggregate, the positional phrase projection, the prefix
+    token filter, and the fuzzy part's vocabulary + postings passes
+    (deletion_variants is one linear lineage — a union-of-rounds shape
+    would re-scan the vocabulary per round). Stored-read budget,
+    exactly FOUR, none touching the corpus parquet: bucket-pruned
+    chunks reads for AND/OR/NOT, prefix_stored, and fuzzy_stored's
+    postings fetch, plus the letter-pruned positions read for the
+    stored phrase. (fuzzy_stored's vocabulary pass collects eagerly at
+    build time — a neighborhood-bounded driver scalar — so it is not in
+    this plan.)"""
     plan = _spec_plan(spark, "boolean_search")
     import re
 
@@ -156,11 +159,11 @@ def test_boolean_search_single_scan(spark):
         for m in re.findall(r"^\(\d+\) Scan parquet ?(\S*)", plan, re.M)
         if m  # catalog-table scans carry a name; raw corpus scans do not
     ]
-    assert _count_scans(plan) - len(stored) == 2, plan
-    assert len(stored) == 2 and any("_chunks" in t for t in stored) and any(
-        "_positions" in t for t in stored
-    ), stored
-    assert _count_exchanges(plan) <= 8, plan
+    assert _count_scans(plan) - len(stored) == 5, plan
+    assert len(stored) == 4, stored
+    assert sum("_chunks" in t for t in stored) == 3, stored
+    assert sum("_positions" in t for t in stored) == 1, stored
+    assert _count_exchanges(plan) <= 15, plan
 
 
 def test_minhash_skips_shingle_distinct_shuffle(spark):
