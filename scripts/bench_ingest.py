@@ -79,10 +79,10 @@ def replicated(mult: int, id_offset: int):
 results = []
 
 
-def measure(label: str, base: str, batch, extra=None):
+def measure(label: str, base: str, batch, extra=None, defer=False):
     n = batch.count()  # materialize before the clock
     t0 = time.perf_counter()
-    srv.extend_search_index(spark, base, batch)
+    srv.extend_search_index(spark, base, batch, defer_chunks=defer)
     dt = round(time.perf_counter() - t0, 3)
     row = {"measure": label, "store": base, "batch_docs": n, "sec": dt}
     if extra:
@@ -119,6 +119,25 @@ measure("extend_batch1x_into_store10x", "ing10x", fresh_batch(1))
 # batch-growth curve into the (growing) 10x store
 measure("extend_batch3x_into_store10x", "ing10x", fresh_batch(3))
 measure("extend_batch10x_into_store10x", "ing10x", fresh_batch(10))
+
+# ---- deferred-chunks mode: the store-proportional term (the chunks
+# merge/rewrite) removed from the ingest path entirely; the compact at
+# the end is the scheduled job the deferral buys back ----
+build_store("ingd1x", 1)
+build_store("ingd10x", 10)
+measure("defer_batch1x_into_store1x", "ingd1x", fresh_batch(1), defer=True)
+measure("defer_batch1x_into_store10x", "ingd10x", fresh_batch(1), defer=True)
+measure("defer_batch3x_into_store10x", "ingd10x", fresh_batch(3), defer=True)
+measure("defer_batch10x_into_store10x", "ingd10x", fresh_batch(10), defer=True)
+t0 = time.perf_counter()
+srv.compact_search_index(spark, "ingd10x")
+row = {
+    "measure": "compact_store10x_after_3_deferred_extends",
+    "store": "ingd10x",
+    "sec": round(time.perf_counter() - t0, 3),
+}
+results.append(row)
+print(json.dumps(row), flush=True)
 
 print(json.dumps({"summary": results}))
 spark.stop()
