@@ -929,3 +929,86 @@ def _py_deletion_variants(word: str, max_deletes: int) -> set[str]:
         }
         out |= frontier
     return out
+
+
+def more_like_this(docs: DataFrame, doc_id: int, k: int = 10) -> DataFrame:
+    """(doc_id, score, rank): the k documents most similar to ``doc_id``
+    by TF-IDF cosine — "more like this" retrieval, where the query is a
+    document instead of free text.
+
+    Term-at-a-time sparse scoring, the classic inverted-index shape
+    (never a dense all-pairs similarity): the query document's weighted
+    term vector broadcasts, candidates come from the word equi-join —
+    bounded by the query terms' posting lists — and corpus-wide terms
+    (idf exactly 0, the largest posting lists) are dropped on BOTH
+    sides before the join, since they cannot move any score.
+
+    Determinism discipline (the bm25_rank pattern): idf rounds at 9
+    (the one libm op), per-term products round at 7 and sum as decimal
+    (order-independent dot), norms are decimal sums of round-7 squares,
+    and the final cosine renders/ranks through the decimal(28,12)->6
+    cast so both engines order and print the same value. One corpus
+    tokenization feeds the query vector, the candidates, and the norms
+    (pinned frame)."""
+    n_docs = docs.count()  # driver scalar, broadcast into the plan
+    tf = term_frequencies(docs)
+    w_df = Window.partitionBy("word")
+    weighted = (
+        tf.withColumn("df", F.count("*").over(w_df))
+        .select(
+            "word",
+            "doc_id",
+            (
+                F.col("tf")
+                * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 9)
+            ).alias("w"),
+        )
+        .where(F.col("w") != 0.0)
+        .localCheckpoint(eager=False)  # feeds query vector, join, norms
+    )
+    qv = weighted.where(F.col("doc_id") == doc_id).select(
+        "word", F.col("w").alias("qw")
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(
+            F.round(F.col("w") * F.col("w"), 7).cast("decimal(28,12)")
+        ).alias("n2")
+    )
+    qn_row = norms.where(F.col("doc_id") == doc_id).first()
+    if qn_row is None:
+        raise ValueError(
+            f"doc {doc_id} has no weighted terms (absent or all-stopword)"
+        )
+    qn = float(qn_row["n2"])
+    dots = (
+        weighted.join(F.broadcast(qv), "word")
+        .where(F.col("doc_id") != doc_id)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(F.col("w") * F.col("qw"), 7).cast("decimal(28,12)")
+            ).alias("dot")
+        )
+    )
+    score_dec = (
+        F.round(
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.lit(qn))
+                    * F.sqrt(F.col("n2").cast("double"))
+                )
+            ).cast("decimal(28,12)"),
+            6,
+        )
+    ).cast("decimal(18,6)")
+    scored = dots.join(norms, "doc_id").select(
+        "doc_id", score_dec.alias("score_dec")
+    )
+    w = Window.orderBy(F.col("score_dec").desc(), F.col("doc_id"))
+    return (
+        scored.orderBy(F.col("score_dec").desc(), F.col("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", F.col("score_dec").cast("string").alias("score"), "rank")
+    )

@@ -371,6 +371,38 @@ near AS (
     JOIN ntoks b ON b.doc_id = a.doc_id AND b.word = 'query'
     WHERE a.word = 'spark'
     GROUP BY a.doc_id
+),
+mtf AS (SELECT word, doc_id, count(*) AS tf FROM toks GROUP BY word, doc_id),
+mw AS (
+    SELECT word, doc_id,
+           tf * round(ln(CAST((SELECT n_docs FROM stats) AS DOUBLE)
+                         / (count(*) OVER (PARTITION BY word))), 9) AS w
+    FROM mtf
+),
+mwnz AS (SELECT * FROM mw WHERE w <> 0),
+mq AS (SELECT word, w AS qw FROM mwnz WHERE doc_id = 7),
+mn AS (
+    SELECT doc_id, SUM(CAST(round(w * w, 7) AS DECIMAL(28,12))) AS n2
+    FROM mwnz GROUP BY doc_id
+),
+md AS (
+    SELECT c.doc_id,
+           SUM(CAST(round(c.w * q.qw, 7) AS DECIMAL(28,12))) AS dot
+    FROM mwnz c JOIN mq q USING (word)
+    WHERE c.doc_id <> 7 GROUP BY c.doc_id
+),
+ms AS (
+    SELECT d.doc_id,
+           CAST(round(CAST(CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST((SELECT n2 FROM mn WHERE doc_id = 7) AS DOUBLE))
+                    * sqrt(CAST(n.n2 AS DOUBLE))) AS DECIMAL(28,12)), 6)
+                AS DECIMAL(18,6)) AS score
+    FROM md d JOIN mn n USING (doc_id)
+),
+mtop AS (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+    FROM ms
 )
 SELECT 'bm25' AS op, 'spark query hash' AS query, doc_id,
        CAST(CAST(round(CAST(score_dec AS DECIMAL(28,12)), 6)
@@ -391,6 +423,9 @@ UNION ALL
 SELECT 'near3_stored', 'spark query', doc_id, CAST(md AS VARCHAR),
        row_number() OVER (ORDER BY doc_id)
 FROM near WHERE md <= 3
+UNION ALL
+SELECT 'mlt', 'doc:7', doc_id, CAST(score AS VARCHAR), rk
+FROM mtop WHERE rk <= 10
 """,
     tags=("index", "search", "ranked", "serving"),
     doc="Ranked retrieval over the corpus in one labeled result: 'bm25' "
@@ -411,9 +446,16 @@ FROM near WHERE md <= 3
     "query served from the stored positional index "
     "(serving.py proximity_search_stored — pruned read bounded by the "
     "two terms' document frequency; corpus-scan oracle again proves "
-    "losslessness). score is the 6-decimal BM25 score or the min "
-    "token distance; rank is the BM25 rank or a doc_id-ordered row "
-    "number.",
+    "losslessness). 'mlt' rows are more-like-this retrieval — the "
+    "query is a DOCUMENT (doc 7), ranked top-10 by TF-IDF cosine via "
+    "term-at-a-time sparse scoring (index.py more_like_this: the "
+    "query doc's weighted vector broadcasts into a word equi-join "
+    "bounded by its terms' posting lists, idf-0 corpus-wide terms "
+    "dropped on both sides, round-7 decimal dot + decimal-rendered "
+    "cosine so rank and score are order- and engine-independent; "
+    "never a dense all-pairs similarity). score is the 6-decimal "
+    "BM25 score / cosine, or the min token distance; rank is the "
+    "score rank or a doc_id-ordered row number.",
 )
 def q_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import serving as srv
@@ -451,7 +493,19 @@ def q_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.proximity_search_stored(spark, base, "spark", "query", max_dist=3),
         "near3_stored",
     )
-    return bm.unionByName(bm_stored).unionByName(nr).unionByName(nr_stored)
+    mlt = ix.more_like_this(docs, 7, k=10).select(
+        F.lit("mlt").alias("op"),
+        F.lit("doc:7").alias("query"),
+        "doc_id",
+        "score",
+        "rank",
+    )
+    return (
+        bm.unionByName(bm_stored)
+        .unionByName(nr)
+        .unionByName(nr_stored)
+        .unionByName(mlt)
+    )
 
 
 @register(
