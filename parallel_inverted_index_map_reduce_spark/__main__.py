@@ -202,10 +202,22 @@ def _search(args) -> int:
                     f"bm25 {args.bm25!r} #{r['rank']}: "
                     f"doc {r['doc_id']} score {r['score']}"
                 )
+        if args.mlt is not None:
+            ran = True
+            res = (
+                srv.mlt_search_stored(spark, stored, args.mlt, k=args.k)
+                if stored
+                else ix.more_like_this(docs, args.mlt, k=args.k)
+            )
+            for r in res.orderBy("rank").collect():
+                print(
+                    f"mlt doc {args.mlt} #{r['rank']}: "
+                    f"doc {r['doc_id']} cosine {r['score']}"
+                )
         if not ran:
             print(
                 "nothing to do: pass --term/--prefix/--fuzzy/--and/"
-                "--phrase/--near/--bm25",
+                "--phrase/--near/--bm25/--mlt",
                 file=sys.stderr,
             )
             return 2
@@ -643,7 +655,11 @@ def main(argv: list[str] | None = None) -> int:
             "--dist", type=int, default=3, help="NEAR max token distance"
         )
         parser.add_argument("--bm25", help="BM25 ranked free-text query")
-        parser.add_argument("--k", type=int, default=10, help="BM25 top-k")
+        parser.add_argument(
+            "--mlt", type=int, metavar="DOC_ID",
+            help="more-like-this: top-k docs by TF-IDF cosine to this doc",
+        )
+        parser.add_argument("--k", type=int, default=10, help="BM25/mlt top-k")
         return _search(parser.parse_args(argv[1:]))
 
     parser = argparse.ArgumentParser(

@@ -951,10 +951,23 @@ def more_like_this(docs: DataFrame, doc_id: int, k: int = 10) -> DataFrame:
     tokenization feeds the query vector, the candidates, and the norms
     (pinned frame)."""
     n_docs = docs.count()  # driver scalar, broadcast into the plan
-    tf = term_frequencies(docs)
+    weighted = tfidf_weighted(term_frequencies(docs), n_docs).localCheckpoint(
+        eager=False  # feeds query vector, join, norms
+    )
+    norms = tfidf_norms(weighted)
+    return mlt_rank(weighted, norms, doc_id, k=k)
+
+
+def tfidf_weighted(tfr: DataFrame, n_docs: int) -> DataFrame:
+    """(word, doc_id, w) from (word, doc_id, tf) rows: w = tf * idf with
+    idf = round(ln(N/df), 9) (the one libm op, pinned at 9 decimals so
+    every engine lands on the same double) and df from a window over
+    the tf rows — one shuffle shared by tf and df. idf-0 corpus-wide
+    terms are dropped: they cannot move any cosine and they own the
+    largest posting lists."""
     w_df = Window.partitionBy("word")
-    weighted = (
-        tf.withColumn("df", F.count("*").over(w_df))
+    return (
+        tfr.withColumn("df", F.count("*").over(w_df))
         .select(
             "word",
             "doc_id",
@@ -964,15 +977,33 @@ def more_like_this(docs: DataFrame, doc_id: int, k: int = 10) -> DataFrame:
             ).alias("w"),
         )
         .where(F.col("w") != 0.0)
-        .localCheckpoint(eager=False)  # feeds query vector, join, norms
     )
-    qv = weighted.where(F.col("doc_id") == doc_id).select(
-        "word", F.col("w").alias("qw")
-    )
-    norms = weighted.groupBy("doc_id").agg(
+
+
+def tfidf_norms(weighted: DataFrame) -> DataFrame:
+    """(doc_id, n2): squared TF-IDF vector norms as exact decimals
+    (round-7 squares, decimal sum — order-independent, so a stored
+    norms table and an on-the-fly recomputation are bit-identical).
+    ``weighted`` is a (word, doc_id, w) frame with idf-0 terms already
+    dropped."""
+    return weighted.groupBy("doc_id").agg(
         F.sum(
             F.round(F.col("w") * F.col("w"), 7).cast("decimal(28,12)")
         ).alias("n2")
+    )
+
+
+def mlt_rank(
+    weighted: DataFrame, norms: DataFrame, doc_id: int, k: int = 10
+) -> DataFrame:
+    """The more-like-this scoring tail shared by the corpus-scan and
+    stored-index paths: (word, doc_id, w) weighted terms + (doc_id, n2)
+    decimal norms -> (doc_id, score, rank) top-k by TF-IDF cosine.
+    Keeping this ONE implementation is what lets the stored path
+    (operators/serving.py mlt_search_stored) be proven row-identical to
+    the corpus-scan form — only the weight/norm SOURCING differs."""
+    qv = weighted.where(F.col("doc_id") == doc_id).select(
+        "word", F.col("w").alias("qw")
     )
     qn_row = norms.where(F.col("doc_id") == doc_id).first()
     if qn_row is None:

@@ -60,11 +60,14 @@ from .index import (
     chunk_pairs,
     deletion_variants,
     lookup_stored_terms,
+    mlt_rank,
     normalize_query_tokens,
     phrase_adjacency_filter,
     positional_postings,
     proximity_min_filter,
     store_chunked_index,
+    tfidf_norms,
+    tfidf_weighted,
 )
 
 
@@ -140,6 +143,21 @@ def store_search_index(
     # corpus aggregation yields the fingerprint the sidecar stores.
     fp = corpus_fingerprint(docs)
     n_docs = fp["n_docs"]
+    # doc-major transpose (query-by-document access: one doc_id bucket
+    # instead of a word-major full scan) + TF-IDF vector norms for
+    # more-like-this — both derive from the same pinned pos frame
+    docterms = pos.select(
+        "doc_id", "word", F.size("positions").cast("long").alias("tf")
+    )
+    write_bucketed(
+        docterms, f"{base}_docterms", "doc_id", n_buckets, sort_col="doc_id"
+    )
+    norms = tfidf_norms(tfidf_weighted(docterms, n_docs)).select(
+        "doc_id", F.col("n2").cast("decimal(38,12)").alias("n2")
+    )
+    write_bucketed(
+        norms, f"{base}_norms", "doc_id", n_buckets, sort_col="doc_id"
+    )
     stats = spark.table(f"{base}_doclen").agg(
         F.lit(n_docs).cast("long").alias("n_docs"),
         F.coalesce(F.avg("dl"), F.lit(1.0)).alias("avgdl"),
@@ -153,13 +171,17 @@ def store_search_index(
     with open(_meta_path(spark, base), "w") as fh:
         json.dump(
             {
-                "version": 2,
+                "version": 3,
                 "n_buckets": n_buckets,
                 "chunk_size": chunk_size,
                 "fingerprint": fp,
                 # chunks cover the whole corpus on a fresh build; a
                 # deferred extend flips this (see extend_search_index)
                 "chunks_current": True,
+                # norms bake idf in, so ANY extend flips this (df moved)
+                # and compaction rebuilds; stale norms are recomputed
+                # on the fly by mlt_search_stored — slower, never wrong
+                "norms_current": True,
             },
             fh,
         )
@@ -215,49 +237,82 @@ def extend_in_progress(spark: SparkSession, base: str) -> bool:
     return os.path.exists(_extend_marker_path(spark, base))
 
 
+def _swap_paths(
+    spark: SparkSession, base: str, suffix: str
+) -> tuple[str, str, str]:
+    loc = table_location(spark, f"{base}{suffix}")
+    return loc, table_location(spark, f"{base}{suffix}__next"), loc + "__old"
+
+
 def _chunks_swap_paths(spark: SparkSession, base: str) -> tuple[str, str, str]:
-    loc = table_location(spark, f"{base}_chunks")
-    return loc, table_location(spark, f"{base}_chunks__next"), loc + "__old"
+    return _swap_paths(spark, base, "_chunks")
+
+
+# table suffixes replaced via the atomic swap (everything derived-and-
+# rewritten; append-only tables never swap)
+_SWAPPED_SUFFIXES = ("_chunks", "_norms")
 
 
 def recover_chunks_swap(spark: SparkSession, base: str) -> None:
-    """Roll a crashed chunk swap forward. Invariant of the swap
-    protocol (:func:`_replace_chunks_atomic`): the live location is
-    only ever missing AFTER ``__next`` is completely written, so
-    live-missing + __next-present always rolls FORWARD by one rename.
-    Leftover ``__next``/``__old`` directories beside a live store are
-    debris from crashes on either side of the publish point and are
-    deleted. No-op on a healthy store."""
-    loc, next_loc, old_loc = _chunks_swap_paths(spark, base)
-    if not os.path.isdir(loc) and os.path.isdir(next_loc):
-        os.rename(next_loc, loc)
-    if os.path.isdir(loc):
-        _cleanup_swap_leftovers(spark, base)
+    """Roll crashed table swaps forward (chunks AND norms — every
+    derived table replaced via :func:`_replace_table_atomic`).
+    Invariant of the swap protocol: a live location is only ever
+    missing AFTER ``__next`` is completely written, so live-missing +
+    __next-present always rolls FORWARD by one rename. Leftover
+    ``__next``/``__old`` directories beside a live table are debris
+    from crashes on either side of the publish point and are deleted.
+    No-op on a healthy store."""
+    for suffix in _SWAPPED_SUFFIXES:
+        loc, next_loc, _old = _swap_paths(spark, base, suffix)
+        if not os.path.isdir(loc) and os.path.isdir(next_loc):
+            os.rename(next_loc, loc)
+        if os.path.isdir(loc):
+            _cleanup_swap_leftovers(spark, base, suffix)
 
 
-def _cleanup_swap_leftovers(spark: SparkSession, base: str) -> None:
-    _, next_loc, old_loc = _chunks_swap_paths(spark, base)
-    for leftover in (next_loc, old_loc):
-        if os.path.isdir(leftover):
-            shutil.rmtree(leftover)
-
-
-def _replace_chunks_atomic(
-    spark: SparkSession, base: str, merged: DataFrame, n_buckets: int
+def _cleanup_swap_leftovers(
+    spark: SparkSession, base: str, suffix: str | None = None
 ) -> None:
-    """Replace the stored chunks table write-new-then-rename: the new
-    version is COMPLETELY written to ``<chunks>__next`` before the one
+    suffixes = _SWAPPED_SUFFIXES if suffix is None else (suffix,)
+    for sfx in suffixes:
+        _, next_loc, old_loc = _swap_paths(spark, base, sfx)
+        for leftover in (next_loc, old_loc):
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover)
+
+
+def _replace_table_atomic(
+    spark: SparkSession,
+    base: str,
+    suffix: str,
+    merged: DataFrame,
+    n_buckets: int,
+) -> None:
+    """Replace a stored bucketed table write-new-then-rename: the new
+    version is COMPLETELY written to ``<table>__next`` before the one
     destructive step, and the destructive step is two directory renames
     — at every instant at least one complete copy exists on disk
     (proven by the crash-injection sweep in
-    tests/test_serving_lifecycle.py), unlike the previous DROP+rmtree+
-    rewrite whose crash window destroyed the only copy."""
-    next_table = f"{base}_chunks__next"
-    store_chunked_index(merged, next_table, n_buckets=n_buckets)
+    tests/test_serving_lifecycle.py), unlike a DROP+rmtree+rewrite
+    whose crash window destroys the only copy. The bucket/sort/
+    partition spec comes from :func:`_bucketed_specs`, so the rewritten
+    table keeps every pruning property."""
+    table = f"{base}{suffix}"
+    next_table = f"{table}__next"
+    spec = _bucketed_specs(base)[table]
+    _cols, part, bcol = spec
+    write_bucketed(
+        merged,
+        next_table,
+        bcol,
+        n_buckets,
+        sort_col=bcol,
+        partition_cols=("letter",) if part else (),
+    )
     # keep the files, drop the scratch catalog entry (external table)
     spark.sql(f"DROP TABLE IF EXISTS {next_table}")
-    loc, next_loc, old_loc = _chunks_swap_paths(spark, base)
-    spark.sql(f"DROP TABLE IF EXISTS {base}_chunks")
+    loc, next_loc, old_loc = _swap_paths(spark, base, suffix)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
     if os.path.isdir(old_loc):
         shutil.rmtree(old_loc)
     if os.path.isdir(loc):
@@ -265,10 +320,13 @@ def _replace_chunks_atomic(
     os.rename(next_loc, loc)  # the publish point
     if os.path.isdir(old_loc):
         shutil.rmtree(old_loc)
-    _create_stored_table(
-        spark, f"{base}_chunks", _bucketed_specs(base)[f"{base}_chunks"],
-        n_buckets,
-    )
+    _create_stored_table(spark, table, spec, n_buckets)
+
+
+def _replace_chunks_atomic(
+    spark: SparkSession, base: str, merged: DataFrame, n_buckets: int
+) -> None:
+    _replace_table_atomic(spark, base, "_chunks", merged, n_buckets)
 
 
 def _bucketed_specs(base: str) -> dict[str, tuple[str, str, str]]:
@@ -289,6 +347,21 @@ def _bucketed_specs(base: str) -> dict[str, tuple[str, str, str]]:
             "word",
         ),
         f"{base}_doclen": ("(doc_id bigint, dl bigint)", "", "doc_id"),
+        # doc-major transpose: the query-by-document access path (one
+        # bucket per doc) the word-major tables cannot serve; tf only —
+        # no idf baked in, so it stays append-only under extends
+        f"{base}_docterms": (
+            "(doc_id bigint, word string, tf bigint)",
+            "",
+            "doc_id",
+        ),
+        # TF-IDF vector norms; idf IS baked in, so extends flag this
+        # stale (norms_current) and compaction rebuilds it
+        f"{base}_norms": (
+            "(doc_id bigint, n2 decimal(38,12))",
+            "",
+            "doc_id",
+        ),
     }
 
 
@@ -325,7 +398,7 @@ def attach_search_index(spark: SparkSession, base: str) -> None:
     The local stand-in for a metastore-backed lake, where this whole
     function is the metastore's job."""
     recover_chunks_swap(spark, base)
-    tables = [f"{base}{sfx}" for sfx in ("_chunks", "_positions", "_doclen", "_stats")]
+    tables = [f"{base}{sfx}" for sfx in ("_chunks", "_positions", "_doclen", "_docterms", "_norms", "_stats")]
     registered = [t for t in tables if spark.catalog.tableExists(t)]
     if len(registered) == len(tables):
         return
@@ -384,7 +457,7 @@ def ensure_search_index(
     - nothing on disk / verification fails: full rebuild.
     """
     spark = docs.sparkSession
-    tables = [f"{base}{sfx}" for sfx in ("_chunks", "_positions", "_doclen", "_stats")]
+    tables = [f"{base}{sfx}" for sfx in ("_chunks", "_positions", "_doclen", "_docterms", "_norms", "_stats")]
     if all(spark.catalog.tableExists(t) for t in tables) and not (
         extend_in_progress(spark, base)
     ):
@@ -619,6 +692,68 @@ def fuzzy_term_search_stored(
     )
     words = sorted(r["word"] for r in matched.collect())
     return stored_term_postings(spark, base, words)
+
+
+def norms_current(spark: SparkSession, base: str) -> bool:
+    """False when any extend has run since the norms table was built —
+    norms bake idf in, and every ingested document moves df. Stale
+    norms are recomputed on the fly by :func:`mlt_search_stored`
+    (slower, never wrong) until :func:`compact_search_index` rebuilds
+    the table. Absent flag (pre-v3 sidecars) means current."""
+    return bool(_read_meta(spark, base).get("norms_current", True))
+
+
+def mlt_search_stored(
+    spark: SparkSession, base: str, doc_id: int, k: int = 10
+) -> DataFrame:
+    """(doc_id, score, rank): index.py more_like_this served from the
+    stored layout — same mlt_rank scoring tail, so row-identical by
+    construction; only the weight/norm sourcing differs:
+
+    - the query document's WORDS come from the doc-major docterms table
+      (ONE doc_id bucket — the access path the word-major tables cannot
+      serve), collected as a doc-length-bounded driver scalar;
+    - candidate weights come from the positions table pruned to those
+      words (tf = size(positions)) joined with their df from
+      stored_term_postings (itself chunk- or positions-served, so a
+      stale chunks table cannot skew df);
+    - norms come from the precomputed norms table when current, else
+      recomputed on the fly from docterms + stats
+      (:func:`_stored_weighted_terms` — bit-identical values, the
+      decimal-sum discipline makes recomputation reproducible).
+
+    Per-query cost when everything is current: one doc_id bucket read +
+    the query terms' pruned positional buckets + one bucketed norms
+    join — never a corpus re-tokenization."""
+    qwords = sorted(
+        r["word"]
+        for r in spark.table(f"{base}_docterms")
+        .where(F.col("doc_id") == doc_id)
+        .select("word")
+        .collect()
+    )
+    dfmap = stored_term_postings(spark, base, qwords).select("word", "df")
+    n_docs = int(spark.table(f"{base}_stats").first()["n_docs"])
+    cand = _positions_for(spark, base, set(qwords)).select(
+        "word", "doc_id", F.size("positions").cast("long").alias("tf")
+    )
+    weighted = (
+        cand.join(F.broadcast(dfmap), "word")
+        .select(
+            "word",
+            "doc_id",
+            (
+                F.col("tf")
+                * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 9)
+            ).alias("w"),
+        )
+        .where(F.col("w") != 0.0)
+    )
+    if norms_current(spark, base):
+        norms = spark.table(f"{base}_norms")
+    else:
+        norms = tfidf_norms(_stored_weighted_terms(spark, base))
+    return mlt_rank(weighted, norms, doc_id, k=k)
 
 
 def boolean_search_stored(
@@ -1246,6 +1381,20 @@ def extend_search_index(
         .sortBy("doc_id")
         .saveAsTable(f"{base}_doclen")
     )
+    # doc-major transpose: tf only (no idf baked in), so the extend is a
+    # pure bucketed append here too
+    new_docterms = new_pos.select(
+        "doc_id", "word", F.size("positions").cast("long").alias("tf")
+    )
+    loc = table_location(spark, f"{base}_docterms")
+    (
+        new_docterms.write.format("parquet")
+        .mode("append")
+        .option("path", loc)
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(f"{base}_docterms")
+    )
     if merged is not None:
         _replace_chunks_atomic(spark, base, merged, n_buckets)
     old = spark.table(f"{base}_stats").first()
@@ -1264,34 +1413,62 @@ def extend_search_index(
     # merged is None  -> this extend deferred: chunks now lag positions;
     # merged written  -> chunks cover everything again (incl. catch-up)
     meta["chunks_current"] = merged is not None
+    # norms bake idf in and EVERY extend moves df, so norms always go
+    # stale here — recomputing them is a corpus-scale aggregation, the
+    # exact cost class deferral exists to keep out of the ingest path;
+    # mlt_search_stored recomputes on the fly until compaction
+    meta["norms_current"] = False
     with open(_meta_path(spark, base), "w") as fh:
         json.dump(meta, fh)
     _clear_extend_marker(spark, base)
 
 
 def compact_search_index(spark: SparkSession, base: str) -> None:
-    """Rebuild the chunks table from the positions table and restore
-    the fast chunk-served lookup path — the scheduled compaction that
-    pairs with ``extend_search_index(defer_chunks=True)``. No-op when
-    chunks are already current.
+    """Rebuild the DERIVED tables from the positions table and restore
+    every fast lookup path — the scheduled compaction that pairs with
+    :func:`extend_search_index`: chunks when a deferred extend left
+    them lagging, norms after ANY extend (idf moved). No-op when both
+    are current.
 
-    The rebuild reads ONE projection (word, doc_id) of positions —
-    already distinct by construction — through the same spillable
-    chunking as a from-scratch build, and publishes via the atomic
-    __next-then-rename swap, so a crash at any point leaves a complete
-    chunks table on disk. The sidecar flag flips only AFTER the swap:
-    a crash between the two leaves fresh chunks still flagged stale —
-    queries stay correct on the positions path and the next compaction
-    (or non-deferred extend) clears it; never the reverse state, where
-    a stale table would be trusted."""
+    Each rebuild reads one projection of positions — already distinct
+    by construction — through the same derivations as a from-scratch
+    build, and publishes via the atomic __next-then-rename swap, so a
+    crash at any point leaves a complete table on disk. The sidecar
+    flags flip only AFTER the swaps: a crash between leaves fresh
+    tables still flagged stale — queries stay correct on the fallback
+    paths and the next compaction clears it; never the reverse state,
+    where a stale table would be trusted."""
     meta = _read_meta(spark, base)
-    if meta.get("chunks_current", True):
-        return
-    merged = chunk_pairs(
-        spark.table(f"{base}_positions").select("word", "doc_id"),
-        chunk_size=int(meta["chunk_size"]),
-    ).localCheckpoint()
-    _replace_chunks_atomic(spark, base, merged, int(meta["n_buckets"]))
-    meta["chunks_current"] = True
-    with open(_meta_path(spark, base), "w") as fh:
-        json.dump(meta, fh)
+    n_buckets = int(meta["n_buckets"])
+    changed = False
+    if not meta.get("chunks_current", True):
+        merged = chunk_pairs(
+            spark.table(f"{base}_positions").select("word", "doc_id"),
+            chunk_size=int(meta["chunk_size"]),
+        ).localCheckpoint()
+        _replace_chunks_atomic(spark, base, merged, n_buckets)
+        meta["chunks_current"] = True
+        changed = True
+    if not meta.get("norms_current", True):
+        norms = (
+            tfidf_norms(_stored_weighted_terms(spark, base))
+            .select("doc_id", F.col("n2").cast("decimal(38,12)").alias("n2"))
+            .localCheckpoint()
+        )
+        _replace_table_atomic(spark, base, "_norms", norms, n_buckets)
+        meta["norms_current"] = True
+        changed = True
+    if changed:
+        with open(_meta_path(spark, base), "w") as fh:
+            json.dump(meta, fh)
+
+
+def _stored_weighted_terms(spark: SparkSession, base: str) -> DataFrame:
+    """(word, doc_id, w) TF-IDF weighted terms derived on the fly from
+    the stored docterms table + the stats row — the norms-rebuild source
+    and the stale-norms query fallback, sharing index.tfidf_weighted so
+    values are bit-identical to a fresh build's."""
+    n_docs = int(spark.table(f"{base}_stats").first()["n_docs"])
+    return tfidf_weighted(
+        spark.table(f"{base}_docterms").select("word", "doc_id", "tf"), n_docs
+    )

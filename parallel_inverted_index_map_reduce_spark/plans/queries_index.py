@@ -426,6 +426,9 @@ FROM near WHERE md <= 3
 UNION ALL
 SELECT 'mlt', 'doc:7', doc_id, CAST(score AS VARCHAR), rk
 FROM mtop WHERE rk <= 10
+UNION ALL
+SELECT 'mlt_stored', 'doc:7', doc_id, CAST(score AS VARCHAR), rk
+FROM mtop WHERE rk <= 10
 """,
     tags=("index", "search", "ranked", "serving"),
     doc="Ranked retrieval over the corpus in one labeled result: 'bm25' "
@@ -453,9 +456,15 @@ FROM mtop WHERE rk <= 10
     "bounded by its terms' posting lists, idf-0 corpus-wide terms "
     "dropped on both sides, round-7 decimal dot + decimal-rendered "
     "cosine so rank and score are order- and engine-independent; "
-    "never a dense all-pairs similarity). score is the 6-decimal "
-    "BM25 score / cosine, or the min token distance; rank is the "
-    "score rank or a doc_id-ordered row number.",
+    "never a dense all-pairs similarity), and 'mlt_stored' rows are "
+    "the SAME retrieval served from the persisted layout "
+    "(serving.py mlt_search_stored: the query doc's words from ONE "
+    "doc_id bucket of the doc-major docterms table, candidate weights "
+    "from the pruned positions buckets, norms from the precomputed "
+    "norms table — corpus-scan oracle again, so the hash match proves "
+    "the stored path and its precomputed norms lossless). score is "
+    "the 6-decimal BM25 score / cosine, or the min token distance; "
+    "rank is the score rank or a doc_id-ordered row number.",
 )
 def q_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import serving as srv
@@ -493,18 +502,25 @@ def q_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.proximity_search_stored(spark, base, "spark", "query", max_dist=3),
         "near3_stored",
     )
-    mlt = ix.more_like_this(docs, 7, k=10).select(
-        F.lit("mlt").alias("op"),
-        F.lit("doc:7").alias("query"),
-        "doc_id",
-        "score",
-        "rank",
+    def mlt_rows(df: DataFrame, label: str) -> DataFrame:
+        return df.select(
+            F.lit(label).alias("op"),
+            F.lit("doc:7").alias("query"),
+            "doc_id",
+            "score",
+            "rank",
+        )
+
+    mlt = mlt_rows(ix.more_like_this(docs, 7, k=10), "mlt")
+    mlt_stored = mlt_rows(
+        srv.mlt_search_stored(spark, base, 7, k=10), "mlt_stored"
     )
     return (
         bm.unionByName(bm_stored)
         .unionByName(nr)
         .unionByName(nr_stored)
         .unionByName(mlt)
+        .unionByName(mlt_stored)
     )
 
 

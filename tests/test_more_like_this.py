@@ -70,3 +70,72 @@ def test_missing_or_stopword_only_doc_is_loud(spark):
     )
     with pytest.raises(ValueError, match="no weighted terms"):
         more_like_this(docs2, 0, k=3)
+
+
+# --------------------------------------------------------------------------
+# stored form: fresh store, stale-norms store, compacted store
+# --------------------------------------------------------------------------
+
+
+def test_mlt_stored_lifecycle_matches_scan(spark):
+    """The stored MLT path through its whole lifecycle: fresh build
+    (precomputed norms), post-extend (norms stale -> on-the-fly
+    fallback, correct over the FULL corpus including the new docs),
+    post-compact (norms table again), and a query BY a newly ingested
+    document."""
+    from parallel_inverted_index_map_reduce_spark.operators import serving as srv
+
+    base = "mltstore"
+    docs = load_table(spark, SF_ORACLE, "documents").where(F.col("doc_id") < 80)
+    srv.store_search_index(docs, base, n_buckets=4, chunk_size=16)
+    assert srv.norms_current(spark, base)
+    assert _rows(srv.mlt_search_stored(spark, base, 7, k=10)) == _rows(
+        more_like_this(docs, 7, k=10)
+    )
+
+    new = load_table(spark, SF_ORACLE, "documents").where(
+        (F.col("doc_id") >= 80) & (F.col("doc_id") < 120)
+    )
+    srv.extend_search_index(spark, base, new)  # NON-deferred still stales norms
+    assert not srv.norms_current(spark, base)
+    combined = docs.unionByName(new)
+    stale = _rows(srv.mlt_search_stored(spark, base, 7, k=10))
+    assert stale == _rows(more_like_this(combined, 7, k=10))
+    # query BY an ingested doc (its docterms rows came from the append)
+    assert _rows(srv.mlt_search_stored(spark, base, 85, k=5)) == _rows(
+        more_like_this(combined, 85, k=5)
+    )
+
+    srv.compact_search_index(spark, base)
+    assert srv.norms_current(spark, base)
+    assert _rows(srv.mlt_search_stored(spark, base, 7, k=10)) == stale
+
+
+def test_mlt_stored_missing_doc_is_loud(spark):
+    from parallel_inverted_index_map_reduce_spark.operators import serving as srv
+
+    base = "mltmiss"
+    docs = load_table(spark, SF_ORACLE, "documents").where(F.col("doc_id") < 40)
+    srv.store_search_index(docs, base, n_buckets=4, chunk_size=16)
+    with pytest.raises(ValueError, match="no weighted terms"):
+        srv.mlt_search_stored(spark, base, 99999, k=3)
+
+
+def test_mlt_stored_norms_rebuild_is_bit_identical(spark):
+    """compact's norms rebuild from docterms must reproduce the build's
+    norms exactly (the decimal-sum discipline's whole point) — compare
+    the stored tables of an extended+compacted store and a from-scratch
+    store over the same corpus."""
+    from parallel_inverted_index_map_reduce_spark.operators import serving as srv
+
+    a = load_table(spark, SF_ORACLE, "documents").where(F.col("doc_id") < 50)
+    b = load_table(spark, SF_ORACLE, "documents").where(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 90)
+    )
+    srv.store_search_index(a, "mltinc", n_buckets=4, chunk_size=16)
+    srv.extend_search_index(spark, "mltinc", b)
+    srv.compact_search_index(spark, "mltinc")
+    srv.store_search_index(a.unionByName(b), "mltref", n_buckets=4, chunk_size=16)
+    got = sorted(tuple(r) for r in spark.table("mltinc_norms").collect())
+    want = sorted(tuple(r) for r in spark.table("mltref_norms").collect())
+    assert got == want
