@@ -224,3 +224,80 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
     return toks.groupBy("doc_id").agg(
         (F.sum(term) % F.lit(FP_PRIME)).alias("fingerprint")
     )
+
+
+def collocations_pmi(
+    docs: DataFrame, window: int = 3, min_count: int = 2
+) -> DataFrame:
+    """(word_a, word_b, n_pair, pmi): collocation mining by pointwise
+    mutual information over co-occurrence windows — word pairs that
+    appear together far more often than their individual frequencies
+    predict (Church & Hanks 1990).
+
+    Pair generation is ONE composite equi-join, never a per-document
+    cross join: each token explodes into its ``window`` following
+    positions ((doc_id, npos + d) keys) and joins the token stream on
+    the exact (doc_id, npos) key, so the pair count is |tokens| *
+    window rows flowing through a hash join regardless of document
+    length. Pairs canonicalize (least, greatest) so both orders merge;
+    self-pairs drop.
+
+    pmi = ln( (n_ab / P) / ((n_a / T) * (n_b / T)) ) with T = total
+    tokens, P = total (non-self) co-occurrence slots — computed as the
+    integer ratio (n_ab * T * T) / (P * n_a * n_b) in a fixed
+    parenthesization of correctly-rounded double ops, then round-9 ln
+    and the decimal render, so both engines print the same value. T and
+    P are driver scalars broadcast into the plan (the tf_idf pattern);
+    counting P doubles as the eager pin of the pairs frame the final
+    groupBy reuses."""
+    from .index import positional_tokens
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    ntoks = positional_tokens(docs).localCheckpoint(eager=False)
+    ahead = ntoks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("npos") + 1, F.col("npos") + window)
+        ).alias("npos"),
+        F.col("word").alias("wa"),
+    )
+    pairs = (
+        ahead.join(
+            ntoks.select("doc_id", "npos", F.col("word").alias("wb")),
+            ["doc_id", "npos"],
+        )
+        .where(F.col("wa") != F.col("wb"))
+        .select(
+            F.least("wa", "wb").alias("word_a"),
+            F.greatest("wa", "wb").alias("word_b"),
+        )
+        .localCheckpoint(eager=False)  # pinned by the P count below
+    )
+    t_total = float(ntoks.count())
+    p_total = float(pairs.count())  # also materializes the checkpoint
+    uni = ntoks.groupBy("word").agg(F.count("*").cast("long").alias("n_uni"))
+    grouped = (
+        pairs.groupBy("word_a", "word_b")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    scored = grouped.join(
+        uni.select(F.col("word").alias("word_a"), F.col("n_uni").alias("n_a")),
+        "word_a",
+    ).join(
+        uni.select(F.col("word").alias("word_b"), F.col("n_uni").alias("n_b")),
+        "word_b",
+    )
+    num = (F.col("n_pair").cast("double") * F.lit(t_total)) * F.lit(t_total)
+    den = (F.lit(p_total) * F.col("n_a").cast("double")) * F.col(
+        "n_b"
+    ).cast("double")
+    from ..plans.exprs import stable_round6
+
+    return scored.select(
+        "word_a",
+        "word_b",
+        "n_pair",
+        stable_round6(F.round(F.log(num / den), 9)).alias("pmi"),
+    )

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from ..operators import multimodal as mm
 from ..operators import textstats as ts
 from ..sources.tables import load_table
+from .exprs import sql_stable_round6
 from .queries_dedup import TOKS_POS_CTE
 from .registry import register
 
@@ -131,21 +132,97 @@ def q_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.language_guess(_docs(spark, sf_dir))
 
 
+_PMI_WINDOW = 3
+_PMI_MIN_COUNT = 2
+
+
 @register(
     "doc_fingerprints",
     oracle="WITH "
     + TOKS_POS_CTE
-    + """
-SELECT doc_id,
+    + rf"""
+, ntk AS (
+    SELECT doc_id, word,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS npos
+    FROM (
+        SELECT doc_id,
+               regexp_replace(lower(tok), '[^a-z]', '', 'g') AS word, pos
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(text, '\s+')) AS tok,
+                   unnest(range(0, len(string_split_regex(text, '\s+')))) AS pos
+            FROM documents
+        )
+        WHERE regexp_replace(lower(tok), '[^a-z]', '', 'g') <> ''
+    )
+),
+apairs AS (
+    SELECT least(a.word, b.word) AS word_a, greatest(a.word, b.word) AS word_b
+    FROM ntk a JOIN ntk b
+      ON b.doc_id = a.doc_id
+     AND b.npos BETWEEN a.npos + 1 AND a.npos + {_PMI_WINDOW}
+    WHERE a.word <> b.word
+),
+tt AS (SELECT count(*) AS t FROM ntk),
+pt AS (SELECT count(*) AS p FROM apairs),
+un AS (SELECT word, count(*) AS n FROM ntk GROUP BY word),
+grp AS (
+    SELECT word_a, word_b, count(*) AS n_pair
+    FROM apairs GROUP BY 1, 2 HAVING count(*) >= {_PMI_MIN_COUNT}
+),
+pmis AS (
+    SELECT g.word_a, g.word_b, g.n_pair,
+           {sql_stable_round6(
+               "round(ln(((CAST(g.n_pair AS DOUBLE) * CAST(tt.t AS DOUBLE))"
+               " * CAST(tt.t AS DOUBLE))"
+               " / ((CAST(pt.p AS DOUBLE) * CAST(ua.n AS DOUBLE))"
+               " * CAST(ub.n AS DOUBLE))), 9)"
+           )} AS pmi
+    FROM grp g
+    CROSS JOIN tt CROSS JOIN pt
+    JOIN un ua ON ua.word = g.word_a
+    JOIN un ub ON ub.word = g.word_b
+)
+SELECT 'fp' AS op, CAST(doc_id AS VARCHAR) AS key_a, '' AS key_b,
        CAST(sum((pos + 1) * (CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
-                             % 1000003)) % 1000000007 AS BIGINT) AS fingerprint
+                             % 1000003)) % 1000000007 AS BIGINT) AS n,
+       '' AS metric
 FROM tokpos GROUP BY doc_id
+UNION ALL
+SELECT 'pmi', word_a, word_b, CAST(n_pair AS BIGINT), pmi FROM pmis
 """,
-    tags=("text",),
-    doc="Position-weighted rolling-hash document fingerprint.",
+    tags=("text", "collocations"),
+    doc="Document/corpus text fingerprinting in one labeled result: "
+    "'fp' rows are the position-weighted rolling-hash document "
+    "fingerprint (order-sensitive yet a plain aggregate), 'pmi' rows "
+    "are collocation mining by pointwise mutual information "
+    "(operators/textstats.py collocations_pmi, Church & Hanks 1990) "
+    "over 3-token co-occurrence windows with min support 2 — pair "
+    "generation is one composite (doc_id, position) equi-join (each "
+    "token explodes into its following window positions), never a "
+    "per-document cross join, and the PMI value is a fixed "
+    "parenthesization of integer-ratio double ops + round-9 ln, so "
+    "the oracle reproduces it bit-for-bit.",
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts.doc_fingerprints(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    fp = ts.doc_fingerprints(docs).select(
+        F.lit("fp").alias("op"),
+        F.col("doc_id").cast("string").alias("key_a"),
+        F.lit("").alias("key_b"),
+        F.col("fingerprint").cast("long").alias("n"),
+        F.lit("").alias("metric"),
+    )
+    pmi = ts.collocations_pmi(
+        docs, window=_PMI_WINDOW, min_count=_PMI_MIN_COUNT
+    ).select(
+        F.lit("pmi").alias("op"),
+        F.col("word_a").alias("key_a"),
+        F.col("word_b").alias("key_b"),
+        F.col("n_pair").cast("long").alias("n"),
+        F.col("pmi").alias("metric"),
+    )
+    return fp.unionByName(pmi)
 
 
 @register(

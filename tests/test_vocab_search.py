@@ -262,3 +262,64 @@ def test_stored_paths_follow_deferred_extend(spark, vocab_store):
         )
         == stale_bool
     )
+
+
+# --------------------------------------------------------------------------
+# collocations: PMI over co-occurrence windows
+# --------------------------------------------------------------------------
+
+
+def test_pmi_collocation_semantics(spark):
+    """A pair that always co-occurs must out-score pairs that co-occur
+    by chance; pairs beyond the window or under min support drop."""
+    from parallel_inverted_index_map_reduce_spark.operators.textstats import (
+        collocations_pmi,
+    )
+
+    rows = [
+        (0, "hong kong alpha beta gamma"),
+        (1, "delta hong kong epsilon"),
+        (2, "alpha delta hong kong"),
+        (3, "beta gamma epsilon alpha"),
+        (4, "gamma far1 far2 far3 beta"),  # beta/gamma 4 apart: outside w=3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["word_a"], r["word_b"]): (r["n_pair"], float(r["pmi"]))
+        for r in collocations_pmi(docs, window=3, min_count=2).collect()
+    }
+    assert ("hong", "kong") in got and got[("hong", "kong")][0] == 3
+    # the inseparable pair scores above every other surviving pair
+    top = max(got, key=lambda k: got[k][1])
+    assert top == ("hong", "kong")
+    # beta/gamma co-occur within the window only twice (docs 0 and 3);
+    # doc 4's occurrence is 4 positions apart and must not count
+    assert got[("beta", "gamma")][0] == 2
+    # singleton co-occurrences are filtered by min_count
+    assert all(n >= 2 for n, _ in got.values())
+
+
+def test_pmi_partition_invariance(spark):
+    from parallel_inverted_index_map_reduce_spark.operators.textstats import (
+        collocations_pmi,
+    )
+    from parallel_inverted_index_map_reduce_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents").where(F.col("doc_id") < 60)
+    a = sorted(map(tuple, collocations_pmi(docs).collect()))
+    b = sorted(
+        map(tuple, collocations_pmi(docs.repartition(11, "doc_id")).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_pmi_rejects_bad_window(spark):
+    from parallel_inverted_index_map_reduce_spark.operators.textstats import (
+        collocations_pmi,
+    )
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        collocations_pmi(docs, window=0)
