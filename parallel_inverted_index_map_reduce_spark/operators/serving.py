@@ -117,6 +117,10 @@ def store_search_index(
         pass
     pos = (
         positional_postings(docs)
+        # tf as a stored column: consumers that only need term counts
+        # (more-like-this candidates) read a long column instead of
+        # materializing the positions arrays
+        .withColumn("tf", F.size("positions").cast("long"))
         .withColumn("letter", F.substring("word", 1, 1))
         .localCheckpoint(eager=False)
     )
@@ -146,9 +150,7 @@ def store_search_index(
     # doc-major transpose (query-by-document access: one doc_id bucket
     # instead of a word-major full scan) + TF-IDF vector norms for
     # more-like-this — both derive from the same pinned pos frame
-    docterms = pos.select(
-        "doc_id", "word", F.size("positions").cast("long").alias("tf")
-    )
+    docterms = pos.select("doc_id", "word", "tf")
     write_bucketed(
         docterms, f"{base}_docterms", "doc_id", n_buckets, sort_col="doc_id"
     )
@@ -171,7 +173,7 @@ def store_search_index(
     with open(_meta_path(spark, base), "w") as fh:
         json.dump(
             {
-                "version": 3,
+                "version": 4,
                 "n_buckets": n_buckets,
                 "chunk_size": chunk_size,
                 "fingerprint": fp,
@@ -342,7 +344,7 @@ def _bucketed_specs(base: str) -> dict[str, tuple[str, str, str]]:
         ),
         f"{base}_positions": (
             "(word string, doc_id bigint, positions array<int>, "
-            "letter string)",
+            "tf bigint, letter string)",
             "PARTITIONED BY (letter)",
             "word",
         ),
@@ -408,7 +410,16 @@ def attach_search_index(spark: SparkSession, base: str) -> None:
     # no-opping on the first table's existence
     for t in registered:
         spark.sql(f"DROP TABLE {t}")
-    n = int(_read_meta(spark, base)["n_buckets"])
+    meta = _read_meta(spark, base)
+    if int(meta.get("version", 1)) < 4:
+        # pre-v4 layouts lack the docterms/norms tables and the
+        # positions tf column — attaching them through the v4 DDL would
+        # silently read nulls; refuse so ensure_search_index rebuilds
+        raise FileNotFoundError(
+            f"store '{base}' predates the v4 layout "
+            "(no docterms/norms/tf) — rebuild with store_search_index"
+        )
+    n = int(meta["n_buckets"])
     for table, spec in _bucketed_specs(base).items():
         _create_stored_table(spark, table, spec, n)
     loc = table_location(spark, f"{base}_stats")
@@ -714,9 +725,10 @@ def mlt_search_stored(
       (ONE doc_id bucket — the access path the word-major tables cannot
       serve), collected as a doc-length-bounded driver scalar;
     - candidate weights come from the positions table pruned to those
-      words (tf = size(positions)) joined with their df from
-      stored_term_postings (itself chunk- or positions-served, so a
-      stale chunks table cannot skew df);
+      words (tf = size(positions)), with df derived from the SAME
+      pruned rows (positions holds every (word, doc) pair for the
+      query words, so a df window over the candidates is exact — no
+      separate df lookup, no extra job, immune to chunk staleness);
     - norms come from the precomputed norms table when current, else
       recomputed on the fly from docterms + stats
       (:func:`_stored_weighted_terms` — bit-identical values, the
@@ -732,23 +744,13 @@ def mlt_search_stored(
         .select("word")
         .collect()
     )
-    dfmap = stored_term_postings(spark, base, qwords).select("word", "df")
     n_docs = int(spark.table(f"{base}_stats").first()["n_docs"])
     cand = _positions_for(spark, base, set(qwords)).select(
-        "word", "doc_id", F.size("positions").cast("long").alias("tf")
+        "word", "doc_id", "tf"  # stored long column; arrays never read
     )
-    weighted = (
-        cand.join(F.broadcast(dfmap), "word")
-        .select(
-            "word",
-            "doc_id",
-            (
-                F.col("tf")
-                * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 9)
-            ).alias("w"),
-        )
-        .where(F.col("w") != 0.0)
-    )
+    # pinned: the weighted frame feeds the query-vector branch AND the
+    # dot branch inside mlt_rank (the scan path's discipline)
+    weighted = tfidf_weighted(cand, n_docs).localCheckpoint(eager=False)
     if norms_current(spark, base):
         norms = spark.table(f"{base}_norms")
     else:
@@ -1331,6 +1333,7 @@ def extend_search_index(
     # positions, doclen, AND the chunk merge's new-pairs side
     new_pos = (
         positional_postings(new_docs)
+        .withColumn("tf", F.size("positions").cast("long"))
         .withColumn("letter", F.substring("word", 1, 1))
         .localCheckpoint(eager=False)
     )
@@ -1383,9 +1386,7 @@ def extend_search_index(
     )
     # doc-major transpose: tf only (no idf baked in), so the extend is a
     # pure bucketed append here too
-    new_docterms = new_pos.select(
-        "doc_id", "word", F.size("positions").cast("long").alias("tf")
-    )
+    new_docterms = new_pos.select("doc_id", "word", "tf")
     loc = table_location(spark, f"{base}_docterms")
     (
         new_docterms.write.format("parquet")
