@@ -552,9 +552,16 @@ def bm25_from_frames(
     words = sorted(set(normalize_query_tokens(query)))
     if not words:
         raise ValueError(f"query normalizes to nothing: {query!r}")
-    tf = pruned_positions(positions, set(words)).select(
-        "word", "doc_id", F.size("positions").cast("long").alias("tf")
+    pruned = pruned_positions(positions, set(words))
+    # v4 stores carry tf as a column — the pruned read then never
+    # materializes the positions arrays; older frames (streamed
+    # snapshots) derive it from the arrays as before
+    tf_col = (
+        F.col("tf").cast("long")
+        if "tf" in pruned.columns
+        else F.size("positions").cast("long")
     )
+    tf = pruned.select("word", "doc_id", tf_col.alias("tf"))
     return bm25_rank(tf, doclen, n_docs, avgdl, k1=k1, b=b, k=k)
 
 
@@ -737,24 +744,56 @@ def mlt_search_stored(
     Per-query cost when everything is current: one doc_id bucket read +
     the query terms' pruned positional buckets + one bucketed norms
     join — never a corpus re-tokenization."""
+    norms = (
+        spark.table(f"{base}_norms")
+        if norms_current(spark, base)
+        else None  # recomputed from docterms inside mlt_from_frames
+    )
+    return mlt_from_frames(
+        spark.table(f"{base}_docterms"),
+        spark.table(f"{base}_positions"),
+        int(spark.table(f"{base}_stats").first()["n_docs"]),
+        doc_id,
+        k=k,
+        norms=norms,
+    )
+
+
+def mlt_from_frames(
+    docterms: DataFrame,
+    positions: DataFrame,
+    n_docs: int,
+    doc_id: int,
+    k: int = 10,
+    norms: DataFrame | None = None,
+) -> DataFrame:
+    """The frame-parameterized more-like-this body (see
+    bm25_from_frames): ``docterms`` is any (doc_id, word, tf) frame,
+    ``positions`` any letter-partitioned positional frame (with or
+    without the v4 ``tf`` column), so the stored-table path and the
+    streamed-snapshot path share one implementation. ``norms`` is the
+    precomputed (doc_id, n2) decimal frame when one exists and is
+    current; None recomputes norms from ``docterms`` on the fly —
+    bit-identical by the decimal-sum discipline, just one extra
+    aggregation."""
     qwords = sorted(
         r["word"]
-        for r in spark.table(f"{base}_docterms")
-        .where(F.col("doc_id") == doc_id)
+        for r in docterms.where(F.col("doc_id") == doc_id)
         .select("word")
         .collect()
     )
-    n_docs = int(spark.table(f"{base}_stats").first()["n_docs"])
-    cand = _positions_for(spark, base, set(qwords)).select(
-        "word", "doc_id", "tf"  # stored long column; arrays never read
+    pruned = pruned_positions(positions, set(qwords))
+    tf_col = (
+        F.col("tf").cast("long")
+        if "tf" in pruned.columns
+        else F.size("positions").cast("long")
     )
+    cand = pruned.select("word", "doc_id", tf_col.alias("tf"))
     # pinned: the weighted frame feeds the query-vector branch AND the
     # dot branch inside mlt_rank (the scan path's discipline)
     weighted = tfidf_weighted(cand, n_docs).localCheckpoint(eager=False)
-    if norms_current(spark, base):
-        norms = spark.table(f"{base}_norms")
-    else:
-        norms = tfidf_norms(_stored_weighted_terms(spark, base))
+    if norms is None:
+        norms = tfidf_norms(tfidf_weighted(docterms, n_docs))
     return mlt_rank(weighted, norms, doc_id, k=k)
 
 

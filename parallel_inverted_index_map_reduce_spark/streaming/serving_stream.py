@@ -47,6 +47,7 @@ from . import sinks as eo
 ARTIFACTS = {
     "positions": "word string, doc_id bigint, positions array<int>, letter string",
     "doclen": "doc_id long, dl bigint",
+    "docterms": "doc_id long, word string, tf bigint",
     "chunks": (
         "word string, chunk_id bigint, df bigint, "
         "postings array<bigint>, letter string"
@@ -97,14 +98,18 @@ def start_incremental_serving(
         new_dl = new_pos.groupBy("doc_id").agg(
             F.sum(F.size("positions")).cast("long").alias("dl")
         )
+        new_dt = new_pos.select(
+            "doc_id", "word", F.size("positions").cast("long").alias("tf")
+        )
         n_batch = batch.count()
         if prev is None:
-            pos, dl = new_pos, new_dl
+            pos, dl, dt = new_pos, new_dl, new_dt
             chunks = ix.chunk_pairs(new_pairs, chunk_size=chunk_size)
             n_docs = n_batch
         else:
             pos = prev["positions"].unionByName(new_pos)
             dl = prev["doclen"].unionByName(new_dl)
+            dt = prev["docterms"].unionByName(new_dt)
             chunks = ix.merge_index_chunked(
                 prev["chunks"], batch, chunk_size=chunk_size,
                 new_pairs=new_pairs,
@@ -116,6 +121,11 @@ def start_incremental_serving(
             os.path.join(out, "positions")
         )
         dl.write.mode("overwrite").parquet(os.path.join(out, "doclen"))
+        # doc-major transpose, a pass-through union like doclen — norms
+        # are NOT snapshotted: they bake idf, which every batch moves,
+        # so the streamed MLT recomputes them at query time (the same
+        # stale-norms fallback the batch store uses between compactions)
+        dt.write.mode("overwrite").parquet(os.path.join(out, "docterms"))
         chunks.write.mode("overwrite").partitionBy("letter").parquet(
             os.path.join(out, "chunks")
         )
@@ -179,3 +189,25 @@ def phrase_search_version(
     if v is None:
         raise FileNotFoundError(f"no committed serving version in {store_dir}")
     return phrase_from_frames(v["positions"], phrase)
+
+
+def mlt_search_version(
+    spark: SparkSession, store_dir: str, doc_id: int, k: int = 10
+) -> DataFrame:
+    """More-like-this served from the latest committed streamed
+    snapshot — the same frame-parameterized body as the stored-table
+    path (serving.mlt_from_frames); norms recompute from the docterms
+    snapshot at query time (idf moves every batch, so a norms snapshot
+    would be stale the moment the next batch lands)."""
+    from ..operators.serving import mlt_from_frames
+
+    v = read_serving_version(spark, store_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed serving version in {store_dir}")
+    return mlt_from_frames(
+        v["docterms"],
+        v["positions"],
+        int(v["stats"].first()["n_docs"]),
+        doc_id,
+        k=k,
+    )

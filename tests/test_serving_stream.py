@@ -54,6 +54,16 @@ def test_streamed_serving_converges_and_serves(spark, tmp_path):
     want_ph = phrase_search(docs, "spark query")
     assert _rows(got_ph) == _rows(want_ph)
 
+    # streamed MLT answers exactly what the corpus-scan operator answers
+    # on the full corpus (norms recomputed from the docterms snapshot)
+    from parallel_inverted_index_map_reduce_spark.operators.index import (
+        more_like_this,
+    )
+
+    got_mlt = svs.mlt_search_version(spark, store, 7, k=10)
+    want_mlt = more_like_this(docs, 7, k=10)
+    assert _rows(got_mlt) == _rows(want_mlt) and _rows(got_mlt)
+
     # snapshot positions keep the letter partitioning -> pruned reads
     import contextlib
     import io
