@@ -333,13 +333,40 @@ def _verify_store(args) -> int:
             print(f"TORN: store '{args.base}' has an unfinished extend")
             return 3
         if srv.verify_search_index(spark, args.base, docs):
-            print(f"OK: store '{args.base}' matches the corpus")
+            notes = []
+            if not srv.chunks_current(spark, args.base):
+                notes.append("chunks stale (positions fallback active)")
+            if not srv.norms_current(spark, args.base):
+                notes.append("norms stale (recomputed per mlt query)")
+            suffix = (
+                " — " + "; ".join(notes) + "; run compact" if notes else ""
+            )
+            print(f"OK: store '{args.base}' matches the corpus{suffix}")
             return 0
         print(
             f"STALE: store '{args.base}' does not match the corpus "
             "(or predates fingerprinting) — rebuild with index-store"
         )
         return 4
+    finally:
+        spark.stop()
+
+
+def _store_stats(args) -> int:
+    import json as _json
+
+    from .operators import serving as srv
+    from .session import get_spark
+
+    spark = get_spark(app_name="store-stats", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        srv.recover_chunks_swap(spark, args.base)
+        print(_json.dumps(srv.serving_store_stats(spark, args.base), indent=2))
+        return 0
+    except FileNotFoundError:
+        print(f"no store '{args.base}' (missing sidecar)", file=sys.stderr)
+        return 2
     finally:
         spark.stop()
 
@@ -549,6 +576,17 @@ def main(argv: list[str] | None = None) -> int:
             "input", help="manifest file, or a documents .parquet path"
         )
         return _verify_store(parser.parse_args(argv[1:]))
+
+    if argv and argv[0] == "store-stats":
+        parser = argparse.ArgumentParser(
+            prog="parallel_inverted_index_map_reduce_spark store-stats",
+            description="Inspect a stored serving index: sidecar facts, "
+            "per-table file counts/bytes, and the health flags "
+            "(torn extend / stale chunks / stale norms) as one JSON "
+            "object. Metadata only — no Spark jobs.",
+        )
+        parser.add_argument("base", help="store name (see index-store)")
+        return _store_stats(parser.parse_args(argv[1:]))
 
     if argv and argv[0] == "ann-store":
         parser = argparse.ArgumentParser(

@@ -1512,3 +1512,40 @@ def _stored_weighted_terms(spark: SparkSession, base: str) -> DataFrame:
     return tfidf_weighted(
         spark.table(f"{base}_docterms").select("word", "doc_id", "tf"), n_docs
     )
+
+
+def serving_store_stats(spark: SparkSession, base: str) -> dict:
+    """Operational introspection of a stored serving layout — metadata
+    and filesystem facts only (no Spark jobs): sidecar version, bucket
+    count, corpus fingerprint, per-table file counts and byte sizes,
+    and the three health flags an operator acts on (torn extend ->
+    rebuild; stale chunks/norms -> schedule compact_search_index; all
+    healthy -> nothing to do)."""
+    meta = _read_meta(spark, base)
+    tables = {}
+    for suffix in ("_chunks", "_positions", "_doclen", "_docterms",
+                   "_norms", "_stats"):
+        loc = table_location(spark, f"{base}{suffix}")
+        n_files = n_bytes = 0
+        if os.path.isdir(loc):
+            for root, _dirs, files in os.walk(loc):
+                for f in files:
+                    if not f.startswith(("_", ".")):
+                        n_files += 1
+                        n_bytes += os.path.getsize(os.path.join(root, f))
+        tables[suffix.lstrip("_")] = {
+            "present": os.path.isdir(loc),
+            "n_files": n_files,
+            "bytes": n_bytes,
+        }
+    return {
+        "base": base,
+        "version": int(meta.get("version", 1)),
+        "n_buckets": int(meta["n_buckets"]),
+        "chunk_size": int(meta["chunk_size"]),
+        "fingerprint": meta.get("fingerprint"),
+        "extend_in_progress": extend_in_progress(spark, base),
+        "chunks_current": bool(meta.get("chunks_current", True)),
+        "norms_current": bool(meta.get("norms_current", True)),
+        "tables": tables,
+    }

@@ -465,3 +465,56 @@ def test_cli_defer_extend_vocab_search_and_compact(spark, tmp_path):
     res = cli("compact", "clidef")
     assert res.returncode == 0
     assert "already current" in res.stdout
+
+
+def test_cli_store_stats_reports_health(spark, tmp_path):
+    """store-stats surfaces the operator-facing health facts: fresh
+    store all-current, deferred extend flips chunks/norms stale and
+    verify-store says so while still exiting 0 (the store IS correct),
+    compact restores both flags."""
+    import json
+    import os
+
+    v1 = tmp_path / "v1.parquet"
+    batch = tmp_path / "batch.parquet"
+    both = tmp_path / "both.parquet"
+    rows1 = [(1, "spark makes indexes"), (2, "spark query engines rock")]
+    rows2 = [(100, "fresh spark ingest")]
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(v1))
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(batch))
+    spark.createDataFrame(rows1 + rows2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(both))
+    env = dict(os.environ, SPARK_GRAFT_WAREHOUSE=str(tmp_path / "wh"))
+
+    def cli(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "parallel_inverted_index_map_reduce_spark", *args],
+            cwd=REPO, capture_output=True, text=True, timeout=300, env=env,
+        )
+
+    assert cli("index-store", str(v1), "--base", "clistat",
+               "--buckets", "4", "--chunk-size", "16").returncode == 0
+    res = cli("store-stats", "clistat")
+    assert res.returncode == 0, res.stderr[-2000:]
+    st = json.loads(res.stdout)
+    assert st["version"] == 4 and st["chunks_current"] and st["norms_current"]
+    assert all(t["present"] and t["n_files"] > 0 for t in st["tables"].values())
+
+    assert cli("extend", "clistat", str(batch), "--defer-chunks").returncode == 0
+    st = json.loads(cli("store-stats", "clistat").stdout)
+    assert not st["chunks_current"] and not st["norms_current"]
+    assert not st["extend_in_progress"]
+    res = cli("verify-store", "clistat", str(both))
+    assert res.returncode == 0  # stale-but-correct is OK, with a note
+    assert "chunks stale" in res.stdout and "norms stale" in res.stdout
+
+    assert cli("compact", "clistat").returncode == 0
+    st = json.loads(cli("store-stats", "clistat").stdout)
+    assert st["chunks_current"] and st["norms_current"]
+    res = cli("verify-store", "clistat", str(both))
+    assert res.returncode == 0 and "stale" not in res.stdout
