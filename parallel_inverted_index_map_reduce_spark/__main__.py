@@ -161,17 +161,28 @@ def _search(args) -> int:
                 )
         if args.phrase:
             ran = True
-            res = (
-                srv.phrase_search_stored(spark, stored, args.phrase)
-                if stored
-                else ix.phrase_search(docs, args.phrase)
-            )
+            slop = getattr(args, "slop", 0)
+            if slop:
+                res = (
+                    srv.phrase_slop_search_stored(
+                        spark, stored, args.phrase, slop=slop
+                    )
+                    if stored
+                    else ix.phrase_search_slop(docs, args.phrase, slop=slop)
+                )
+            else:
+                res = (
+                    srv.phrase_search_stored(spark, stored, args.phrase)
+                    if stored
+                    else ix.phrase_search(docs, args.phrase)
+                )
+            tag = f"phrase~{slop}" if slop else "phrase"
             rows = res.orderBy("doc_id").collect()
             for r in rows:
-                pos = " ".join(map(str, r["match_positions"]))
-                print(f"phrase {args.phrase!r} doc {r['doc_id']} at [{pos}]")
+                pos = " ".join(map(str, sorted(r["match_positions"])))
+                print(f"{tag} {args.phrase!r} doc {r['doc_id']} at [{pos}]")
             if not rows:
-                print(f"phrase {args.phrase!r}: no matches")
+                print(f"{tag} {args.phrase!r}: no matches")
         if args.near:
             ran = True
             t1, t2 = args.near
@@ -685,6 +696,10 @@ def main(argv: list[str] | None = None) -> int:
             help="boolean AND/OR/NOT report for two terms",
         )
         parser.add_argument("--phrase", help="exact-phrase search")
+        parser.add_argument(
+            "--slop", type=int, default=0,
+            help="allow up to N intervening tokens per gap in --phrase",
+        )
         parser.add_argument(
             "--near", nargs=2, metavar=("T1", "T2"),
             help="NEAR/k proximity search for two terms",

@@ -1043,3 +1043,65 @@ def mlt_rank(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("doc_id", F.col("score_dec").cast("string").alias("score"), "rank")
     )
+
+
+def phrase_search_slop(
+    docs: DataFrame, phrase: str, slop: int = 0
+) -> DataFrame:
+    """(doc_id, match_positions): sloppy-phrase match — the phrase's
+    words in order, with up to ``slop`` intervening tokens between each
+    consecutive pair. ``slop=0`` is exactly :func:`phrase_search`
+    (proven row-identical in tests/test_vocab_search.py).
+
+    Same one-scan/one-aggregation shape as phrase_search; the ordered
+    chain is verified by :func:`phrase_slop_filter`'s backward
+    reachability fold over the per-word position arrays — n_words array
+    passes per row, no n-way self-join."""
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    words = normalize_query_tokens(phrase)
+    if not words:
+        raise ValueError(f"phrase normalizes to nothing: {phrase!r}")
+    toks = positional_tokens(docs).where(F.col("word").isin(*set(words)))
+    per_doc = toks.groupBy("doc_id").agg(
+        *[
+            F.sort_array(
+                F.collect_set(F.when(F.col("word") == w, F.col("npos")))
+            ).alias(f"p{i}")
+            for i, w in enumerate(words)
+        ]
+    )
+    return phrase_slop_filter(per_doc, len(words), slop)
+
+
+def phrase_slop_filter(
+    per_doc: DataFrame, n_words: int, slop: int
+) -> DataFrame:
+    """The sloppy-phrase tail shared by the corpus-scan and stored
+    paths: (doc_id, p0..p{n-1}) per-word sorted position arrays ->
+    (doc_id, match_positions), where match_positions are the START
+    positions from which an in-order chain exists with every gap in
+    [1, slop+1].
+
+    Backward reachability as a pure array fold: S_{n-1} = p_{n-1}, and
+    S_k = { i in p_k : exists j in S_{k+1} with 1 <= j - i <= slop+1 };
+    the matches are S_0. Each step is one F.filter/F.exists pair —
+    per-row codegen array work bounded by the phrase terms' positions
+    in that document, no join, no shuffle beyond the input's."""
+    allowed = slop + 1
+
+    def step(reachable: Column, prev: Column) -> Column:
+        return F.filter(
+            prev,
+            lambda i: F.exists(
+                reachable, lambda j: (j > i) & (j <= i + allowed)
+            ),
+        )
+
+    reachable = F.col(f"p{n_words - 1}")
+    for k in range(n_words - 2, -1, -1):
+        reachable = step(reachable, F.col(f"p{k}"))
+    return (
+        per_doc.select("doc_id", reachable.alias("match_positions"))
+        .where(F.size("match_positions") > 0)
+    )

@@ -595,6 +595,42 @@ def phrase_from_frames(positions: DataFrame, phrase: str) -> DataFrame:
     return phrase_adjacency_filter(per_doc, len(words))
 
 
+def phrase_slop_search_stored(
+    spark: SparkSession, base: str, phrase: str, slop: int = 0
+) -> DataFrame:
+    """(doc_id, match_positions): sloppy-phrase match served from the
+    stored positional index — same phrase_slop_filter tail as the
+    corpus-scan form (index.py phrase_search_slop), at pruned-lookup
+    cost."""
+    return phrase_slop_from_frames(
+        spark.table(f"{base}_positions"), phrase, slop=slop
+    )
+
+
+def phrase_slop_from_frames(
+    positions: DataFrame, phrase: str, slop: int = 0
+) -> DataFrame:
+    """Frame-parameterized sloppy-phrase body (see bm25_from_frames)."""
+    from .index import phrase_slop_filter
+
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    words = normalize_query_tokens(phrase)
+    if not words:
+        raise ValueError(f"phrase normalizes to nothing: {phrase!r}")
+    pos = pruned_positions(positions, set(words))
+    empty = F.array().cast("array<int>")
+    per_doc = pos.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("word") == w, F.col("positions"))), empty
+            ).alias(f"p{i}")
+            for i, w in enumerate(words)
+        ]
+    )
+    return phrase_slop_filter(per_doc, len(words), slop)
+
+
 def proximity_search_stored(
     spark: SparkSession, base: str, t1: str, t2: str, max_dist: int = 3
 ) -> DataFrame:

@@ -227,6 +227,32 @@ SELECT 'phrase_stored', 'stream table hash', '', ds FROM (
     )
 ) WHERE n > 0
 UNION ALL
+SELECT 'slop', 'stream hash', '', ds FROM (
+    SELECT array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS ds,
+           count(*) AS n
+    FROM (
+        SELECT a.doc_id
+        FROM ntoks a
+        JOIN ntoks b ON b.doc_id = a.doc_id
+                    AND b.npos BETWEEN a.npos + 1 AND a.npos + 2
+                    AND b.word = 'hash'
+        WHERE a.word = 'stream'
+    )
+) WHERE n > 0
+UNION ALL
+SELECT 'slop_stored', 'stream hash', '', ds FROM (
+    SELECT array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS ds,
+           count(*) AS n
+    FROM (
+        SELECT a.doc_id
+        FROM ntoks a
+        JOIN ntoks b ON b.doc_id = a.doc_id
+                    AND b.npos BETWEEN a.npos + 1 AND a.npos + 2
+                    AND b.word = 'hash'
+        WHERE a.word = 'stream'
+    )
+) WHERE n > 0
+UNION ALL
 SELECT 'prefix' AS op, 's' AS term1, word AS term2,
        array_to_string(postings, ' ') AS doc_ids
 FROM idx WHERE word LIKE 's%'
@@ -258,7 +284,12 @@ FROM idx WHERE levenshtein(word, 'sow') <= 1
     "letter-partitioned positional store) while the oracle stays the "
     "corpus-scan formulation — the hash match PROVES each stored path "
     "returns exactly what a full corpus scan returns, at pruned-lookup "
-    "cost. 'prefix'/'prefix_stored' rows are the wildcard-tail lookup "
+    "cost. 'slop'/'slop_stored' rows are SLOPPY-phrase match "
+    "(phrase_search_slop: the words in order with up to slop=1 "
+    "intervening tokens per gap, verified by a backward-reachability "
+    "array fold — the oracle's positional range-join formulation "
+    "proves the fold; slop=0 is proven identical to phrase_search in "
+    "tests). 'prefix'/'prefix_stored' rows are the wildcard-tail lookup "
     "(index.py prefix_search: the startswith predicate filters the "
     "token stream BEFORE aggregation; the stored twin additionally "
     "prunes to the first letter's partition directory), one row per "
@@ -294,6 +325,26 @@ def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ph = phrase_rows(ix.phrase_search(docs, phrase), "phrase")
     base = _serving_base(spark, sf_dir, docs)
+    slop_phrase = "stream hash"
+
+    def slop_rows(matches: DataFrame, label: str) -> DataFrame:
+        return (
+            matches.groupBy()
+            .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+            .where(F.size("ids") > 0)
+            .select(
+                F.lit(label).alias("op"),
+                F.lit(slop_phrase).alias("term1"),
+                F.lit("").alias("term2"),
+                F.array_join("ids", " ").alias("doc_ids"),
+            )
+        )
+
+    sl = slop_rows(ix.phrase_search_slop(docs, slop_phrase, slop=1), "slop")
+    sl_stored = slop_rows(
+        srv.phrase_slop_search_stored(spark, base, slop_phrase, slop=1),
+        "slop_stored",
+    )
     bs_stored = srv.boolean_search_stored(spark, base, "spark", "query").select(
         F.concat(F.col("op"), F.lit("_stored")).alias("op"),
         "term1",
@@ -324,6 +375,8 @@ def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         bs.unionByName(ph)
         .unionByName(bs_stored)
         .unionByName(ph_stored)
+        .unionByName(sl)
+        .unionByName(sl_stored)
         .unionByName(pf)
         .unionByName(pf_stored)
         .unionByName(fz)

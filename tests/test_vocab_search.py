@@ -325,3 +325,84 @@ def test_pmi_rejects_bad_window(spark):
     docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         collocations_pmi(docs, window=0)
+
+
+# --------------------------------------------------------------------------
+# sloppy phrase
+# --------------------------------------------------------------------------
+
+
+def test_slop_zero_equals_exact_phrase(spark):
+    """phrase_search_slop(slop=0) must be row-identical to phrase_search
+    — the reachability fold at gap [1,1] IS exact adjacency."""
+    from parallel_inverted_index_map_reduce_spark.operators.index import (
+        phrase_search,
+        phrase_search_slop,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    for phrase in ("spark query", "stream table hash"):
+        a = sorted(
+            (r["doc_id"], tuple(r["match_positions"]))
+            for r in phrase_search(docs, phrase).collect()
+        )
+        b = sorted(
+            (r["doc_id"], tuple(sorted(r["match_positions"])))
+            for r in phrase_search_slop(docs, phrase, slop=0).collect()
+        )
+        assert a == b and a, phrase
+
+
+def test_slop_semantics_and_monotonicity(spark):
+    from parallel_inverted_index_map_reduce_spark.operators.index import (
+        phrase_search_slop,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),          # adjacent
+            (1, "alpha X beta Y gamma"),      # one gap each: slop 1
+            (2, "alpha X Y beta gamma"),      # two gaps then adjacent: slop 2
+            (3, "gamma beta alpha"),          # wrong order: never
+            (4, "alpha beta"),                # incomplete: never
+        ],
+        "doc_id long, text string",
+    )
+    phrase = "alpha beta gamma"
+
+    def ids(slop):
+        return sorted(
+            r["doc_id"] for r in phrase_search_slop(docs, phrase, slop=slop).collect()
+        )
+
+    assert ids(0) == [0]
+    assert ids(1) == [0, 1]
+    assert ids(2) == [0, 1, 2]
+    # start positions are the chain heads
+    got = {
+        r["doc_id"]: sorted(r["match_positions"])
+        for r in phrase_search_slop(docs, phrase, slop=2).collect()
+    }
+    assert got[0] == [0] and got[1] == [0] and got[2] == [0]
+    with pytest.raises(ValueError):
+        phrase_search_slop(docs, phrase, slop=-1)
+
+
+def test_slop_stored_matches_scan(spark, vocab_store):
+    from parallel_inverted_index_map_reduce_spark.operators.index import (
+        phrase_search_slop,
+    )
+
+    base, docs = vocab_store
+    for phrase, slop in (("stream hash", 1), ("spark query", 0), ("spark query", 2)):
+        a = sorted(
+            (r["doc_id"], tuple(sorted(r["match_positions"])))
+            for r in phrase_search_slop(docs, phrase, slop=slop).collect()
+        )
+        b = sorted(
+            (r["doc_id"], tuple(sorted(r["match_positions"])))
+            for r in srv.phrase_slop_search_stored(
+                spark, base, phrase, slop=slop
+            ).collect()
+        )
+        assert a == b, (phrase, slop)
