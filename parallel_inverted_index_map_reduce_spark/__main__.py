@@ -128,6 +128,21 @@ def _search(args) -> int:
                 )
             if not rows:
                 print(f"prefix {args.prefix}*: no matches")
+        if args.suffix:
+            ran = True
+            hits = (
+                srv.suffix_search_stored(spark, stored, args.suffix)
+                if stored
+                else ix.suffix_search(docs, args.suffix)
+            )
+            rows = hits.orderBy("word").collect()
+            for r in rows:
+                print(
+                    f"suffix *{args.suffix}: {r['word']} "
+                    f"[{' '.join(map(str, r['postings']))}]"
+                )
+            if not rows:
+                print(f"suffix *{args.suffix}: no matches")
         if args.fuzzy:
             ran = True
             hits = (
@@ -683,6 +698,9 @@ def main(argv: list[str] | None = None) -> int:
         parser.add_argument("--term", nargs="+", help="posting-list lookups")
         parser.add_argument(
             "--prefix", help="wildcard-tail lookup: all terms starting here"
+        )
+        parser.add_argument(
+            "--suffix", help="wildcard-head lookup: all terms ending here"
         )
         parser.add_argument(
             "--fuzzy", help="typo-tolerant lookup (Levenshtein neighbors)"

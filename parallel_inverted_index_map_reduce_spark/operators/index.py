@@ -1105,3 +1105,24 @@ def phrase_slop_filter(
         per_doc.select("doc_id", reachable.alias("match_positions"))
         .where(F.size("match_positions") > 0)
     )
+
+
+def suffix_search(docs: DataFrame, suffix: str) -> DataFrame:
+    """(letter, word, df, postings): every vocabulary term ENDING with
+    ``suffix`` — the wildcard-head query (``*fix``), prefix_search's
+    mirror.
+
+    Scale shape: like prefix_search the predicate filters the token
+    stream before aggregation, so only matching tokens shuffle. Unlike
+    prefix there is nothing for the letter partitioning to prune (the
+    first letter is unconstrained); the stored twin therefore pays a
+    column-pruned VOCABULARY pass plus a bucket-pruned postings fetch
+    (the fuzzy_term_search_stored shape) — a reversed-word companion
+    layout would restore directory pruning and is the documented next
+    step if suffix queries ever dominate a workload."""
+    sfx = _normalize_single_term(suffix, "suffix")
+    matched = tokens_df(docs).where(F.col("word").endswith(sfx))
+    idx = matched.groupBy("word").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("postings")
+    )
+    return _with_df_letter(idx).select("letter", "word", "df", "postings")

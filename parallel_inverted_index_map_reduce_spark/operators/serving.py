@@ -1585,3 +1585,24 @@ def serving_store_stats(spark: SparkSession, base: str) -> dict:
         "norms_current": bool(meta.get("norms_current", True)),
         "tables": tables,
     }
+
+
+def suffix_search_stored(
+    spark: SparkSession, base: str, suffix: str
+) -> DataFrame:
+    """(letter, word, df, postings): index.py suffix_search served from
+    the stored layout — the fuzzy_term_search_stored shape: a
+    column-pruned vocabulary pass finds the matching terms (no letter
+    pruning exists for a suffix; see suffix_search's docstring), then
+    the postings fetch goes through :func:`stored_term_postings`
+    (bucket-pruned, staleness-aware)."""
+    sfx = _normalize_single_term(suffix, "suffix")
+    src = "_chunks" if chunks_current(spark, base) else "_positions"
+    matched = (
+        spark.table(f"{base}{src}")
+        .select("word")
+        .distinct()
+        .where(F.col("word").endswith(sfx))
+    )
+    words = sorted(r["word"] for r in matched.collect())
+    return stored_term_postings(spark, base, words)

@@ -260,6 +260,12 @@ UNION ALL
 SELECT 'prefix_stored', 's', word, array_to_string(postings, ' ')
 FROM idx WHERE word LIKE 's%'
 UNION ALL
+SELECT 'suffix', 'er', word, array_to_string(postings, ' ')
+FROM idx WHERE word LIKE '%er'
+UNION ALL
+SELECT 'suffix_stored', 'er', word, array_to_string(postings, ' ')
+FROM idx WHERE word LIKE '%er'
+UNION ALL
 SELECT 'fuzzy', 'sow', word, array_to_string(postings, ' ')
 FROM idx WHERE levenshtein(word, 'sow') <= 1
 UNION ALL
@@ -293,7 +299,11 @@ FROM idx WHERE levenshtein(word, 'sow') <= 1
     "(index.py prefix_search: the startswith predicate filters the "
     "token stream BEFORE aggregation; the stored twin additionally "
     "prunes to the first letter's partition directory), one row per "
-    "matching vocabulary term. 'fuzzy'/'fuzzy_stored' rows are the "
+    "matching vocabulary term; 'suffix'/'suffix_stored' are the mirror "
+    "wildcard-HEAD lookup (suffix_search — no letter pruning exists "
+    "for a suffix, so the stored twin pays a column-pruned vocabulary "
+    "pass + a bucket-pruned postings fetch, the fuzzy shape). "
+    "'fuzzy'/'fuzzy_stored' rows are the "
     "typo-tolerant lookup (fuzzy_term_search, SymSpell symmetric-delete "
     "candidate generation + exact levenshtein verify — the oracle IS "
     "the brute-force levenshtein-over-the-vocabulary formulation the "
@@ -367,6 +377,10 @@ def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pf_stored = vocab_rows(
         srv.prefix_search_stored(spark, base, "s"), "prefix_stored", "s"
     )
+    sx = vocab_rows(ix.suffix_search(docs, "er"), "suffix", "er")
+    sx_stored = vocab_rows(
+        srv.suffix_search_stored(spark, base, "er"), "suffix_stored", "er"
+    )
     fz = vocab_rows(ix.fuzzy_term_search(docs, "sow"), "fuzzy", "sow")
     fz_stored = vocab_rows(
         srv.fuzzy_term_search_stored(spark, base, "sow"), "fuzzy_stored", "sow"
@@ -379,6 +393,8 @@ def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sl_stored)
         .unionByName(pf)
         .unionByName(pf_stored)
+        .unionByName(sx)
+        .unionByName(sx_stored)
         .unionByName(fz)
         .unionByName(fz_stored)
     )

@@ -159,14 +159,17 @@ def test_boolean_search_single_scan(spark):
         for m in re.findall(r"^\(\d+\) Scan parquet ?(\S*)", plan, re.M)
         if m  # catalog-table scans carry a name; raw corpus scans do not
     ]
-    # corpus: fused boolean, phrase, slop, prefix, fuzzy vocab+postings
-    assert _count_scans(plan) - len(stored) == 6, plan
-    # stored: chunks x3 (boolean, prefix_stored, fuzzy_stored fetch) +
-    # positions x2 (phrase_stored, slop_stored)
-    assert len(stored) == 5, stored
-    assert sum("_chunks" in t for t in stored) == 3, stored
+    # corpus: fused boolean, phrase, slop, prefix, suffix,
+    # fuzzy vocab+postings
+    assert _count_scans(plan) - len(stored) == 7, plan
+    # stored: chunks x4 (boolean, prefix_stored, suffix_stored fetch,
+    # fuzzy_stored fetch) + positions x2 (phrase_stored, slop_stored);
+    # the suffix/fuzzy vocabulary passes collect eagerly at build time
+    # and are not in this plan
+    assert len(stored) == 6, stored
+    assert sum("_chunks" in t for t in stored) == 4, stored
     assert sum("_positions" in t for t in stored) == 2, stored
-    assert _count_exchanges(plan) <= 20, plan
+    assert _count_exchanges(plan) <= 24, plan
 
 
 def test_minhash_skips_shingle_distinct_shuffle(spark):

@@ -406,3 +406,53 @@ def test_slop_stored_matches_scan(spark, vocab_store):
             ).collect()
         )
         assert a == b, (phrase, slop)
+
+
+# --------------------------------------------------------------------------
+# suffix (wildcard-head)
+# --------------------------------------------------------------------------
+
+
+def test_suffix_search_matches_brute_filter(spark):
+    from parallel_inverted_index_map_reduce_spark.operators.index import (
+        suffix_search,
+    )
+
+    docs = _docs(spark)
+    toks = tokens_df(docs).where(F.col("word").endswith("er"))
+    want = _rows(
+        toks.groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("postings"))
+        .select(
+            F.substring("word", 1, 1).alias("letter"),
+            "word",
+            F.size("postings").cast("long").alias("df"),
+            "postings",
+        )
+    )
+    got = _rows(suffix_search(docs, "er"))
+    assert got == want and len(got) > 1  # customer, filter, order, ...
+    with pytest.raises(ValueError):
+        suffix_search(docs, "two words")
+
+
+def test_suffix_stored_matches_scan_and_follows_staleness(spark, vocab_store):
+    from parallel_inverted_index_map_reduce_spark.operators.index import (
+        suffix_search,
+    )
+
+    base, docs = vocab_store
+    assert _rows(srv.suffix_search_stored(spark, base, "er")) == _rows(
+        suffix_search(docs, "er")
+    )
+    # stale-chunks store: the vocabulary pass must come from positions
+    base2 = "vocsuffix"
+    srv.store_search_index(docs, base2, n_buckets=4, chunk_size=16)
+    new = load_table(spark, SF_ORACLE, "documents").where(
+        (F.col("doc_id") >= 60) & (F.col("doc_id") < 90)
+    )
+    srv.extend_search_index(spark, base2, new, defer_chunks=True)
+    combined = docs.unionByName(new)
+    assert _rows(srv.suffix_search_stored(spark, base2, "er")) == _rows(
+        suffix_search(combined, "er")
+    )
