@@ -9,7 +9,7 @@ oracle reproduces every value.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash32
@@ -300,4 +300,62 @@ def collocations_pmi(
         "word_b",
         "n_pair",
         stable_round6(F.round(F.log(num / den), 9)).alias("pmi"),
+    )
+
+
+def bigram_lm_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob): corpus-bigram language-model
+    score per document — the LM-based quality filter of the CCNet
+    lineage (documents whose token transitions are improbable under
+    the corpus's own bigram model are the boilerplate/gibberish tail).
+
+    Model and score, all from ONE token stream: bigram (a, b) counts
+    and head counts c_head(a) = sum_b c(a, b) over the corpus;
+    per-bigram logprob = round(ln(c(a,b) / c_head(a)), 9) (one exact
+    integer-ratio division + the round-9 ln discipline); per-document
+    average = decimal sum / count, rendered at 6 decimals — so every
+    value is reproducible cross-engine. Self-normalizing by
+    construction (sum_b P(b|a) = 1 exactly).
+
+    Scale shape: bigrams pair by ORDER adjacency (a lead window per
+    doc — positions are pre-filter, so pos+1 equi-joins would skip
+    over removed empties); the instance->count joins are corpus-scale
+    hash joins against vocabulary^2-bounded count tables. Documents
+    with fewer than two tokens have no bigrams and no row (callers
+    LEFT JOIN)."""
+    from ..plans.exprs import stable_round6
+
+    toks = token_positions(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.col("tok").alias("a"), F.col("nxt").alias("b"))
+        .localCheckpoint(eager=False)  # feeds counts AND instances
+    )
+    pair_counts = bigrams.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("c_ab")
+    )
+    head_counts = bigrams.groupBy("a").agg(
+        F.count("*").cast("long").alias("c_head")
+    )
+    term = F.round(
+        F.log(F.col("c_ab").cast("double") / F.col("c_head").cast("double")),
+        9,
+    )
+    return (
+        bigrams.join(pair_counts, ["a", "b"])
+        .join(head_counts, "a")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(term.cast("decimal(28,12)")).alias("lp_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            stable_round6(
+                F.col("lp_sum").cast("double") / F.col("n_bigrams")
+            ).alias("avg_logprob"),
+        )
     )

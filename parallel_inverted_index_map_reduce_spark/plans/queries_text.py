@@ -67,7 +67,25 @@ runs AS (
            pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
     FROM tokpos
 ), rl AS (SELECT doc_id, count(*) AS n FROM runs GROUP BY doc_id, tok, grp),
-mr AS (SELECT doc_id, max(n) AS max_token_run FROM rl GROUP BY doc_id)
+mr AS (SELECT doc_id, max(n) AS max_token_run FROM rl GROUP BY doc_id),
+bg AS (
+    SELECT doc_id, tok AS a, lead(tok, 1) OVER w AS b
+    FROM tokpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), bg2 AS (SELECT doc_id, a, b FROM bg WHERE b IS NOT NULL),
+bpc AS (SELECT a, b, count(*) AS c_ab FROM bg2 GROUP BY a, b),
+bhc AS (SELECT a, count(*) AS c_head FROM bg2 GROUP BY a),
+blm AS (
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(CAST(round(CAST(
+               CAST(SUM(CAST(round(ln(CAST(p.c_ab AS DOUBLE)
+                                     / CAST(h.c_head AS DOUBLE)), 9)
+                        AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+               AS DECIMAL(28,12)), 6) AS DECIMAL(18,6)) AS VARCHAR)
+               AS avg_logprob
+    FROM bg2 g JOIN bpc p ON p.a = g.a AND p.b = g.b
+    JOIN bhc h ON h.a = g.a
+    GROUP BY g.doc_id
+)
 SELECT a.*,
        CAST(len(regexp_extract_all(d.text,
             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
@@ -78,13 +96,16 @@ SELECT a.*,
             AS DECIMAL(18,6)) AS VARCHAR) AS top3_frac,
        CAST(CAST(round(CAST(COALESCE(t5.f, 0.0) AS DECIMAL(28,12)), 6)
             AS DECIMAL(18,6)) AS VARCHAR) AS dup5_frac,
-       CAST(mr.max_token_run AS BIGINT) AS max_token_run
+       CAST(mr.max_token_run AS BIGINT) AS max_token_run,
+       CAST(COALESCE(blm.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(blm.avg_logprob, '') AS avg_logprob
 FROM agg a
 JOIN documents d ON d.doc_id = a.doc_id
 LEFT JOIN t2 ON t2.doc_id = a.doc_id
 LEFT JOIN t3 ON t3.doc_id = a.doc_id
 LEFT JOIN t5 ON t5.doc_id = a.doc_id
 JOIN mr ON mr.doc_id = a.doc_id
+LEFT JOIN blm ON blm.doc_id = a.doc_id
 """,
     tags=("text",),
     doc="Token counting + heuristic quality scoring in ONE aggregation "
@@ -94,11 +115,24 @@ JOIN mr ON mr.doc_id = a.doc_id
     "Gopher-style repetition filters (top-2/3-gram fraction, duplicate "
     "5-gram fraction, longest back-to-back token run), computed Spark-"
     "side as zero-shuffle per-row array folds while the oracle uses the "
-    "windowed lead / gaps-and-islands formulation, proving equivalence.",
+    "windowed lead / gaps-and-islands formulation, proving equivalence "
+    "— plus the corpus-bigram LANGUAGE-MODEL score (textstats.py "
+    "bigram_lm_scores, the CCNet-lineage LM quality filter): per-doc "
+    "average log P(b|a) under the corpus's own bigram model, round-9 "
+    "ln over exact integer count ratios and a decimal-summed average "
+    "so the value hash-matches cross-engine; docs with <2 tokens carry "
+    "n_bigrams=0 and an empty score.",
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return ts.quality_scores(docs).join(ts.repetition_stats(docs), "doc_id")
+    base = ts.quality_scores(docs).join(ts.repetition_stats(docs), "doc_id")
+    return (
+        base.join(ts.bigram_lm_scores(docs), "doc_id", "left")
+        .withColumn(
+            "n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+        )
+        .withColumn("avg_logprob", F.coalesce(F.col("avg_logprob"), F.lit("")))
+    )
 
 
 @register(

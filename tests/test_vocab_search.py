@@ -456,3 +456,51 @@ def test_suffix_stored_matches_scan_and_follows_staleness(spark, vocab_store):
     assert _rows(srv.suffix_search_stored(spark, base2, "er")) == _rows(
         suffix_search(combined, "er")
     )
+
+
+# --------------------------------------------------------------------------
+# bigram LM quality scores
+# --------------------------------------------------------------------------
+
+
+def test_bigram_lm_scores_semantics(spark):
+    """A document made of the corpus's dominant transitions must score
+    higher (closer to 0) than one full of one-off transitions; docs
+    with fewer than two tokens have no row."""
+    from parallel_inverted_index_map_reduce_spark.operators.textstats import (
+        bigram_lm_scores,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),
+        (3, "mat zq cat on sat the"),  # scrambled: rare transitions
+        (4, "single"),                  # no bigrams -> no row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], float(r["avg_logprob"]))
+        for r in bigram_lm_scores(docs).collect()
+    }
+    assert 4 not in got
+    assert got[0] == got[1] == got[2]
+    assert got[0][0] == 5
+    assert got[0][1] > got[3][1]  # common transitions score higher
+    assert all(lp <= 0.0 for _, lp in got.values())  # log-probs
+
+
+def test_bigram_lm_partition_invariance(spark):
+    from parallel_inverted_index_map_reduce_spark.operators.textstats import (
+        bigram_lm_scores,
+    )
+    from parallel_inverted_index_map_reduce_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents").where(F.col("doc_id") < 60)
+    a = sorted(map(tuple, bigram_lm_scores(docs).collect()))
+    b = sorted(
+        map(tuple, bigram_lm_scores(docs.repartition(9, "doc_id")).collect())
+    )
+    assert a == b and len(a) > 0
