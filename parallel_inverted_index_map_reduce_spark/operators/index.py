@@ -1115,11 +1115,10 @@ def suffix_search(docs: DataFrame, suffix: str) -> DataFrame:
     Scale shape: like prefix_search the predicate filters the token
     stream before aggregation, so only matching tokens shuffle. Unlike
     prefix there is nothing for the letter partitioning to prune (the
-    first letter is unconstrained); the stored twin therefore pays a
-    column-pruned VOCABULARY pass plus a bucket-pruned postings fetch
-    (the fuzzy_term_search_stored shape) — a reversed-word companion
-    layout would restore directory pruning and is the documented next
-    step if suffix queries ever dominate a workload."""
+    first letter is unconstrained). The stored twin restores directory
+    pruning via the ``_rwords`` reversed-word companion table
+    (serving.py suffix_matched_words): the suffix becomes a prefix over
+    the reversed vocabulary, partitioned by the word's LAST letter."""
     sfx = _normalize_single_term(suffix, "suffix")
     matched = tokens_df(docs).where(F.col("word").endswith(sfx))
     idx = matched.groupBy("word").agg(

@@ -27,6 +27,10 @@ Layout written by :func:`store_search_index` under a ``base`` name:
 - ``<base>_stats``     — ONE row (n_docs, avgdl): the corpus scalars
   BM25 needs, precomputed at build time instead of two corpus
   aggregations per query.
+- ``<base>_rwords``    — (rword, word) reversed-vocabulary companion,
+  partitioned by rletter (the word's LAST letter): a suffix query is a
+  prefix query over rword, restoring the directory pruning the
+  word-major layout cannot give a wildcard-head predicate.
 
 Every query operator here is proven ROW-IDENTICAL to its corpus-scan
 twin (tests/test_index_storage.py) because both share the same scoring
@@ -90,6 +94,20 @@ def corpus_fingerprint(docs: DataFrame) -> dict:
     return {"n_docs": int(row["n"]), "xor64": int(row["x"])}
 
 
+def _rwords_frame(words: DataFrame) -> DataFrame:
+    """(rword, word, rletter) distinct reversed-vocabulary rows from a
+    single-column ``word`` frame — the suffix companion table's shape:
+    a suffix predicate on ``word`` is a PREFIX predicate on ``rword``,
+    and ``rletter`` (the word's last letter) partitions the directory
+    tree so a stored suffix lookup prunes exactly like prefix lookup."""
+    return (
+        words.distinct()
+        .withColumn("rword", F.reverse("word"))
+        .withColumn("rletter", F.substring("rword", 1, 1))
+        .select("rword", "word", "rletter")
+    )
+
+
 def store_search_index(
     docs: DataFrame,
     base: str,
@@ -97,7 +115,7 @@ def store_search_index(
     chunk_size: int = 4096,
 ) -> None:
     """Build and persist the full serving layout for ``docs`` under
-    ``base`` (four tables, see module docstring). ONE tokenization of
+    ``base`` (seven tables, see module docstring). ONE tokenization of
     the corpus feeds every table: the positional-postings frame is
     pinned (lazy localCheckpoint) and chunks derive from its (word,
     doc_id) pairs, doclen from its per-doc position counts — without
@@ -160,6 +178,15 @@ def store_search_index(
     write_bucketed(
         norms, f"{base}_norms", "doc_id", n_buckets, sort_col="doc_id"
     )
+    # reversed-word vocabulary companion (suffix -> prefix lookup)
+    write_bucketed(
+        _rwords_frame(pos.select("word")),
+        f"{base}_rwords",
+        "rword",
+        n_buckets,
+        sort_col="rword",
+        partition_cols=("rletter",),
+    )
     stats = spark.table(f"{base}_doclen").agg(
         F.lit(n_docs).cast("long").alias("n_docs"),
         F.coalesce(F.avg("dl"), F.lit(1.0)).alias("avgdl"),
@@ -173,7 +200,7 @@ def store_search_index(
     with open(_meta_path(spark, base), "w") as fh:
         json.dump(
             {
-                "version": 4,
+                "version": 5,
                 "n_buckets": n_buckets,
                 "chunk_size": chunk_size,
                 "fingerprint": fp,
@@ -252,7 +279,7 @@ def _chunks_swap_paths(spark: SparkSession, base: str) -> tuple[str, str, str]:
 
 # table suffixes replaced via the atomic swap (everything derived-and-
 # rewritten; append-only tables never swap)
-_SWAPPED_SUFFIXES = ("_chunks", "_norms")
+_SWAPPED_SUFFIXES = ("_chunks", "_norms", "_rwords")
 
 
 def recover_chunks_swap(spark: SparkSession, base: str) -> None:
@@ -303,13 +330,16 @@ def _replace_table_atomic(
     next_table = f"{table}__next"
     spec = _bucketed_specs(base)[table]
     _cols, part, bcol = spec
+    # partition column comes from the spec's DDL clause (e.g.
+    # "PARTITIONED BY (letter)" -> letter; rwords partitions by rletter)
+    part_col = part.split("(")[1].rstrip(")") if part else None
     write_bucketed(
         merged,
         next_table,
         bcol,
         n_buckets,
         sort_col=bcol,
-        partition_cols=("letter",) if part else (),
+        partition_cols=(part_col,) if part_col else (),
     )
     # keep the files, drop the scratch catalog entry (external table)
     spark.sql(f"DROP TABLE IF EXISTS {next_table}")
@@ -364,6 +394,17 @@ def _bucketed_specs(base: str) -> dict[str, tuple[str, str, str]]:
             "",
             "doc_id",
         ),
+        # reversed-word vocabulary companion: suffix lookup becomes
+        # prefix lookup over rword, so rletter (= the word's LAST
+        # letter) restores the directory pruning a suffix predicate
+        # cannot get from the word-major tables. Append-only under
+        # extends (duplicate words across batches tolerated — readers
+        # distinct); compaction dedupes
+        f"{base}_rwords": (
+            "(rword string, word string, rletter string)",
+            "PARTITIONED BY (rletter)",
+            "rword",
+        ),
     }
 
 
@@ -401,6 +442,11 @@ def attach_search_index(spark: SparkSession, base: str) -> None:
     function is the metastore's job."""
     recover_chunks_swap(spark, base)
     tables = [f"{base}{sfx}" for sfx in ("_chunks", "_positions", "_doclen", "_docterms", "_norms", "_stats")]
+    # the rwords companion ships with v5 stores; a pre-v5 store stays
+    # attachable (suffix_search_stored falls back to the vocabulary
+    # scan), so its presence is a filesystem fact, not a requirement
+    if os.path.isdir(table_location(spark, f"{base}_rwords")):
+        tables.append(f"{base}_rwords")
     registered = [t for t in tables if spark.catalog.tableExists(t)]
     if len(registered) == len(tables):
         return
@@ -421,6 +467,10 @@ def attach_search_index(spark: SparkSession, base: str) -> None:
         )
     n = int(meta["n_buckets"])
     for table, spec in _bucketed_specs(base).items():
+        if table == f"{base}_rwords" and not os.path.isdir(
+            table_location(spark, table)
+        ):
+            continue  # pre-v5 store: suffix queries fall back
         _create_stored_table(spark, table, spec, n)
     loc = table_location(spark, f"{base}_stats")
     if not os.path.isdir(loc):
@@ -1471,6 +1521,30 @@ def extend_search_index(
         .sortBy("doc_id")
         .saveAsTable(f"{base}_docterms")
     )
+    # reversed-word companion (v5 stores): append the BATCH's distinct
+    # words only — a word already stored lands again as a duplicate row,
+    # which readers tolerate (distinct at read after partition+prefix
+    # pruning bounds the cost by the match set) and compaction dedupes;
+    # the alternative, an anti-join against the stored vocabulary,
+    # would put a store-proportional read in the ingest path
+    rwords_table = f"{base}_rwords"
+    loc = table_location(spark, rwords_table)
+    if os.path.isdir(loc):
+        if not spark.catalog.tableExists(rwords_table):
+            _create_stored_table(
+                spark, rwords_table,
+                _bucketed_specs(base)[rwords_table], n_buckets,
+            )
+        (
+            _rwords_frame(new_pos.select("word"))
+            .write.format("parquet")
+            .mode("append")
+            .option("path", loc)
+            .partitionBy("rletter")
+            .bucketBy(n_buckets, "rword")
+            .sortBy("rword")
+            .saveAsTable(rwords_table)
+        )
     if merged is not None:
         _replace_chunks_atomic(spark, base, merged, n_buckets)
     old = spark.table(f"{base}_stats").first()
@@ -1517,6 +1591,11 @@ def compact_search_index(spark: SparkSession, base: str) -> None:
     meta = _read_meta(spark, base)
     n_buckets = int(meta["n_buckets"])
     changed = False
+    # extends append the batch vocabulary to rwords without dedup (see
+    # extend_search_index); stale norms is the reliable "an extend
+    # happened since the last compaction" signal, so it also schedules
+    # the rwords dedup below
+    had_extends = not meta.get("norms_current", True)
     if not meta.get("chunks_current", True):
         merged = chunk_pairs(
             spark.table(f"{base}_positions").select("word", "doc_id"),
@@ -1533,6 +1612,29 @@ def compact_search_index(spark: SparkSession, base: str) -> None:
         )
         _replace_table_atomic(spark, base, "_norms", norms, n_buckets)
         meta["norms_current"] = True
+        changed = True
+    rwords_table = f"{base}_rwords"
+    stored_words = spark.table(f"{base}_positions").select("word")
+    if not os.path.isdir(table_location(spark, rwords_table)):
+        # upgrade path: a pre-v5 store gains the suffix companion here
+        # (one distinct over positions' word column), so compaction is
+        # the scheduled job that both maintains AND retrofits it
+        write_bucketed(
+            _rwords_frame(stored_words),
+            rwords_table,
+            "rword",
+            n_buckets,
+            sort_col="rword",
+            partition_cols=("rletter",),
+        )
+        meta["version"] = max(int(meta.get("version", 1)), 5)
+        changed = True
+    elif had_extends:
+        # dedupe the appended vocabulary (atomic swap, same protocol)
+        _replace_table_atomic(
+            spark, base, "_rwords", _rwords_frame(stored_words)
+            .localCheckpoint(), n_buckets,
+        )
         changed = True
     if changed:
         with open(_meta_path(spark, base), "w") as fh:
@@ -1560,7 +1662,7 @@ def serving_store_stats(spark: SparkSession, base: str) -> dict:
     meta = _read_meta(spark, base)
     tables = {}
     for suffix in ("_chunks", "_positions", "_doclen", "_docterms",
-                   "_norms", "_stats"):
+                   "_norms", "_rwords", "_stats"):
         loc = table_location(spark, f"{base}{suffix}")
         n_files = n_bytes = 0
         if os.path.isdir(loc):
@@ -1587,22 +1689,57 @@ def serving_store_stats(spark: SparkSession, base: str) -> dict:
     }
 
 
-def suffix_search_stored(
-    spark: SparkSession, base: str, suffix: str
+def suffix_matched_words(
+    spark: SparkSession, base: str, sfx: str
 ) -> DataFrame:
-    """(letter, word, df, postings): index.py suffix_search served from
-    the stored layout — the fuzzy_term_search_stored shape: a
-    column-pruned vocabulary pass finds the matching terms (no letter
-    pruning exists for a suffix; see suffix_search's docstring), then
-    the postings fetch goes through :func:`stored_term_postings`
-    (bucket-pruned, staleness-aware)."""
-    sfx = _normalize_single_term(suffix, "suffix")
+    """Single-column ``word`` frame of stored vocabulary terms ending in
+    ``sfx`` (already normalized) — the vocabulary pass of
+    :func:`suffix_search_stored`, factored out so plan tests can assert
+    its pruning. Two shapes:
+
+    - v5 stores carry the ``_rwords`` reversed-vocabulary companion:
+      the suffix becomes a PREFIX predicate on ``rword``, so the scan
+      prunes to ONE ``rletter`` partition directory (PartitionFilters)
+      with the startswith pushed into it — prefix_search_stored's cost,
+      bounded by the match set, flat in corpus size. Duplicate rows
+      from un-compacted extends are dropped by the distinct.
+    - pre-v5 stores fall back to the column-pruned vocabulary scan over
+      chunks/positions (the fuzzy_term_search_stored shape)."""
+    rwords_table = f"{base}_rwords"
+    if os.path.isdir(table_location(spark, rwords_table)):
+        if not spark.catalog.tableExists(rwords_table):
+            _create_stored_table(
+                spark, rwords_table,
+                _bucketed_specs(base)[rwords_table],
+                int(_read_meta(spark, base)["n_buckets"]),
+            )
+        rsfx = sfx[::-1]
+        return (
+            spark.table(rwords_table)
+            .where(F.col("rletter") == rsfx[0])
+            .where(F.col("rword").startswith(rsfx))
+            .select("word")
+            .distinct()
+        )
     src = "_chunks" if chunks_current(spark, base) else "_positions"
-    matched = (
+    return (
         spark.table(f"{base}{src}")
         .select("word")
         .distinct()
         .where(F.col("word").endswith(sfx))
     )
+
+
+def suffix_search_stored(
+    spark: SparkSession, base: str, suffix: str
+) -> DataFrame:
+    """(letter, word, df, postings): index.py suffix_search served from
+    the stored layout. The vocabulary pass goes through
+    :func:`suffix_matched_words` (directory-pruned via the ``_rwords``
+    reversed-word companion on v5 stores; column-pruned scan fallback
+    on older layouts), then the postings fetch goes through
+    :func:`stored_term_postings` (bucket-pruned, staleness-aware)."""
+    sfx = _normalize_single_term(suffix, "suffix")
+    matched = suffix_matched_words(spark, base, sfx)
     words = sorted(r["word"] for r in matched.collect())
     return stored_term_postings(spark, base, words)

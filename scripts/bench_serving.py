@@ -92,6 +92,8 @@ for mult, tag in ((1, "1x"), (10, "10x")):
          lambda: sink(srv.prefix_search_stored(spark, base, "s"))),
         ("fuzzy", lambda: sink(ix.fuzzy_term_search(docs, "sow")),
          lambda: sink(srv.fuzzy_term_search_stored(spark, base, "sow"))),
+        ("suffix", lambda: sink(ix.suffix_search(docs, "er")),
+         lambda: sink(srv.suffix_search_stored(spark, base, "er"))),
         ("mlt", lambda: sink(ix.more_like_this(docs, 7, k=10)),
          lambda: sink(srv.mlt_search_stored(spark, base, 7, k=10))),
     ]

@@ -502,7 +502,7 @@ def test_cli_store_stats_reports_health(spark, tmp_path):
     res = cli("store-stats", "clistat")
     assert res.returncode == 0, res.stderr[-2000:]
     st = json.loads(res.stdout)
-    assert st["version"] == 4 and st["chunks_current"] and st["norms_current"]
+    assert st["version"] == 5 and st["chunks_current"] and st["norms_current"]
     assert all(t["present"] and t["n_files"] > 0 for t in st["tables"].values())
 
     assert cli("extend", "clistat", str(batch), "--defer-chunks").returncode == 0

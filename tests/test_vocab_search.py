@@ -12,6 +12,7 @@ scan forms (fresh store, stale-chunks store, and compacted store)."""
 
 from __future__ import annotations
 
+import os
 import random
 
 import pytest
@@ -456,6 +457,87 @@ def test_suffix_stored_matches_scan_and_follows_staleness(spark, vocab_store):
     assert _rows(srv.suffix_search_stored(spark, base2, "er")) == _rows(
         suffix_search(combined, "er")
     )
+
+
+def test_suffix_stored_prunes_rletter_partition(spark, vocab_store):
+    """The reversed-word companion turns the suffix into a prefix over
+    rword: the vocabulary pass must prune to ONE rletter directory
+    (PartitionFilters) with the startswith pushed into the scan —
+    prefix_search_stored's cost shape, flat in corpus size."""
+    import contextlib
+    import io
+
+    base, _ = vocab_store
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        srv.suffix_matched_words(spark, base, "er").explain("formatted")
+    formatted = buf.getvalue()
+    assert any(
+        "PartitionFilters" in line and "rletter" in line
+        for line in formatted.splitlines()
+    ), formatted
+    assert "StartsWith" in formatted, formatted
+    assert "_rwords" in formatted, formatted
+
+
+def test_suffix_stored_falls_back_without_rwords(spark, vocab_store):
+    """A pre-v5 store has no _rwords table: the vocabulary pass must
+    fall back to the column-pruned scan and stay row-identical."""
+    import shutil
+
+    from parallel_inverted_index_map_reduce_spark.operators.bucketing import (
+        table_location,
+    )
+    from parallel_inverted_index_map_reduce_spark.operators.index import (
+        suffix_search,
+    )
+
+    base, docs = vocab_store
+    want = _rows(suffix_search(docs, "er"))
+    assert _rows(srv.suffix_search_stored(spark, base, "er")) == want
+    spark.sql(f"DROP TABLE IF EXISTS {base}_rwords")
+    shutil.rmtree(table_location(spark, f"{base}_rwords"))
+    try:
+        assert _rows(srv.suffix_search_stored(spark, base, "er")) == want
+        # ... and compaction is the retrofit job: it rebuilds the
+        # companion from positions and restores the pruned path
+        srv.compact_search_index(spark, base)
+        assert spark.catalog.tableExists(f"{base}_rwords") or os.path.isdir(
+            table_location(spark, f"{base}_rwords")
+        )
+        assert _rows(srv.suffix_search_stored(spark, base, "er")) == want
+    finally:
+        # vocab_store is session-scoped state on disk: leave it v5
+        if not os.path.isdir(table_location(spark, f"{base}_rwords")):
+            srv.compact_search_index(spark, base)
+
+
+def test_compact_dedupes_rwords_after_extends(spark):
+    """Extends append the batch vocabulary without dedup (keeping the
+    ingest batch-proportional); compaction must collapse the companion
+    back to one row per distinct stored word, with results unchanged."""
+    from parallel_inverted_index_map_reduce_spark.operators.index import (
+        suffix_search,
+    )
+
+    base = "vocrdedup"
+    docs = _docs(spark)
+    srv.store_search_index(docs, base, n_buckets=4, chunk_size=16)
+    new = load_table(spark, SF_ORACLE, "documents").where(
+        (F.col("doc_id") >= 60) & (F.col("doc_id") < 90)
+    )
+    srv.extend_search_index(spark, base, new, defer_chunks=True)
+    combined = docs.unionByName(new)
+    n_distinct = (
+        tokens_df(combined).select("word").distinct().count()
+    )
+    # overlapping vocabulary between the two batches => duplicates
+    assert spark.table(f"{base}_rwords").count() > n_distinct
+    want = _rows(suffix_search(combined, "er"))
+    assert _rows(srv.suffix_search_stored(spark, base, "er")) == want
+    srv.compact_search_index(spark, base)
+    assert spark.table(f"{base}_rwords").count() == n_distinct
+    assert _rows(srv.suffix_search_stored(spark, base, "er")) == want
 
 
 # --------------------------------------------------------------------------
