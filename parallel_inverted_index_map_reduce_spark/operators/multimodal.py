@@ -2,12 +2,13 @@
 processed by Arrow-batched pandas functions (``mapInPandas``).
 
 ``decode_image`` REALLY decodes netpbm (P6 PPM / P5 PGM), baseline
-JPEG (functions/jpeg.py), and non-interlaced 8-bit PNG — including
-PLTE-indexed palette color (functions/png.py); ``decode_audio``
-decodes PCM WAV (functions/audio.py) — all pure Python, no codec
-library. Formats needing codec machinery this codebase does not carry
-(interlaced PNG, progressive JPEG, GIF, compressed audio,
-video) stay behind a clearly-marked NotImplementedError stub.
+JPEG (functions/jpeg.py), and 8-bit PNG — including PLTE-indexed
+palette color, Adam7 interlacing, and tRNS transparency
+(functions/png.py); ``decode_audio`` decodes PCM WAV
+(functions/audio.py) — all pure Python, no codec library. Formats
+needing codec machinery this codebase does not carry (progressive
+JPEG, GIF, compressed audio, video) stay behind a clearly-marked
+NotImplementedError stub.
 Everything Spark-side is real either way: binary column schema, Arrow
 batch transfer, per-batch vectorized feature extraction, and the
 partitioning story (binary payloads stay with their row; feature
@@ -89,12 +90,12 @@ def decode_image(payload: bytes, codec: str = "auto"):
     Netpbm raw formats (P6/P5 magic), baseline JPEG (SOI magic;
     pure-Python T.81 sequential decoder, functions/jpeg.py — grayscale
     and YCbCr at any sampling factors, restart markers honored), and
-    non-interlaced 8-bit PNG incl. PLTE palette (functions/png.py)
-    decode for real — no codec library needed. ``codec='fake'``
-    returns the deterministic stand-in. Everything else (interlaced
-    PNG, progressive JPEG, GIF, video) raises NotImplementedError: those need codec
-    machinery this codebase does not carry, and a silent fake would be
-    worse than an honest stub.
+    8-bit PNG incl. PLTE palette, Adam7 interlacing, and tRNS
+    transparency (functions/png.py) decode for real — no codec library
+    needed. ``codec='fake'`` returns the deterministic stand-in.
+    Everything else (progressive JPEG, GIF, video) raises
+    NotImplementedError: those need codec machinery this codebase does
+    not carry, and a silent fake would be worse than an honest stub.
     """
     if codec == "fake":
         return {"width": len(payload) % 640, "height": len(payload) % 480}
@@ -311,7 +312,10 @@ def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
                     jenc(np.full((h, w), shade, dtype=np.uint8), quant_luma=ones)
                 )
                 grad = ((xx * 7 + yy * 13 + d) % 256).astype(np.uint8)
-                png = pdec(penc(grad, filter_type=d % 5))
+                # odd docs write Adam7-interlaced streams: the decode is
+                # lossless either way, so the SAME closed-form oracle
+                # verifies both the raster and the 7-pass reassembly
+                png = pdec(penc(grad, filter_type=d % 5, interlace=bool(d % 2)))
                 ramp = ((ii * 37 + d) % 256).astype(np.uint8)
                 wav = wdec(wenc(ramp, 8000 + d % 100, bits=8))
                 rows.append(

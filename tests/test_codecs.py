@@ -90,15 +90,79 @@ def test_palette_png_errors():
         pos += 12 + length
     with pytest.raises(ValueError, match="out of range"):
         P.decode_png(out)
-    with pytest.raises(NotImplementedError, match="tRNS"):
-        P.decode_png(
-            ok[:8]
-            + ok[8:33]  # IHDR chunk (25 bytes)
-            + struct.pack(">I", 1)
-            + b"tRNS\x00"
-            + struct.pack(">I", zl.crc32(b"tRNS\x00") & 0xFFFFFFFF)
-            + ok[33:]
-        )
+    # a hand-inserted tRNS alpha table turns the decode RGBA: every
+    # pixel indexes entry 0, whose alpha the 1-byte table sets to 0
+    dec = P.decode_png(
+        ok[:8]
+        + ok[8:33]  # IHDR chunk (25 bytes)
+        + struct.pack(">I", 1)
+        + b"tRNS\x00"
+        + struct.pack(">I", zl.crc32(b"tRNS\x00") & 0xFFFFFFFF)
+        + ok[33:]
+    )
+    assert dec["channels"] == 4
+    np.testing.assert_array_equal(
+        dec["pixels"][:, :, 3], np.zeros((2, 2), dtype=np.uint8)
+    )
+
+
+def test_interlaced_png_roundtrip_all_filters():
+    """Adam7: every pass is its own filtered sub-image; shapes below
+    exercise empty passes (dims < the pass origins) and ragged pass
+    widths. Round trip must be exact for every fixed filter type."""
+    for h, w, ch in [(1, 1, 3), (3, 2, 2), (7, 5, 3), (8, 8, 1), (9, 10, 4)]:
+        px = (
+            (np.arange(h * w * ch) * 31 + 7) % 256
+        ).astype(np.uint8).reshape(h, w, ch)
+        for ft in range(5):
+            d = P.decode_png(P.encode_png(px, filter_type=ft, interlace=True))
+            assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+            np.testing.assert_array_equal(d["pixels"], px), (h, w, ch, ft)
+
+
+def test_interlaced_palette_png_roundtrip():
+    palette = ((np.arange(18) * 41 + 3) % 256).astype(np.uint8).reshape(6, 3)
+    idx = ((np.arange(11 * 9) * 5) % 6).astype(np.uint8).reshape(11, 9)
+    d = P.decode_png(
+        P.encode_palette_png(idx, palette, filter_type=4, interlace=True)
+    )
+    assert (d["width"], d["height"], d["channels"]) == (9, 11, 3)
+    np.testing.assert_array_equal(d["pixels"], palette[idx])
+
+
+def test_trns_palette_alpha_table_pads_opaque():
+    palette = ((np.arange(12) * 17) % 256).astype(np.uint8).reshape(4, 3)
+    idx = (np.arange(6 * 5) % 4).astype(np.uint8).reshape(6, 5)
+    # table shorter than the palette: entries 2/3 default to opaque
+    d = P.decode_png(P.encode_palette_png(idx, palette, trns=[10, 200]))
+    assert d["channels"] == 4
+    np.testing.assert_array_equal(d["pixels"][:, :, :3], palette[idx])
+    want_alpha = np.array([10, 200, 255, 255], dtype=np.uint8)[idx]
+    np.testing.assert_array_equal(d["pixels"][:, :, 3], want_alpha)
+    with pytest.raises(ValueError, match="palette-length"):
+        P.encode_palette_png(idx, palette, trns=[0] * 5)
+
+
+def test_trns_color_key_gray_and_rgb():
+    gray = (np.arange(4 * 4) % 7 * 30).astype(np.uint8).reshape(4, 4)
+    d = P.decode_png(P.encode_png(gray, trns_color=60))
+    assert d["channels"] == 2
+    np.testing.assert_array_equal(
+        d["pixels"][:, :, 1], np.where(gray == 60, 0, 255).astype(np.uint8)
+    )
+    rgb = ((np.arange(3 * 5 * 3) * 11) % 256).astype(np.uint8).reshape(3, 5, 3)
+    rgb[1, 2] = (9, 8, 7)
+    rgb[2, 4] = (9, 8, 7)
+    d = P.decode_png(P.encode_png(rgb, filter_type=2, trns_color=(9, 8, 7)))
+    assert d["channels"] == 4
+    keyed = np.all(rgb == np.array([9, 8, 7]), axis=2)
+    assert keyed.sum() == 2
+    np.testing.assert_array_equal(
+        d["pixels"][:, :, 3], np.where(keyed, 0, 255).astype(np.uint8)
+    )
+    # color-key on an image WITH an alpha channel is a spec violation
+    with pytest.raises(ValueError, match="invalid"):
+        P.encode_png(np.zeros((2, 2, 4), dtype=np.uint8), trns_color=(1, 2, 3))
 
 
 def test_wav_8bit_mono_roundtrip():
