@@ -1,18 +1,27 @@
-"""Pure-Python baseline JPEG codec (ITU-T T.81 sequential DCT, 8-bit).
+"""Pure-Python JPEG codec (ITU-T T.81, Huffman, 8-bit): baseline
+sequential (SOF0) AND progressive (SOF2).
 
 The environment ships no image codec libraries, and the multimodal
 decode path refused to fake JPEG (operators/multimodal.py) — this
 module closes that gap honestly: a real decoder for baseline JPEGs
-(SOF0: sequential, Huffman, 8-bit; grayscale and interleaved YCbCr at
-any sampling factors incl. 4:4:4 and 4:2:0; restart markers honored)
-plus a matching encoder (grayscale / 4:4:4 / 4:2:0) used by the
-round-trip tests, so correctness is proven without any external codec
-or fixture file.
+(sequential Huffman, 8-bit; grayscale and interleaved YCbCr at any
+sampling factors incl. 4:4:4 and 4:2:0; restart markers honored) and
+progressive JPEGs (all four Annex G scan kinds — DC/AC, first/
+refinement — with spectral selection, successive approximation, and
+EOB-run coding; every scan accumulates into per-component coefficient
+grids and one dequantize+IDCT runs at EOI, so both frame types share
+every code path after entropy decoding). Matching encoders (baseline,
+and a progressive one with the classic DC-first / banded-AC /
+refinement scan script plus per-scan Huffman table builds) let the
+round-trip tests prove correctness without any external codec or
+fixture file: both encoders quantize through the same code, so a
+progressive stream must decode to bit-identical pixels as the baseline
+stream of the same image.
 
 Everything is numpy float64 + integer bit twiddling — deterministic
-across platforms. Progressive (SOF2), arithmetic coding, and 12-bit
-precision raise NotImplementedError: stating the supported envelope
-beats decoding them wrong.
+across platforms. Arithmetic coding, lossless/hierarchical frames, and
+12-bit precision raise NotImplementedError: stating the supported
+envelope beats decoding them wrong.
 
 All table constants below are the public interchange defaults from the
 JPEG specification (ITU-T T.81 Annex K): the zigzag scan order, the
@@ -222,13 +231,273 @@ def _make_codec():
                 raise ValueError(f"expected RST{n & 7} marker")
 
 
+    def _next_marker(data: bytes, pos: int) -> tuple[int, int]:
+        """Scan forward for the next marker (0xFF + non-stuffing byte),
+        skipping entropy padding and 0xFF fill bytes; returns
+        (marker, position after the marker)."""
+        while pos < len(data) - 1:
+            if data[pos] != 0xFF or data[pos + 1] in (0x00,):
+                pos += 1
+                continue
+            if data[pos + 1] == 0xFF:  # fill byte
+                pos += 1
+                continue
+            return data[pos + 1], pos + 2
+        raise ValueError("ran off the end looking for a marker")
+
+    def _frame_geometry(frame: dict) -> None:
+        """Attach the block-grid geometry each scan needs: the
+        MCU-aligned grid (interleaved scans) and the component's own
+        ceil(samples/8) grid (non-interleaved scans, T.81 A.2.2 — it
+        can be SMALLER than the MCU grid, whose extra blocks are
+        inter-MCU padding never coded in a non-interleaved scan)."""
+        w, h, comps = frame["w"], frame["h"], frame["comps"]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        frame["hmax"], frame["vmax"] = hmax, vmax
+        frame["mcus_x"] = -(-w // (8 * hmax))
+        frame["mcus_y"] = -(-h // (8 * vmax))
+        for c in comps:
+            cw = -(-(w * c["h"]) // hmax)
+            ch = -(-(h * c["v"]) // vmax)
+            c["bx"], c["by"] = -(-cw // 8), -(-ch // 8)
+            c["bx_mcu"] = frame["mcus_x"] * c["h"]
+            c["by_mcu"] = frame["mcus_y"] * c["v"]
+
+    def _decode_scan_into(
+        reader, frame, scan, spectral, huff_dc, huff_ac, restart_interval,
+        coefs, progressive, eob_state,
+    ) -> None:
+        """Decode ONE scan's entropy-coded data into the per-component
+        coefficient arrays (zigzag order). Handles all four progressive
+        scan kinds (T.81 G.1.2: DC first/refine, AC first/refine with
+        EOB runs) plus sequential scans (the baseline case: DC+AC in
+        one pass), interleaved or single-component, with restart
+        markers resetting predictors AND the EOB run."""
+        Ss, Se, Ah, Al = spectral
+        if progressive:
+            # T.81 G.1: DC scans carry exactly band [0,0]; AC scans are
+            # single-component and never include DC
+            if Ss == 0 and Se != 0:
+                raise ValueError(
+                    f"progressive DC scan must have Se=0, got Se={Se}"
+                )
+            if Ss > 0 and len(scan) > 1:
+                raise ValueError("progressive AC scans are single-component")
+            if Ss > Se or Se > 63:
+                raise ValueError(f"bad spectral band [{Ss},{Se}]")
+        elif spectral != (0, 63, 0, 0):
+            raise ValueError(
+                f"sequential scan must cover [0,63] at full precision, "
+                f"got {spectral}"
+            )
+        comps = frame["comps"]
+        pred = {ci: 0 for ci, _dc, _ac in scan}
+        rst = {"n": 0, "count": 0}
+        eob_state["run"] = 0
+
+        def maybe_restart():
+            if (
+                restart_interval
+                and rst["count"]
+                and rst["count"] % restart_interval == 0
+            ):
+                reader.align_and_expect_rst(rst["n"])
+                rst["n"] = (rst["n"] + 1) & 7
+                for ci in pred:
+                    pred[ci] = 0
+                eob_state["run"] = 0
+
+        def decode_dc(block, ci, dc_tab):
+            if Ah == 0:
+                s = reader.decode_symbol(dc_tab)
+                diff = _extend(reader.read_bits(s), s) if s else 0
+                pred[ci] += diff
+                block[0] = pred[ci] << Al
+            else:  # refinement: one raw bit per block
+                if reader.read_bit():
+                    block[0] |= 1 << Al
+
+        def decode_ac_first(block, ac_tab):
+            if eob_state["run"] > 0:
+                eob_state["run"] -= 1
+                return
+            k = Ss
+            while k <= Se:
+                rs = reader.decode_symbol(ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    # EOBn: run of (1<<r)+extra all-done blocks,
+                    # INCLUDING this one
+                    eob_state["run"] = (1 << r) + (
+                        reader.read_bits(r) if r else 0
+                    ) - 1
+                    return
+                k += r
+                if k > Se:
+                    raise ValueError("AC run past the spectral band")
+                block[k] = _extend(reader.read_bits(s), s) << Al
+                k += 1
+
+        def decode_ac_refine(block, ac_tab):
+            # T.81 G.1.2.3: correction bits for already-nonzero
+            # coefficients are interleaved with the runs that position
+            # newly-nonzero ones
+            p1, m1 = 1 << Al, -1 << Al
+            k = Ss
+            if eob_state["run"] == 0:
+                while k <= Se:
+                    rs = reader.decode_symbol(ac_tab)
+                    r, s = rs >> 4, rs & 0xF
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eob_state["run"] = (1 << r) + (
+                                reader.read_bits(r) if r else 0
+                            )
+                            break
+                        # r == 15: ZRL — skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "AC refinement symbol with size != 1"
+                            )
+                        newval = p1 if reader.read_bit() else m1
+                    while k <= Se:
+                        if block[k] != 0:
+                            if reader.read_bit() and not (block[k] & p1):
+                                block[k] += p1 if block[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= Se:
+                        block[k] = newval
+                    k += 1
+            if eob_state["run"] > 0:
+                while k <= Se:
+                    if block[k] != 0:
+                        if reader.read_bit() and not (block[k] & p1):
+                            block[k] += p1 if block[k] >= 0 else m1
+                    k += 1
+                eob_state["run"] -= 1
+
+        def decode_sequential(block, ci, dc_tab, ac_tab):
+            s = reader.decode_symbol(dc_tab)
+            diff = _extend(reader.read_bits(s), s) if s else 0
+            pred[ci] += diff
+            block[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = reader.decode_symbol(ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                block[k] = _extend(reader.read_bits(s), s)
+                k += 1
+
+        def decode_block(block, ci, dc_tab, ac_tab):
+            if not progressive:
+                decode_sequential(block, ci, dc_tab, ac_tab)
+            elif Ss == 0:
+                decode_dc(block, ci, dc_tab)
+            elif Ah == 0:
+                decode_ac_first(block, ac_tab)
+            else:
+                decode_ac_refine(block, ac_tab)
+
+        if len(scan) > 1:  # interleaved: iterate MCUs
+            for my in range(frame["mcus_y"]):
+                for mx in range(frame["mcus_x"]):
+                    maybe_restart()
+                    for ci, dc_tab, ac_tab in scan:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                decode_block(
+                                    coefs[ci][my * c["v"] + by, mx * c["h"] + bx],
+                                    ci, dc_tab, ac_tab,
+                                )
+                    rst["count"] += 1
+        else:  # non-interleaved: iterate the component's own block grid
+            ci, dc_tab, ac_tab = scan[0]
+            c = comps[ci]
+            for byi in range(c["by"]):
+                for bxi in range(c["bx"]):
+                    maybe_restart()
+                    decode_block(coefs[ci][byi, bxi], ci, dc_tab, ac_tab)
+                    rst["count"] += 1
+
+    def _assemble_pixels(frame, coefs, quant) -> dict:
+        """Dequantize + IDCT every component's coefficient grid and
+        assemble the final image — one vectorized einsum per component
+        instead of a per-block Python loop."""
+        w, h, comps = frame["w"], frame["h"], frame["comps"]
+        hmax, vmax = frame["hmax"], frame["vmax"]
+        full = []
+        for ci, c in enumerate(comps):
+            cf = coefs[ci]  # (BY, BX, 64) zigzag-order int64
+            by_n, bx_n = cf.shape[:2]
+            deq = (cf * quant[c["tq"]]).astype(np.float64)
+            spec = np.zeros((by_n, bx_n, 64), dtype=np.float64)
+            spec[:, :, ZIGZAG] = deq
+            spec = spec.reshape(by_n, bx_n, 8, 8)
+            spatial = (
+                np.einsum("ij,abjk,kl->abil", _A.T, spec, _A) + 128.0
+            )
+            p = spatial.transpose(0, 2, 1, 3).reshape(by_n * 8, bx_n * 8)
+            p = np.repeat(
+                np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+            full.append(p[:h, :w])
+
+        if len(comps) == 1:
+            pixels = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+            pixels = pixels[:, :, None]
+        elif len(comps) == 3:
+            y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            b = y + 1.772 * cb
+            pixels = np.clip(
+                np.round(np.stack([r, g, b], axis=2)), 0, 255
+            ).astype(np.uint8)
+        else:
+            raise NotImplementedError(f"{len(comps)}-component frames")
+
+        return {
+            "width": w,
+            "height": h,
+            "channels": pixels.shape[2],
+            "maxval": 255,
+            "pixels": pixels,
+            "pixel_sum": int(pixels.astype(np.int64).sum()),
+            "n_pixel_bytes": int(pixels.size),
+        }
+
     def decode_baseline_jpeg(payload: bytes) -> dict:
-        """Decode a baseline JPEG to pixels + metadata.
+        """Decode a baseline (SOF0) or progressive (SOF2) JPEG to
+        pixels + metadata.
 
         Returns {"width", "height", "channels", "maxval", "pixels"
         (HxWxC uint8 ndarray, RGB for color), "pixel_sum",
-        "n_pixel_bytes"} — the same stats surface as the netpbm parser in
-        operators/multimodal.py, plus the plane itself.
+        "n_pixel_bytes"} — the same stats surface as the netpbm parser
+        in operators/multimodal.py, plus the plane itself.
+
+        All scans accumulate into per-component zigzag coefficient
+        grids; dequantization + IDCT happen once at EOI, so baseline
+        (one sequential scan) and progressive (many partial scans) share
+        every code path after entropy decoding.
         """
         if payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG (missing SOI)")
@@ -237,7 +506,11 @@ def _make_codec():
         huff_dc: dict[int, dict] = {}
         huff_ac: dict[int, dict] = {}
         frame = None
+        progressive = False
+        coefs = None
         restart_interval = 0
+        eob_state = {"run": 0}
+        saw_scan = False
 
         while pos < len(payload):
             if payload[pos] != 0xFF:
@@ -270,7 +543,7 @@ def _make_codec():
                     table = _build_huffman_decoder(bits, vals)
                     (huff_dc if tc == 0 else huff_ac)[th] = table
                     i += 17 + n
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 precision = seg[0]
                 if precision != 8:
                     raise NotImplementedError(f"{precision}-bit precision")
@@ -284,125 +557,52 @@ def _make_codec():
                         {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                     )
                 frame = {"w": width, "h": height, "comps": comps}
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                progressive = marker == 0xC2
+                _frame_geometry(frame)
+                coefs = [
+                    np.zeros((c["by_mcu"], c["bx_mcu"], 64), dtype=np.int64)
+                    for c in comps
+                ]
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
                 raise NotImplementedError(
                     f"SOF{marker - 0xC0}: only baseline sequential (SOF0) "
-                    "is supported"
+                    "and progressive (SOF2) are supported"
                 )
             elif marker == 0xDD:  # DRI
                 restart_interval = int.from_bytes(seg[0:2], "big")
             elif marker == 0xDA:  # SOS -> entropy-coded data follows
                 if frame is None:
-                    raise ValueError("SOS before SOF0")
+                    raise ValueError("SOS before SOF")
                 ns = seg[0]
-                scan_tables = {}
+                by_id = {c["id"]: ci for ci, c in enumerate(frame["comps"])}
+                scan = []
                 for c in range(ns):
                     cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                    scan_tables[cid] = (tt >> 4, tt & 0xF)
-                data_pos = pos + seg_len
-                return _decode_scan(
-                    payload,
-                    data_pos,
-                    frame,
-                    scan_tables,
-                    quant,
-                    huff_dc,
-                    huff_ac,
-                    restart_interval,
+                    ci = by_id[cid]
+                    scan.append(
+                        (
+                            ci,
+                            huff_dc.get(tt >> 4),
+                            huff_ac.get(tt & 0xF),
+                        )
+                    )
+                Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                a = seg[3 + 2 * ns]
+                spectral = (Ss, Se, a >> 4, a & 0xF)
+                reader = _BitReader(payload, pos + seg_len)
+                _decode_scan_into(
+                    reader, frame, scan, spectral, huff_dc, huff_ac,
+                    restart_interval, coefs, progressive, eob_state,
                 )
+                saw_scan = True
+                marker, after = _next_marker(payload, reader.pos)
+                pos = after - 2  # let the main loop parse it
+                continue
             # APPn / COM / anything else: skip
             pos += seg_len
-        raise ValueError("no scan data (missing SOS)")
-
-
-    def _decode_scan(
-        data, pos, frame, scan_tables, quant, huff_dc, huff_ac, restart_interval
-    ) -> dict:
-        w, h, comps = frame["w"], frame["h"], frame["comps"]
-        hmax = max(c["h"] for c in comps)
-        vmax = max(c["v"] for c in comps)
-        mcus_x = -(-w // (8 * hmax))
-        mcus_y = -(-h // (8 * vmax))
-
-        planes = []
-        for c in comps:
-            planes.append(
-                np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
-            )
-
-        reader = _BitReader(data, pos)
-        pred = [0] * len(comps)
-        mcu_count = 0
-        rst_n = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                    reader.align_and_expect_rst(rst_n)
-                    rst_n = (rst_n + 1) & 7
-                    pred = [0] * len(comps)
-                for ci, c in enumerate(comps):
-                    dc_tab = huff_dc[scan_tables[c["id"]][0]]
-                    ac_tab = huff_ac[scan_tables[c["id"]][1]]
-                    q = quant[c["tq"]]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            coeffs = np.zeros(64, dtype=np.int64)
-                            s = reader.decode_symbol(dc_tab)
-                            diff = _extend(reader.read_bits(s), s) if s else 0
-                            pred[ci] += diff
-                            coeffs[0] = pred[ci]
-                            k = 1
-                            while k < 64:
-                                rs = reader.decode_symbol(ac_tab)
-                                r, s = rs >> 4, rs & 0xF
-                                if s == 0:
-                                    if r == 15:  # ZRL: sixteen zeros
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("AC run past block end")
-                                coeffs[k] = _extend(reader.read_bits(s), s)
-                                k += 1
-                            block = np.zeros(64, dtype=np.float64)
-                            block[ZIGZAG] = (coeffs * q).astype(np.float64)
-                            spatial = _A.T @ block.reshape(8, 8) @ _A + 128.0
-                            y0 = (my * c["v"] + by) * 8
-                            x0 = (mx * c["h"] + bx) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
-                mcu_count += 1
-
-        # upsample each plane to full size by replication, crop to (h, w)
-        full = []
-        for ci, c in enumerate(comps):
-            p = planes[ci]
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-            full.append(p[:h, :w])
-
-        if len(comps) == 1:
-            pixels = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-            pixels = pixels[:, :, None]
-        elif len(comps) == 3:
-            y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-            r = y + 1.402 * cr
-            g = y - 0.344136 * cb - 0.714136 * cr
-            b = y + 1.772 * cb
-            pixels = np.clip(
-                np.round(np.stack([r, g, b], axis=2)), 0, 255
-            ).astype(np.uint8)
-        else:
-            raise NotImplementedError(f"{len(comps)}-component scans")
-
-        return {
-            "width": w,
-            "height": h,
-            "channels": pixels.shape[2],
-            "maxval": 255,
-            "pixels": pixels,
-            "pixel_sum": int(pixels.astype(np.int64).sum()),
-            "n_pixel_bytes": int(pixels.size),
-        }
+        if not saw_scan:
+            raise ValueError("no scan data (missing SOS)")
+        return _assemble_pixels(frame, coefs, quant)
 
 
     # ---------------------------------------------------------------------------
@@ -436,13 +636,19 @@ def _make_codec():
         return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
+    def _dct_quant_block(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+        """DCT -> quantize -> zigzag for one 8x8 spatial block — shared
+        by the baseline and progressive encoders so both transmit
+        bit-identical coefficients (the parity tests rely on it)."""
+        coeffs = _A @ (block - 128.0) @ _A.T
+        return np.round(coeffs.reshape(64)[ZIGZAG] / q).astype(np.int64)
+
     def _encode_block(
         writer: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int,
         dc_enc: dict, ac_enc: dict,
     ) -> int:
         """DCT -> quantize -> zigzag -> Huffman. Returns the new DC pred."""
-        coeffs = _A @ (block - 128.0) @ _A.T
-        zz = np.round(coeffs.reshape(64)[ZIGZAG] / q).astype(np.int64)
+        zz = _dct_quant_block(block, q)
         dc = int(zz[0])
         diff = dc - pred
         s = _category(diff)
@@ -472,19 +678,9 @@ def _make_codec():
         return dc
 
 
-    def encode_baseline_jpeg(
-        pixels: np.ndarray,
-        subsampling: str = "444",
-        quant_luma: np.ndarray | None = None,
-        quant_chroma: np.ndarray | None = None,
-        restart_interval: int = 0,
-    ) -> bytes:
-        """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as a
-        baseline JPEG. ``subsampling``: '444' or '420' (color only).
-        Custom quantization tables (zigzag order, 64 ints) allow
-        near-lossless round-trip tests with all-ones tables;
-        ``restart_interval`` emits DRI + RSTn markers every that many MCUs
-        (exercises the decoder's restart path)."""
+    def _prepare_frame(pixels, subsampling, quant_luma, quant_chroma):
+        """Color-convert / subsample / MCU-pad an input array — the
+        shared front half of the baseline and progressive encoders."""
         pixels = np.asarray(pixels)
         gray = pixels.ndim == 2 or pixels.shape[2] == 1
         if gray and pixels.ndim == 3:
@@ -534,6 +730,24 @@ def _make_codec():
                     mode="edge",
                 )
             )
+        return gray, h, w, padded, samp, qids, mcus_x, mcus_y, ql, qc
+
+    def encode_baseline_jpeg(
+        pixels: np.ndarray,
+        subsampling: str = "444",
+        quant_luma: np.ndarray | None = None,
+        quant_chroma: np.ndarray | None = None,
+        restart_interval: int = 0,
+    ) -> bytes:
+        """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as a
+        baseline JPEG. ``subsampling``: '444' or '420' (color only).
+        Custom quantization tables (zigzag order, 64 ints) allow
+        near-lossless round-trip tests with all-ones tables;
+        ``restart_interval`` emits DRI + RSTn markers every that many MCUs
+        (exercises the decoder's restart path)."""
+        (gray, h, w, padded, samp, qids, mcus_x, mcus_y, ql, qc) = (
+            _prepare_frame(pixels, subsampling, quant_luma, quant_chroma)
+        )
 
         out = bytearray(b"\xff\xd8")  # SOI
 
@@ -608,8 +822,324 @@ def _make_codec():
         out.extend(b"\xff\xd9")  # EOI
         return bytes(out)
 
+    # -----------------------------------------------------------------
+    # Progressive encoder (T.81 Annex G): spectral selection +
+    # successive approximation, with EOB-run coding and a two-pass
+    # per-scan Huffman table build. The coefficient grids come from the
+    # SAME _dct_quant_block as the baseline encoder, so a progressive
+    # stream decodes to bit-identical pixels (the parity tests).
+    # -----------------------------------------------------------------
+
+    def _build_fixed_table(symbols) -> tuple[list[int], list[int]]:
+        """A JPEG-legal canonical Huffman table giving every observed
+        symbol the same code length L (smallest with n <= 2^L - 1, so
+        the all-ones code stays unused as T.81 C.2 requires). Not
+        size-optimal — this encoder is a test harness — but valid for
+        any decoder, and deliberately DIFFERENT from the K.3 tables so
+        round trips also exercise table redefinition between scans."""
+        vals = sorted(symbols)
+        n = max(1, len(vals))
+        L = 1
+        while n > (1 << L) - 1:
+            L += 1
+        bits = [0] * 16
+        bits[L - 1] = len(vals)
+        return bits, vals
+
+    class _ScanEmitter:
+        """Two-pass emission: stats mode collects the symbol alphabet
+        (pass 1 -> Huffman table), write mode entropy-codes (pass 2).
+        Both passes run the identical control flow."""
+
+        def __init__(self, writer=None, table=None):
+            self.writer = writer
+            self.table = table
+            self.symbols: set[int] = set()
+
+        def symbol(self, sym: int) -> None:
+            if self.writer is None:
+                self.symbols.add(sym)
+            else:
+                length, code = self.table[sym]
+                self.writer.write(code, length)
+
+        def bits(self, v: int, n: int) -> None:
+            if self.writer is not None and n:
+                self.writer.write(v, n)
+
+    def _dc_scan_blocks(frame_geo, samp):
+        """Yield (ci, by, bx) block coordinates in interleaved MCU
+        order over every component (the DC scans' traversal)."""
+        mcus_x, mcus_y = frame_geo
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            yield ci, my * sv + by, mx * sh + bx
+
+    def _encode_ac_scan(emit, grid, nby, nbx, Ss, Se, Ah, Al) -> None:
+        """One component's AC scan over its non-interleaved block grid.
+        Ah == 0: first scan (magnitudes at precision Al, EOB-run coded).
+        Ah > 0: refinement (correction bits for known-nonzero
+        coefficients buffered and flushed after the next symbol — the
+        Figure G.7 discipline)."""
+        eobrun = 0
+        pending: list[int] = []  # correction bits owed to a future EOB
+
+        def emit_eobrun():
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                emit.symbol(nbits << 4)
+                if nbits:
+                    emit.bits(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+                for b in pending:
+                    emit.bits(b, 1)
+                pending.clear()
+
+        for byi in range(nby):
+            for bxi in range(nbx):
+                block = grid[byi, bxi]
+                if Ah == 0:
+                    r = 0
+                    wrote_to_end = False
+                    for k in range(Ss, Se + 1):
+                        v = int(block[k])
+                        t = (v if v >= 0 else -v) >> Al
+                        if t == 0:
+                            r += 1
+                            continue
+                        emit_eobrun()
+                        while r > 15:
+                            emit.symbol(0xF0)  # ZRL
+                            r -= 16
+                        s = t.bit_length()
+                        emit.symbol((r << 4) | s)
+                        tv = t if v >= 0 else -t
+                        emit.bits(tv if tv >= 0 else tv + (1 << s) - 1, s)
+                        r = 0
+                        wrote_to_end = k == Se
+                    if not wrote_to_end:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            emit_eobrun()
+                else:
+                    absv = [
+                        (int(block[k]) if block[k] >= 0 else -int(block[k]))
+                        >> Al
+                        for k in range(Ss, Se + 1)
+                    ]
+                    # last newly-nonzero position: runs beyond it fold
+                    # into the EOB run instead of ZRLs
+                    eob_rel = max(
+                        (i for i, t in enumerate(absv) if t == 1), default=-1
+                    )
+                    r = 0
+                    br: list[int] = []
+                    for i, t in enumerate(absv):
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and i <= eob_rel:
+                            emit_eobrun()
+                            emit.symbol(0xF0)
+                            r -= 16
+                            for b in br:
+                                emit.bits(b, 1)
+                            br = []
+                        if t > 1:
+                            br.append(t & 1)
+                            continue
+                        emit_eobrun()
+                        emit.symbol((r << 4) | 1)
+                        emit.bits(1 if block[Ss + i] > 0 else 0, 1)
+                        for b in br:
+                            emit.bits(b, 1)
+                        br = []
+                        r = 0
+                    if r > 0 or br:
+                        eobrun += 1
+                        pending.extend(br)
+                        if eobrun == 0x7FFF:
+                            emit_eobrun()
+        emit_eobrun()
+
+    def encode_progressive_jpeg(
+        pixels: np.ndarray,
+        subsampling: str = "444",
+        quant_luma: np.ndarray | None = None,
+        quant_chroma: np.ndarray | None = None,
+        dc_al: int = 1,
+        ac_al: int = 2,
+        band_split: int = 5,
+    ) -> bytes:
+        """Encode as a progressive (SOF2) JPEG with the classic script:
+        DC first at Al=dc_al -> per-component AC first in two spectral
+        bands ([1,band_split], [band_split+1,63]) at Al=ac_al ->
+        per-component AC refinements down to full precision -> DC
+        refinements. Coefficients are computed by the same
+        DCT/quantize/round as encode_baseline_jpeg, so the decoded
+        pixels are bit-identical to the baseline stream's."""
+        (gray, h, w, padded, samp, qids, mcus_x, mcus_y, ql, qc) = (
+            _prepare_frame(pixels, subsampling, quant_luma, quant_chroma)
+        )
+        ncomp = 1 if gray else 3
+        qtabs = [ql if qid == 0 else qc for qid in qids]
+
+        # coefficient grids over the MCU-aligned padding (DC scans are
+        # interleaved and cover every MCU block)
+        coef_grids = []
+        for ci in range(ncomp):
+            plane = padded[ci]
+            nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+            grid = np.zeros((nby, nbx, 64), dtype=np.int64)
+            for by in range(nby):
+                for bx in range(nbx):
+                    grid[by, bx] = _dct_quant_block(
+                        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                        qtabs[ci],
+                    )
+            coef_grids.append(grid)
+
+        # AC scans traverse the component's own ceil(samples/8) grid
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        ac_dims = []
+        for ci in range(ncomp):
+            cw = -(-(w * samp[ci][0]) // hmax)
+            ch = -(-(h * samp[ci][1]) // vmax)
+            ac_dims.append((-(-ch // 8), -(-cw // 8)))
+
+        out = bytearray(b"\xff\xd8")  # SOI
+
+        def seg(marker: int, body: bytes) -> None:
+            out.extend(b"\xff" + bytes([marker]))
+            out.extend((len(body) + 2).to_bytes(2, "big"))
+            out.extend(body)
+
+        seg(0xDB, bytes([0x00]) + bytes(ql.tolist()))
+        if not gray:
+            seg(0xDB, bytes([0x01]) + bytes(qc.tolist()))
+
+        sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+            [ncomp]
+        )
+        for ci in range(ncomp):
+            sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
+        seg(0xC2, sof)  # SOF2: progressive
+
+        # DC tables: the standard K.3 ones carry all 12 categories
+        dc_tabs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS)]
+        if not gray:
+            dc_tabs.append((0x01, DC_CHROMA_BITS, DC_CHROMA_VALS))
+        for tc_th, bits, vals in dc_tabs:
+            seg(0xC4, bytes([tc_th] + bits + vals))
+        dc_enc = _build_huffman_encoder(DC_LUMA_BITS, DC_LUMA_VALS)
+        if not gray:
+            dc_enc_c = _build_huffman_encoder(DC_CHROMA_BITS, DC_CHROMA_VALS)
+
+        def sos(comp_specs: list[tuple[int, int]], Ss, Se, Ah, Al) -> None:
+            body = bytes([len(comp_specs)])
+            for cid, tt in comp_specs:
+                body += bytes([cid, tt])
+            body += bytes([Ss, Se, (Ah << 4) | Al])
+            seg(0xDA, body)
+
+        class _MuxEmitter:
+            """DC-scan emitter routing symbols through per-component
+            tables (luma vs chroma) while sharing one bit stream."""
+
+            def __init__(self, writer, tables):
+                self.writer = writer
+                self.tables = tables
+                self.ci = 0
+                self.symbols = [set() for _ in tables]
+
+            def symbol(self, sym):
+                if self.writer is None:
+                    self.symbols[self.ci].add(sym)
+                else:
+                    length, code = self.tables[self.ci][sym]
+                    self.writer.write(code, length)
+
+            def bits(self, v, n):
+                if self.writer is not None and n:
+                    self.writer.write(v, n)
+
+        # --- scan 1: DC first, all components interleaved ---
+        tables = [dc_enc] + ([dc_enc_c, dc_enc_c] if not gray else [])
+        sos([(ci + 1, 0x00 if ci == 0 else 0x11) for ci in range(ncomp)],
+            0, 0, 0, dc_al)
+        writer = _BitWriter()
+        emit = _MuxEmitter(writer, tables)
+
+        # route per-block table choice through the emitter
+        def dc_scan(emitter, Ah, Al):
+            pred = [0] * ncomp
+            for ci, by, bx in _dc_scan_blocks((mcus_x, mcus_y), samp):
+                emitter.ci = ci
+                dc = int(coef_grids[ci][by, bx, 0])
+                if Ah == 0:
+                    v = dc >> Al
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    s = _category(diff)
+                    emitter.symbol(s)
+                    if s:
+                        emitter.bits(
+                            diff if diff >= 0 else diff + (1 << s) - 1, s
+                        )
+                else:
+                    emitter.bits((dc >> Al) & 1, 1)
+
+        dc_scan(emit, 0, dc_al)
+        writer.flush()
+        out.extend(writer.out)
+
+        # --- AC scans: per component, two spectral bands, then the
+        # successive-approximation refinements down to Al=0 ---
+        bands = [(1, band_split), (band_split + 1, 63)]
+        ac_passes = [(0, ac_al, bands)]
+        for al in range(ac_al - 1, -1, -1):
+            ac_passes.append((al + 1, al, [(1, 63)]))
+        for ah, al, scan_bands in ac_passes:
+            for ci in range(ncomp):
+                nby, nbx = ac_dims[ci]
+                for Ss, Se in scan_bands:
+                    # pass 1: collect the symbol alphabet
+                    stats = _ScanEmitter()
+                    _encode_ac_scan(
+                        stats, coef_grids[ci], nby, nbx, Ss, Se, ah, al
+                    )
+                    bits, vals = _build_fixed_table(stats.symbols or {0x00})
+                    th = 0 if ci == 0 else 1
+                    seg(0xC4, bytes([0x10 | th] + bits + vals))
+                    enc_table = _build_huffman_encoder(bits, vals)
+                    sos([(ci + 1, th)], Ss, Se, ah, al)
+                    writer = _BitWriter()
+                    _encode_ac_scan(
+                        _ScanEmitter(writer, enc_table),
+                        coef_grids[ci], nby, nbx, Ss, Se, ah, al,
+                    )
+                    writer.flush()
+                    out.extend(writer.out)
+
+        # --- final scans: DC refinements down to Al=0 (raw bits) ---
+        for al in range(dc_al - 1, -1, -1):
+            sos([(ci + 1, 0x00) for ci in range(ncomp)], 0, 0, al + 1, al)
+            writer = _BitWriter()
+            dc_scan(_MuxEmitter(writer, tables), al + 1, al)
+            writer.flush()
+            out.extend(writer.out)
+
+        out.extend(b"\xff\xd9")  # EOI
+        return bytes(out)
+
     return (
         encode_baseline_jpeg,
+        encode_progressive_jpeg,
         decode_baseline_jpeg,
         ZIGZAG,
         QUANT_LUMA,
@@ -619,6 +1149,7 @@ def _make_codec():
 
 (
     encode_baseline_jpeg,
+    encode_progressive_jpeg,
     decode_baseline_jpeg,
     ZIGZAG,
     QUANT_LUMA,

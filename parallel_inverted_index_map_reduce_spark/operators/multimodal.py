@@ -285,11 +285,16 @@ def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
     import this package (same closure rule as the netpbm parser).
     """
     from ..functions.audio import decode_wav, encode_wav
-    from ..functions.jpeg import decode_baseline_jpeg, encode_baseline_jpeg
+    from ..functions.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        encode_progressive_jpeg,
+    )
     from ..functions.png import decode_png, encode_png
     from ..sources.tables import spread
 
     jenc, jdec = encode_baseline_jpeg, decode_baseline_jpeg  # closure cells
+    jenc_prog = encode_progressive_jpeg
     penc, pdec = encode_png, decode_png
     wenc, wdec = encode_wav, decode_wav
     png_w, png_h, wav_n = PNG_W, PNG_H, WAV_N
@@ -308,8 +313,12 @@ def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
                 shade = d % 256
                 w = 8 * (1 + d % 2)
                 h = 8 * (1 + d % 3)
+                # odd docs write progressive (SOF2) streams: both
+                # encoders quantize identically, so the SAME closed-form
+                # oracle verifies the multi-scan decode path
+                enc = jenc_prog if d % 2 else jenc
                 jpg = jdec(
-                    jenc(np.full((h, w), shade, dtype=np.uint8), quant_luma=ones)
+                    enc(np.full((h, w), shade, dtype=np.uint8), quant_luma=ones)
                 )
                 grad = ((xx * 7 + yy * 13 + d) % 256).astype(np.uint8)
                 # odd docs write Adam7-interlaced streams: the decode is

@@ -116,15 +116,81 @@ def test_default_quant_tables_are_zigzag_order():
     assert J.QUANT_LUMA[0] == 16 and J.QUANT_CHROMA[0] == 17
 
 
-def test_progressive_and_garbage_rejected():
+def _prog_parity(img, **kw):
+    """The progressive correctness argument: both encoders quantize
+    through the same code, so decode(progressive) must be BIT-IDENTICAL
+    to decode(baseline) — any divergence anywhere in the four scan
+    kinds, EOB-run bookkeeping, or refinement bit plumbing breaks it."""
+    base = J.decode_baseline_jpeg(J.encode_baseline_jpeg(img, **kw))
+    prog = J.decode_baseline_jpeg(J.encode_progressive_jpeg(img, **kw))
+    np.testing.assert_array_equal(base["pixels"], prog["pixels"])
+    return prog
+
+
+def test_progressive_matches_baseline_gray_and_color():
+    for shape in [(8, 8), (17, 13), (16, 24), (24, 24, 3), (17, 19, 3)]:
+        img = RNG.randint(0, 256, shape).astype(np.uint8)
+        _prog_parity(img, quant_luma=ONES, quant_chroma=ONES)
+
+
+def test_progressive_matches_baseline_420():
+    for shape in [(32, 20, 3), (21, 15, 3)]:
+        img = RNG.randint(0, 256, shape).astype(np.uint8)
+        _prog_parity(img, subsampling="420", quant_luma=ONES, quant_chroma=ONES)
+
+
+def test_progressive_long_eob_runs():
+    """Flat and smooth images produce EOB runs spanning many blocks
+    (EOBn with n > 1), exercising the run accounting on both sides."""
+    flat = np.full((64, 64), 77, dtype=np.uint8)
+    dec = _prog_parity(flat, quant_luma=ONES)
+    np.testing.assert_array_equal(dec["pixels"][:, :, 0], flat)
+    xx, yy = np.meshgrid(np.arange(48), np.arange(40))
+    smooth = ((xx + yy) // 2 % 256).astype(np.uint8)
+    _prog_parity(smooth, quant_luma=ONES)
+    # default (lossy) tables zero most high-frequency coefficients ->
+    # very long runs through the high spectral band
+    _prog_parity(RNG.randint(0, 256, (40, 40, 3)).astype(np.uint8))
+
+
+def test_progressive_scan_script_parameters():
+    img = RNG.randint(0, 256, (24, 16)).astype(np.uint8)
+    for dc_al, ac_al, split in [(0, 1, 1), (2, 3, 20), (1, 2, 62), (3, 0, 5)]:
+        base = J.decode_baseline_jpeg(
+            J.encode_baseline_jpeg(img, quant_luma=ONES)
+        )
+        prog = J.decode_baseline_jpeg(
+            J.encode_progressive_jpeg(
+                img, quant_luma=ONES, dc_al=dc_al, ac_al=ac_al,
+                band_split=split,
+            )
+        )
+        np.testing.assert_array_equal(base["pixels"], prog["pixels"])
+
+
+def test_progressive_stream_structure():
+    img = RNG.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    enc = J.encode_progressive_jpeg(img, quant_luma=ONES, quant_chroma=ONES)
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+    # classic script for color: 1 interleaved DC first + 3 comps x
+    # (2 first bands + 2 refinements) + 1 DC refinement = 14 scans
+    assert enc.count(b"\xff\xda") == 14
+
+
+def test_invalid_scan_headers_and_garbage_rejected():
     img = np.full((8, 8), 7, dtype=np.uint8)
     enc = bytearray(J.encode_baseline_jpeg(img, quant_luma=ONES))
     sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # pretend progressive
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    enc[sof + 1] = 0xC2  # relabeled progressive: its one scan now claims
+    # DC band [0,63], which a progressive DC scan must not
+    with pytest.raises(ValueError, match="Se=0"):
         J.decode_baseline_jpeg(bytes(enc))
     with pytest.raises(ValueError, match="SOI"):
         J.decode_baseline_jpeg(b"\x89PNG\r\n")
+    # lossless / arithmetic frames stay honestly unsupported
+    enc[sof + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        J.decode_baseline_jpeg(bytes(enc))
 
 
 def test_decode_image_dispatches_on_jpeg_magic():
