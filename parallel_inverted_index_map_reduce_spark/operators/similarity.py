@@ -546,8 +546,20 @@ def bucketed_near_dups(
         from .dedup import _cap_buckets  # one cap implementation, one contract
 
         enriched = _cap_buckets(enriched, ["bucket"], max_bucket)
+    return _grouped_pairs_cosine(enriched, "bucket").where(
+        F.col("cosine") >= threshold
+    )
+
+
+def _grouped_pairs_cosine(enriched: DataFrame, key: str) -> DataFrame:
+    """(vec_a, vec_b, cosine) with vec_a < vec_b: group-local pair
+    expansion + exact decimal cosine over an enriched frame carrying
+    (vec_id, embedding, norm_sq, <key>) — the one-shuffle candidate
+    shape shared by sign-LSH near-dups (key = LSH bucket) and SemDedup
+    (key = k-means list_id). Each pair exists in exactly one group, so
+    no distinct is needed."""
     pairs = (
-        enriched.groupBy("bucket")
+        enriched.groupBy(key)
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("vec_id", "embedding", "norm_sq"))
@@ -567,7 +579,7 @@ def bucketed_near_dups(
         )
         .select("p.*")
     )
-    cos = pairs.select(
+    return pairs.select(
         "vec_a",
         "vec_b",
         F.round(
@@ -579,7 +591,65 @@ def bucketed_near_dups(
             6,
         ).alias("cosine"),
     )
-    return cos.where(F.col("cosine") >= threshold)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_list: int = 16,
+    threshold: float = 0.8,
+    n_iters: int = 2,
+    centroids: list[list[float]] | None = None,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): semantic
+    near-duplicate pruning over a k-means partition of embedding space.
+    Returns the DROP list — (vec_id, kept_by, n_witnesses), one row per
+    dropped vector — under the deterministic keep rule "a vector is
+    dropped iff some same-cluster vector with a SMALLER vec_id is
+    within ``threshold`` cosine"; ``kept_by`` is the smallest such
+    witness and ``n_witnesses`` the count (both cheap byproducts that
+    make the result independently checkable). Survivors = anti-join of
+    the corpus against this frame. Note this drops slightly more than
+    the paper's sequential greedy pass (a vector whose only witnesses
+    were themselves dropped still drops); for component-wise
+    keep-one-representative semantics compose the pair frame with
+    operators/components.py instead, as dedup_clusters does for text.
+
+    Scale shape — the paper's trick, Spark-first: pairwise cosine is
+    quadratic, so it runs CLUSTER-LOCALLY. The coarse quantizer
+    (:func:`ivf_fit`, deterministic RNG-free k-means) partitions the
+    corpus; the only exchange groups vectors by ``list_id``; pairs
+    expand group-locally via the same one-shuffle shape as
+    :func:`bucketed_near_dups`. n_list scales ~corpus/target_cluster
+    so expected cluster size stays bounded; ``max_cluster`` hard-caps
+    against degenerate clusters (account via the capped rows' absence,
+    same contract as max_bucket). With ``n_list=1`` the cluster-local
+    pass degenerates to exact global all-pairs — the registry entry's
+    oracle anchor, proving the pair expansion + keep rule lossless."""
+    if centroids is None:
+        centroids = ivf_fit(emb, n_list=n_list, n_iters=n_iters)
+    enriched = ivf_assign(
+        emb.where(F.size("embedding") > 0), centroids
+    ).select(
+        "vec_id",
+        "embedding",
+        "list_id",
+        norm_sq_expr(F.col("embedding")).alias("norm_sq"),
+    )
+    if max_cluster is not None:
+        from .dedup import _cap_buckets
+
+        enriched = _cap_buckets(enriched, ["list_id"], max_cluster)
+    near = _grouped_pairs_cosine(enriched, "list_id").where(
+        F.col("cosine") >= threshold
+    )
+    # vec_a < vec_b by construction: every vec_b of a qualifying pair
+    # has an earlier near-duplicate and drops
+    return near.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("kept_by"),
+        F.count("*").cast("long").alias("n_witnesses"),
+    )
 
 
 def bucketed_overflow(

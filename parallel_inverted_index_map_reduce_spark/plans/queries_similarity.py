@@ -170,10 +170,29 @@ q_ranked AS (
     SELECT vec_a, vec_b, c,
            row_number() OVER (PARTITION BY vec_a ORDER BY c DESC, vec_b) AS rk
     FROM qcos
+),
+sdots AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           SUM(CAST(round(a.x * b.x, 7) AS DECIMAL(30,9))) AS dot
+    FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+scos AS (
+    SELECT vec_a, vec_b,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE))),
+                 6) AS cosine
+    FROM sdots
+    JOIN nrm na ON na.vec_id = vec_a
+    JOIN nrm nb ON nb.vec_id = vec_b
 )
 SELECT 'exact' AS op, vec_a, vec_b, CAST(cosine AS DOUBLE) AS score,
        rk AS "rank"
 FROM exact_ranked WHERE rk <= 3
+UNION ALL
+SELECT 'semdedup' AS op, vec_b AS vec_a, MIN(vec_a) AS vec_b,
+       CAST(NULL AS DOUBLE) AS score, COUNT(*) AS "rank"
+FROM scos WHERE cosine >= 0.35 GROUP BY vec_b
 UNION ALL
 SELECT 'ivf_full_probe' AS op, vec_a, vec_b, CAST(NULL AS DOUBLE) AS score,
        rk AS "rank"
@@ -202,8 +221,18 @@ FROM (
     )
 ) WHERE r = 1
 """,
-    tags=("similarity", "serving"),
-    doc="Five ANN formulations in ONE labeled result (op column, "
+    tags=("similarity", "serving", "dedup"),
+    doc="Six embedding-space formulations in ONE labeled result (op "
+    "column): five ANN paths plus 'semdedup' — SemDedup semantic "
+    "near-dup pruning (operators/similarity.py semantic_dedup, Abbas "
+    "et al. 2023): cluster-local pairwise cosine over the IVF k-means "
+    "partition, run at n_list=1 so the cluster machinery provably "
+    "degenerates to exact global all-pairs — the oracle is that "
+    "brute-force formulation (drop every vector with an earlier "
+    "near-dup, witness = min such id, rank = witness count), so the "
+    "hash match proves the pair expansion + keep rule lossless; the "
+    "pruned multi-cluster behavior is property-tested in "
+    "tests/test_similarity.py. "
     "same pattern as boolean_search): 'exact' is the brute-force decimal "
     "cosine; 'ivf_full_probe' runs the full IVF coarse-quantizer path — "
     "deterministic RNG-free k-means fit, shuffle-free assignment, "
@@ -275,11 +304,23 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("score"),
         F.col("votes").alias("rank"),
     )
+    # n_list=1 anchors the cluster-local machinery at exact global
+    # all-pairs, so the oracle is the brute-force formulation and the
+    # hash match proves pair expansion + keep rule lossless; pruned
+    # multi-cluster behavior is property-tested in tests/test_similarity.py
+    sd = sim.semantic_dedup(emb, n_list=1, threshold=0.35, n_iters=1).select(
+        F.lit("semdedup").alias("op"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("kept_by").alias("vec_b"),
+        F.lit(None).cast("double").alias("score"),
+        F.col("n_witnesses").alias("rank"),
+    )
     return (
         exact.unionByName(ivf)
         .unionByName(ivf_s)
         .unionByName(q8)
         .unionByName(knn)
+        .unionByName(sd)
     )
 
 

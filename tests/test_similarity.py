@@ -197,3 +197,96 @@ def test_knn_classify_majority_and_tiebreak(spark):
     emb_tie = spark.createDataFrame(rows_tie, ["vec_id", "embedding", "label"])
     tie = knn_classify(emb_tie, k=4, n_queries=1).collect()
     assert tie[0]["predicted_label"] == 2 and tie[0]["votes"] == 2
+
+
+# --------------------------------------------------------------------------
+# SemDedup: cluster-local semantic near-dup pruning
+# --------------------------------------------------------------------------
+
+
+def _brute_drops(spark, emb, threshold):
+    """The formulation semantic_dedup avoids at scale: global all-pairs
+    cosine, drop every vector with an earlier near-dup — the n_list=1
+    anchor's ground truth."""
+    pairs = (
+        sim._grouped_pairs_cosine(
+            emb.where(F.size("embedding") > 0).select(
+                "vec_id",
+                "embedding",
+                F.lit(0).alias("g"),
+                sim.norm_sq_expr(F.col("embedding")).alias("norm_sq"),
+            ),
+            "g",
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return {
+        r["vec_id"]: (r["kept_by"], r["n_witnesses"])
+        for r in pairs.groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(
+            F.min("vec_a").alias("kept_by"),
+            F.count("*").cast("long").alias("n_witnesses"),
+        )
+        .collect()
+    }
+
+
+def test_semantic_dedup_single_cluster_is_exact_global(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings").where(F.col("vec_id") < 300)
+    want = _brute_drops(spark, emb, 0.35)
+    got = {
+        r["vec_id"]: (r["kept_by"], r["n_witnesses"])
+        for r in sim.semantic_dedup(emb, n_list=1, threshold=0.35).collect()
+    }
+    assert got == want and len(got) > 10
+
+
+def test_semantic_dedup_multicluster_sound_and_complete(spark):
+    """Pruned (multi-cluster) run: every drop is witnessed by an
+    earlier SAME-CLUSTER near-dup (soundness), and every same-cluster
+    pair above threshold produces a drop (completeness w.r.t. the
+    clustering — cross-cluster misses are the paper's accepted
+    approximation)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    cents = sim.ivf_fit(emb, n_list=8, n_iters=2)
+    assigned = {
+        r["vec_id"]: r["list_id"]
+        for r in sim.ivf_assign(emb, cents).select("vec_id", "list_id").collect()
+    }
+    drops = {
+        r["vec_id"]: (r["kept_by"], r["n_witnesses"])
+        for r in sim.semantic_dedup(
+            emb, n_list=8, threshold=0.35, centroids=cents
+        ).collect()
+    }
+    all_pairs = _brute_drops(spark, emb, 0.35)  # global reference
+    cos = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in sim.pairwise_cosine(emb).where(F.col("cosine") >= 0.35).collect()
+    }
+    same_cluster = {
+        (a, b)
+        for (a, b) in cos
+        if a < b and assigned.get(a) == assigned.get(b)
+    }
+    want = {}
+    for a, b in same_cluster:
+        prev = want.get(b)
+        want[b] = (min(prev[0], a), prev[1] + 1) if prev else (a, 1)
+    assert drops == want
+    # drops are a subset of the global-threshold drop set
+    assert set(drops) <= set(all_pairs)
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings").where(F.col("vec_id") < 200)
+    a = sorted(map(tuple, sim.semantic_dedup(emb, n_list=4, threshold=0.35).collect()))
+    b = sorted(
+        map(
+            tuple,
+            sim.semantic_dedup(
+                emb.repartition(13), n_list=4, threshold=0.35
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
