@@ -359,3 +359,93 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+def hashed_ngram_features(docs: DataFrame, n_buckets: int = 1024) -> DataFrame:
+    """(doc_id, bucket): the hashed unigram+bigram feature multiset of
+    each document — DSIR's fixed-size feature space. The bucket id is
+    the first 8 md5 hex digits mod n_buckets (the repo's cross-engine
+    hash discipline: DuckDB reproduces it as
+    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % n_buckets)."""
+    toks = token_positions(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    uni = toks.select("doc_id", F.col("tok").alias("g"))
+    bi = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("g"))
+    )
+    return uni.unionByName(bi).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+
+
+def dsir_importance_weights(
+    docs: DataFrame, target: DataFrame, n_buckets: int = 1024
+) -> DataFrame:
+    """(doc_id, n_feats, dsir_w): Data Selection with Importance
+    Resampling (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling") — per-document log importance weight
+    log p_target(doc)/p_source(doc) under hashed-ngram bag-of-features
+    models, the standard recipe for tilting a web-scale corpus toward
+    a target domain before training.
+
+    Model: unigram+bigram features hash into ``n_buckets`` slots
+    (:func:`hashed_ngram_features`); target and source bucket
+    distributions are add-1-smoothed counts; each feature occurrence
+    contributes round(ln(((ct+1)/(cs+1)) * (S/T)), 9) where S/T are
+    the smoothed totals — a fixed parenthesization over exact integer
+    counts, so every term (and the decimal per-doc sum) reproduces
+    bit-for-bit cross-engine. ``dsir_w`` renders at 6 decimals;
+    ``n_feats`` is the doc's feature count. Documents with no tokens
+    have no row (callers LEFT JOIN).
+
+    Scale shape — the paper's design point, Spark-first: the feature
+    space is FIXED-SIZE (n_buckets rows), so the model is two
+    corpus-scale aggregations into tiny count tables, the log-ratio
+    table broadcasts, and the per-document weight is one broadcast
+    hash join + one groupBy(doc_id). No vocabulary-scale state, no
+    shuffle beyond the two counts and the final per-doc aggregation;
+    resampling against the weights composes with
+    operators/sampling.py's deterministic hash-keyed samplers."""
+    src = hashed_ngram_features(docs, n_buckets).localCheckpoint(
+        eager=False
+    )  # feeds the source counts AND the per-doc weight join
+    tgt = hashed_ngram_features(target, n_buckets)
+    s_total = src.count() + n_buckets
+    t_total = tgt.count() + n_buckets
+    s_cnt = src.groupBy("bucket").agg(F.count("*").cast("long").alias("cs"))
+    t_cnt = tgt.groupBy("bucket").agg(F.count("*").cast("long").alias("ct"))
+    lr = F.round(
+        F.log(
+            (
+                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("cs") + F.lit(1)).cast("double")
+            )
+            * F.lit(float(s_total) / float(t_total))
+        ),
+        9,
+    )
+    ratio = s_cnt.join(t_cnt, "bucket", "left").select(
+        "bucket", lr.alias("lr")
+    )
+    return (
+        src.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum(F.col("lr").cast("decimal(28,12)")).alias("sw"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round(F.col("sw").cast("decimal(28,12)"), 6)
+            .cast("decimal(18,6)")
+            .cast("string")
+            .alias("dsir_w"),
+        )
+    )

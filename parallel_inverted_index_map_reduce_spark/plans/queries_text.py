@@ -85,6 +85,37 @@ blm AS (
     FROM bg2 g JOIN bpc p ON p.a = g.a AND p.b = g.b
     JOIN bhc h ON h.a = g.a
     GROUP BY g.doc_id
+),
+feats AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024 AS bucket
+    FROM tokpos
+    UNION ALL
+    SELECT doc_id,
+           CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS bucket
+    FROM g2
+),
+tfeats AS (
+    SELECT f.bucket FROM feats f
+    JOIN documents d ON d.doc_id = f.doc_id WHERE d.source = 'src0'
+),
+stot AS (SELECT count(*) + 1024 AS n FROM feats),
+ttot AS (SELECT count(*) + 1024 AS n FROM tfeats),
+scnt AS (SELECT bucket, count(*) AS cs FROM feats GROUP BY bucket),
+tcnt AS (SELECT bucket, count(*) AS ct FROM tfeats GROUP BY bucket),
+ratio AS (
+    SELECT s.bucket,
+           round(ln((CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                     / CAST(s.cs + 1 AS DOUBLE))
+                    * (CAST(st.n AS DOUBLE) / CAST(tt.n AS DOUBLE))), 9) AS lr
+    FROM scnt s LEFT JOIN tcnt t ON t.bucket = s.bucket, stot st, ttot tt
+),
+dsir AS (
+    SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(CAST(round(CAST(SUM(CAST(r.lr AS DECIMAL(28,12)))
+                AS DECIMAL(28,12)), 6) AS DECIMAL(18,6)) AS VARCHAR) AS dsir_w
+    FROM feats f JOIN ratio r ON r.bucket = f.bucket
+    GROUP BY f.doc_id
 )
 SELECT a.*,
        CAST(len(regexp_extract_all(d.text,
@@ -98,7 +129,9 @@ SELECT a.*,
             AS DECIMAL(18,6)) AS VARCHAR) AS dup5_frac,
        CAST(mr.max_token_run AS BIGINT) AS max_token_run,
        CAST(COALESCE(blm.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       COALESCE(blm.avg_logprob, '') AS avg_logprob
+       COALESCE(blm.avg_logprob, '') AS avg_logprob,
+       CAST(COALESCE(ds.n_feats, 0) AS BIGINT) AS n_feats,
+       COALESCE(ds.dsir_w, '') AS dsir_w
 FROM agg a
 JOIN documents d ON d.doc_id = a.doc_id
 LEFT JOIN t2 ON t2.doc_id = a.doc_id
@@ -106,6 +139,7 @@ LEFT JOIN t3 ON t3.doc_id = a.doc_id
 LEFT JOIN t5 ON t5.doc_id = a.doc_id
 JOIN mr ON mr.doc_id = a.doc_id
 LEFT JOIN blm ON blm.doc_id = a.doc_id
+LEFT JOIN dsir ds ON ds.doc_id = a.doc_id
 """,
     tags=("text",),
     doc="Token counting + heuristic quality scoring in ONE aggregation "
@@ -121,17 +155,33 @@ LEFT JOIN blm ON blm.doc_id = a.doc_id
     "average log P(b|a) under the corpus's own bigram model, round-9 "
     "ln over exact integer count ratios and a decimal-summed average "
     "so the value hash-matches cross-engine; docs with <2 tokens carry "
-    "n_bigrams=0 and an empty score.",
+    "n_bigrams=0 and an empty score — plus DSIR importance weights "
+    "(textstats.py dsir_importance_weights, Xie et al. 2023): per-doc "
+    "log p_target/p_source under hashed unigram+bigram feature models "
+    "(1024 md5-hashed buckets, add-1 smoothing, target = the src0 "
+    "domain), the data-selection score for tilting a corpus toward a "
+    "target domain; the feature space is fixed-size so the model is "
+    "two aggregations + a broadcast ratio join, and every term is a "
+    "round-9 ln over exact integer counts the oracle reproduces "
+    "bit-for-bit (n_feats / dsir_w columns).",
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     base = ts.quality_scores(docs).join(ts.repetition_stats(docs), "doc_id")
+    dsir = ts.dsir_importance_weights(
+        docs, docs.where(F.col("source") == "src0"), n_buckets=1024
+    )
     return (
         base.join(ts.bigram_lm_scores(docs), "doc_id", "left")
         .withColumn(
             "n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
         )
         .withColumn("avg_logprob", F.coalesce(F.col("avg_logprob"), F.lit("")))
+        .join(dsir, "doc_id", "left")
+        .withColumn(
+            "n_feats", F.coalesce(F.col("n_feats"), F.lit(0)).cast("long")
+        )
+        .withColumn("dsir_w", F.coalesce(F.col("dsir_w"), F.lit("")))
     )
 
 
