@@ -284,7 +284,7 @@ def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
     cloudpickle ships them BY VALUE — executor Python workers never
     import this package (same closure rule as the netpbm parser).
     """
-    from ..functions.audio import decode_wav, encode_wav
+    from ..functions.audio import decode_wav, encode_g711_wav, encode_wav
     from ..functions.jpeg import (
         decode_baseline_jpeg,
         encode_baseline_jpeg,
@@ -297,6 +297,7 @@ def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
     jenc_prog = encode_progressive_jpeg
     penc, pdec = encode_png, decode_png
     wenc, wdec = encode_wav, decode_wav
+    genc = encode_g711_wav
     png_w, png_h, wav_n = PNG_W, PNG_H, WAV_N
 
     def codec_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -326,7 +327,14 @@ def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
                 # verifies both the raster and the 7-pass reassembly
                 png = pdec(penc(grad, filter_type=d % 5, interlace=bool(d % 2)))
                 ramp = ((ii * 37 + d) % 256).astype(np.uint8)
-                wav = wdec(wenc(ramp, 8000 + d % 100, bits=8))
+                # odd docs carry the SAME ramp bytes as G.711 mu-law
+                # CODES (format 7): the decode is one table expansion,
+                # whose arithmetic the oracle reproduces in closed form
+                wav = wdec(
+                    genc(ramp, 8000 + d % 100, law="ulaw")
+                    if d % 2
+                    else wenc(ramp, 8000 + d % 100, bits=8)
+                )
                 rows.append(
                     (
                         d,

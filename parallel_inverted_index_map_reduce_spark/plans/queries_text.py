@@ -339,7 +339,14 @@ SELECT d.doc_id,
        CAST((d.doc_id % 256) * 8 * (1 + d.doc_id % 2) * 8 * (1 + d.doc_id % 3) AS BIGINT) AS jpeg_pixel_sum,
        CAST((SELECT sum((x.i * 7 + y.i * 13 + d.doc_id) % 256)
              FROM unnest(range(0, 16)) x(i), unnest(range(0, 12)) y(i)) AS BIGINT) AS png_pixel_sum,
-       CAST((SELECT sum((s.i * 37 + d.doc_id) % 256)
+       CAST((SELECT sum(CASE WHEN d.doc_id % 2 = 1 THEN
+               CASE WHEN ((255 - ((s.i * 37 + d.doc_id) % 256)) & 128) = 128
+                    THEN -((((255 - ((s.i * 37 + d.doc_id) % 256)) & 15) * 8 + 132)
+                           * (1 << (((255 - ((s.i * 37 + d.doc_id) % 256)) >> 4) & 7)) - 132)
+                    ELSE ((((255 - ((s.i * 37 + d.doc_id) % 256)) & 15) * 8 + 132)
+                          * (1 << (((255 - ((s.i * 37 + d.doc_id) % 256)) >> 4) & 7)) - 132
+               END
+             ELSE (s.i * 37 + d.doc_id) % 256 END)
              FROM unnest(range(0, 256)) s(i)) AS BIGINT) AS wav_sample_sum,
        CAST(256000 // (8000 + d.doc_id % 100) AS BIGINT) AS wav_duration_ms
 FROM tx d JOIN plane p ON p.doc_id = d.doc_id
