@@ -255,8 +255,13 @@ CODEC_SCHEMA = (
 
 # PNG gradient / WAV ramp geometry shared by the operator and the SQL
 # oracle (queries_text.py) — the closed forms both sides compute.
+# The WAV ramp length is doc-dependent and never a multiple of 256:
+# stride 37 is coprime with 256, so a length-256 ramp would visit every
+# byte code exactly once and sample_sum would collapse to a constant per
+# parity class (0 for mu-law, 32640 for PCM) — a broken decoder could
+# not change the hash. 199 + d % 57 keeps the sum doc-discriminative.
 PNG_W, PNG_H = 16, 12
-WAV_N = 256
+WAV_N_BASE, WAV_N_MOD = 199, 57
 
 
 def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
@@ -277,8 +282,10 @@ def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
       the oracle's double-range sum exactly — any wrong pixel anywhere
       flips the hash.
     - WAV (functions/audio.py — RIFF PCM): a ramp signal, sample(i) =
-      (i*37 + doc_id) % 256, 256 samples at 8000 + doc_id % 100 Hz;
-      sample_sum and duration_ms are closed-form.
+      (i*37 + doc_id) % 256, 199 + doc_id % 57 samples (doc-dependent
+      and never a multiple of 256, so the sum discriminates — see the
+      WAV_N_BASE comment) at 8000 + doc_id % 100 Hz; sample_sum and
+      duration_ms are closed-form.
 
     The codec functions come from factories (nested defs), so
     cloudpickle ships them BY VALUE — executor Python workers never
@@ -298,7 +305,8 @@ def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
     penc, pdec = encode_png, decode_png
     wenc, wdec = encode_wav, decode_wav
     genc = encode_g711_wav
-    png_w, png_h, wav_n = PNG_W, PNG_H, WAV_N
+    png_w, png_h = PNG_W, PNG_H
+    wav_base, wav_mod = WAV_N_BASE, WAV_N_MOD
 
     def codec_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -306,7 +314,6 @@ def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
 
         ones = np.ones(64, dtype=np.int64)
         xx, yy = np.meshgrid(np.arange(png_w), np.arange(png_h))
-        ii = np.arange(wav_n)
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
@@ -326,6 +333,7 @@ def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
                 # lossless either way, so the SAME closed-form oracle
                 # verifies both the raster and the 7-pass reassembly
                 png = pdec(penc(grad, filter_type=d % 5, interlace=bool(d % 2)))
+                ii = np.arange(wav_base + d % wav_mod)
                 ramp = ((ii * 37 + d) % 256).astype(np.uint8)
                 # odd docs carry the SAME ramp bytes as G.711 mu-law
                 # CODES (format 7): the decode is one table expansion,

@@ -344,11 +344,11 @@ SELECT d.doc_id,
                     THEN -((((255 - ((s.i * 37 + d.doc_id) % 256)) & 15) * 8 + 132)
                            * (1 << (((255 - ((s.i * 37 + d.doc_id) % 256)) >> 4) & 7)) - 132)
                     ELSE ((((255 - ((s.i * 37 + d.doc_id) % 256)) & 15) * 8 + 132)
-                          * (1 << (((255 - ((s.i * 37 + d.doc_id) % 256)) >> 4) & 7)) - 132
+                          * (1 << (((255 - ((s.i * 37 + d.doc_id) % 256)) >> 4) & 7)) - 132)
                END
              ELSE (s.i * 37 + d.doc_id) % 256 END)
-             FROM unnest(range(0, 256)) s(i)) AS BIGINT) AS wav_sample_sum,
-       CAST(256000 // (8000 + d.doc_id % 100) AS BIGINT) AS wav_duration_ms
+             FROM unnest(range(0, 199 + d.doc_id % 57)) s(i)) AS BIGINT) AS wav_sample_sum,
+       CAST((199 + d.doc_id % 57) * 1000 // (8000 + d.doc_id % 100) AS BIGINT) AS wav_duration_ms
 FROM tx d JOIN plane p ON p.doc_id = d.doc_id
 """,
     tags=("multimodal",),
@@ -365,11 +365,15 @@ FROM tx d JOIN plane p ON p.doc_id = d.doc_id
     "(functions/png.py — zlib inflate + all five scanline unfilters, "
     "cycled by doc_id, over a NON-trivial gradient; lossless, so the "
     "oracle's double-range sum must match exactly), and PCM WAV "
-    "(functions/audio.py — RIFF walk over a ramp signal; sample_sum + "
-    "duration closed-form). The oracle verifies all three codecs "
-    "without decoding anything itself. Only interlaced PNG, "
-    "progressive JPEG, and compressed audio remain honest "
-    "NotImplementedError stubs.",
+    "(functions/audio.py — RIFF walk over a doc-length ramp signal "
+    "(199 + doc_id % 57 samples, never a 256-multiple, so the sum is "
+    "doc-discriminative); sample_sum + duration closed-form; odd docs "
+    "round-trip G.711 mu-law, whose table expansion the oracle "
+    "reproduces as a closed-form CASE). The oracle verifies all three "
+    "codecs without decoding anything itself. Odd docs exercise "
+    "progressive (SOF2) JPEG and Adam7-interlaced PNG. Remaining "
+    "permanent envelope stubs: arithmetic/12-bit/lossless JPEG, "
+    "sub-8-bit PNG depths, MP3/AAC audio.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
