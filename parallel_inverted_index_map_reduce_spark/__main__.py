@@ -242,8 +242,8 @@ def _search(args) -> int:
                 )
         if not ran:
             print(
-                "nothing to do: pass --term/--prefix/--fuzzy/--and/"
-                "--phrase/--near/--bm25/--mlt",
+                "nothing to do: pass --term/--prefix/--suffix/--fuzzy/"
+                "--and/--phrase/--near/--bm25/--mlt",
                 file=sys.stderr,
             )
             return 2

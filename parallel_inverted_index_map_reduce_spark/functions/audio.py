@@ -56,7 +56,9 @@ def _make_codec():
     def linear_to_ulaw(x: np.ndarray) -> np.ndarray:
         """16-bit linear -> G.711 mu-law codes (vectorized canonical
         linear2ulaw: bias, segment search, complement). Satisfies
-        linear_to_ulaw(ULAW_TABLE[c]) == c for all 256 codes."""
+        linear_to_ulaw(ULAW_TABLE[c]) == c for all codes except the
+        negative-zero code 127 (the standard G.711 +/-0 degeneracy:
+        127 decodes to 0, which re-encodes to the positive-zero 255)."""
         x = np.asarray(x, dtype=np.int64)
         sign = np.where(x < 0, 0x80, 0)
         mag = np.minimum(np.abs(x), 32635) + 0x84
@@ -164,12 +166,15 @@ def _make_codec():
         pos = 12
         fmt = None
         data = None
+        fact = None
         while pos + 8 <= len(payload):
             ctype = payload[pos : pos + 4]
             (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
             body = payload[pos + 8 : pos + 8 + length]
             pos += 8 + length + (length & 1)  # chunks are word-aligned
-            if ctype == b"fmt ":
+            if ctype == b"fact" and length >= 4:
+                (fact,) = struct.unpack("<I", body[:4])
+            elif ctype == b"fmt ":
                 # Validate before trusting: a malformed fmt chunk must
                 # raise this codec's ValueError contract, not leak a
                 # struct.error (short body) or ZeroDivisionError
@@ -228,6 +233,10 @@ def _make_codec():
         else:
             frames = _decode_ima_adpcm(data, n_ch, block)
             codec = "ima_adpcm"
+        # compressed formats pad the tail block; the fact chunk records
+        # the true frame count, so honor it (trim only — never extend)
+        if fact is not None and fact < frames.shape[0]:
+            frames = frames[:fact]
         return {
             "n_channels": n_ch,
             "sample_rate": rate,
@@ -239,12 +248,20 @@ def _make_codec():
             "codec": codec,
         }
 
-    def _riff(fmt_body: bytes, plane: bytes) -> bytes:
+    def _riff(
+        fmt_body: bytes, plane: bytes, fact_frames: int | None = None
+    ) -> bytes:
+        fact = (
+            b"fact" + struct.pack("<II", 4, fact_frames)
+            if fact_frames is not None
+            else b""
+        )
         body = (
             b"WAVE"
             + b"fmt "
             + struct.pack("<I", len(fmt_body))
             + fmt_body
+            + fact
             + b"data"
             + struct.pack("<I", len(plane))
             + plane
@@ -280,7 +297,10 @@ def _make_codec():
         (predictor, step index) per channel in its header — the first
         sample of the block — then 4-bit differences; the encoder
         updates its state through the DECODER's reconstruction
-        arithmetic, so drift never accumulates beyond one step."""
+        arithmetic, so drift never accumulates beyond one step. The
+        tail block is padded by repeating the last frame, and a 'fact'
+        chunk records the TRUE frame count so decode_wav trims the
+        padding — the round trip is frame-exact for any length."""
         samples = np.asarray(samples, dtype=np.int64)
         if samples.ndim == 1:
             samples = samples[:, None]
@@ -332,7 +352,7 @@ def _make_codec():
             "<HHIIHH", 0x11, n_ch, sample_rate,
             (sample_rate * block) // samples_per_block, block, 4,
         )
-        return _riff(fmt, bytes(out))
+        return _riff(fmt, bytes(out), fact_frames=n_frames)
 
     def encode_wav(samples, sample_rate: int, bits: int = 8) -> bytes:
         """Encode a frames or frames x channels int array as PCM WAV

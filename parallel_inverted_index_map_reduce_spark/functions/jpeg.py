@@ -982,6 +982,12 @@ def _make_codec():
         refinements. Coefficients are computed by the same
         DCT/quantize/round as encode_baseline_jpeg, so the decoded
         pixels are bit-identical to the baseline stream's."""
+        # band_split=63 would emit a second AC scan with Ss=64, which
+        # decoders (including ours) reject; validate up front
+        if not 1 <= band_split <= 62:
+            raise ValueError(
+                f"band_split must be in 1..62, got {band_split}"
+            )
         (gray, h, w, padded, samp, qids, mcus_x, mcus_y, ql, qc) = (
             _prepare_frame(pixels, subsampling, quant_luma, quant_chroma)
         )

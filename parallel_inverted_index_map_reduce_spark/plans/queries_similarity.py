@@ -185,6 +185,28 @@ scos AS (
     FROM sdots
     JOIN nrm na ON na.vec_id = vec_a
     JOIN nrm nb ON nb.vec_id = vec_b
+),
+sd_seeds AS (
+    SELECT (row_number() OVER (ORDER BY h, vec_id)) - 1 AS j, embedding
+    FROM (SELECT vec_id, embedding,
+                 CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+          FROM embeddings)
+    ORDER BY h, vec_id LIMIT 4
+),
+sd_dist AS (
+    SELECT e.vec_id, s.j,
+           round(list_reduce(
+             list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.embedding[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.embedding[i] AS DOUBLE))),
+             (acc, v) -> acc + v), 9) AS d
+    FROM embeddings e CROSS JOIN sd_seeds s
+    WHERE len(e.embedding) > 0
+),
+sd_assign AS (
+    SELECT vec_id, j AS list_id
+    FROM sd_dist
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, j) = 1
 )
 SELECT 'exact' AS op, vec_a, vec_b, CAST(cosine AS DOUBLE) AS score,
        rk AS "rank"
@@ -193,6 +215,13 @@ UNION ALL
 SELECT 'semdedup' AS op, vec_b AS vec_a, MIN(vec_a) AS vec_b,
        CAST(NULL AS DOUBLE) AS score, COUNT(*) AS "rank"
 FROM scos WHERE cosine >= 0.35 GROUP BY vec_b
+UNION ALL
+SELECT 'semdedup_k' AS op, s.vec_b AS vec_a, MIN(s.vec_a) AS vec_b,
+       CAST(NULL AS DOUBLE) AS score, COUNT(*) AS "rank"
+FROM scos s
+JOIN sd_assign aa ON aa.vec_id = s.vec_a
+JOIN sd_assign ab ON ab.vec_id = s.vec_b AND ab.list_id = aa.list_id
+WHERE s.cosine >= 0.35 GROUP BY s.vec_b
 UNION ALL
 SELECT 'ivf_full_probe' AS op, vec_a, vec_b, CAST(NULL AS DOUBLE) AS score,
        rk AS "rank"
@@ -230,9 +259,18 @@ FROM (
     "degenerates to exact global all-pairs — the oracle is that "
     "brute-force formulation (drop every vector with an earlier "
     "near-dup, witness = min such id, rank = witness count), so the "
-    "hash match proves the pair expansion + keep rule lossless; the "
-    "pruned multi-cluster behavior is property-tested in "
-    "tests/test_similarity.py. "
+    "hash match proves the pair expansion + keep rule lossless; "
+    "'semdedup_k' is the MULTI-CLUSTER path — the part that scales — "
+    "at n_list=4, n_iters=0: the oracle reproduces ivf_fit's "
+    "md5-ordered seed selection and ivf_assign's nearest-centroid "
+    "argmin bit-for-bit (DuckDB list_reduce is the same left fold over "
+    "identical widened doubles as Spark's F.aggregate, and round-9 + "
+    "tie-on-j pins the ordering), then applies the cluster-LOCAL drop "
+    "rule — the hash match proves the Voronoi partition and the "
+    "cluster-local keep rule, not just the degenerate anchor; the "
+    "Lloyd mean update (n_iters>0) stays property-tested in "
+    "tests/test_similarity.py (its decimal-division scale rules "
+    "differ across engines). "
     "same pattern as boolean_search): 'exact' is the brute-force decimal "
     "cosine; 'ivf_full_probe' runs the full IVF coarse-quantizer path — "
     "deterministic RNG-free k-means fit, shuffle-free assignment, "
@@ -315,12 +353,24 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("score"),
         F.col("n_witnesses").alias("rank"),
     )
+    # the multi-cluster scaling path: n_iters=0 keeps centroids at the
+    # md5-ordered seeds, so the oracle can replay the Voronoi
+    # assignment exactly (Lloyd's decimal-division mean has different
+    # scale rules across engines and stays property-tested)
+    sd_k = sim.semantic_dedup(emb, n_list=4, threshold=0.35, n_iters=0).select(
+        F.lit("semdedup_k").alias("op"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("kept_by").alias("vec_b"),
+        F.lit(None).cast("double").alias("score"),
+        F.col("n_witnesses").alias("rank"),
+    )
     return (
         exact.unionByName(ivf)
         .unionByName(ivf_s)
         .unionByName(q8)
         .unionByName(knn)
         .unionByName(sd)
+        .unionByName(sd_k)
     )
 
 

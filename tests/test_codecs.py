@@ -250,3 +250,68 @@ def test_multimodal_dispatch_png_and_wav():
         decode_image(b"GIF87a......")
     with pytest.raises(NotImplementedError):
         decode_audio(b"OggS........")
+
+
+def test_g711_tables_involution():
+    # decode -> encode is the identity on codes, modulo the standard
+    # +/-0 degeneracy: mu-law negative zero (127) re-encodes as 255
+    codes = np.arange(256)
+    back_u = A.linear_to_ulaw(A.ULAW_TABLE[codes])
+    exp_u = codes.copy()
+    exp_u[127] = 255
+    np.testing.assert_array_equal(back_u, exp_u.astype(np.uint8))
+    back_a = A.linear_to_alaw(A.ALAW_TABLE[codes])
+    np.testing.assert_array_equal(back_a, codes.astype(np.uint8))
+
+
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_g711_wav_roundtrip_codes_exact(law):
+    codes = ((np.arange(300) * 11 + 5) % 256).astype(np.uint8)
+    d = A.decode_wav(A.encode_g711_wav(codes, 8000, law=law))
+    assert d["codec"] == law
+    assert (d["n_samples"], d["n_channels"], d["bits_per_sample"]) == (300, 1, 8)
+    table = A.ULAW_TABLE if law == "ulaw" else A.ALAW_TABLE
+    np.testing.assert_array_equal(d["samples"][:, 0], table[codes.astype(np.int64)])
+
+
+@pytest.mark.parametrize("law,to_codes", [("ulaw", "linear_to_ulaw"), ("alaw", "linear_to_alaw")])
+def test_g711_compress_expand_roundtrip_within_quantization(law, to_codes):
+    # linear -> codes -> linear must land within one quantization step
+    lin = RNG.randint(-30000, 30000, 500).astype(np.int64)
+    codes = getattr(A, to_codes)(lin)
+    d = A.decode_wav(A.encode_g711_wav(codes, 8000, law=law))
+    back = d["samples"][:, 0]
+    # G.711 segments are logarithmic: error bound is half the segment step
+    err = np.abs(back - lin)
+    seg_step = np.maximum(np.abs(lin) // 16, 16) * 2
+    assert (err <= seg_step).all()
+
+
+@pytest.mark.parametrize("n_frames", [505, 3000, 1, 17, 504, 506])
+def test_ima_adpcm_roundtrip_frame_exact(n_frames):
+    # fact chunk: decode returns EXACTLY the encoded frame count even
+    # when the tail block is padded (3000 = 5*505 + 475 tail)
+    t = np.arange(n_frames, dtype=np.float64)
+    s = (3000 * np.sin(t / 9.0)).astype(np.int64)
+    d = A.decode_wav(A.encode_ima_adpcm_wav(s, 8000))
+    assert d["codec"] == "ima_adpcm"
+    assert d["n_samples"] == n_frames
+    # ADPCM is lossy but tracks a smooth signal closely; block headers
+    # carry exact first samples so error stays bounded by the step size
+    err = np.abs(d["samples"][:, 0] - s)
+    assert err.max() <= 2048
+    # first sample of every block is stored verbatim in the header
+    assert d["samples"][0, 0] == s[0]
+
+
+def test_ima_adpcm_stereo_roundtrip_frame_exact():
+    n = 777
+    t = np.arange(n, dtype=np.float64)
+    s = np.stack(
+        [(2000 * np.sin(t / 7.0)).astype(np.int64),
+         (1500 * np.cos(t / 11.0)).astype(np.int64)], axis=1
+    )
+    d = A.decode_wav(A.encode_ima_adpcm_wav(s, 16000))
+    assert (d["n_samples"], d["n_channels"]) == (n, 2)
+    assert np.abs(d["samples"] - s).max() <= 2048
+    np.testing.assert_array_equal(d["samples"][0], s[0])

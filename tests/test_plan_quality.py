@@ -140,17 +140,18 @@ def _count_scans(plan: str) -> int:
 def test_boolean_search_single_scan(spark):
     """The fused AND/OR/NOT form must stay one scan + one aggregation
     (the union-of-ops shape this replaced rebuilt the index per branch:
-    6 scans, 30 exchanges). Corpus-scan budget, exactly FIVE: the fused
-    boolean aggregate, the positional phrase projection, the prefix
-    token filter, and the fuzzy part's vocabulary + postings passes
-    (deletion_variants is one linear lineage — a union-of-rounds shape
-    would re-scan the vocabulary per round). Stored-read budget,
-    exactly FOUR, none touching the corpus parquet: bucket-pruned
-    chunks reads for AND/OR/NOT, prefix_stored, and fuzzy_stored's
-    postings fetch, plus the letter-pruned positions read for the
-    stored phrase. (fuzzy_stored's vocabulary pass collects eagerly at
-    build time — a neighborhood-bounded driver scalar — so it is not in
-    this plan.)"""
+    6 scans, 30 exchanges). Corpus-scan budget, exactly SEVEN: the
+    fused boolean aggregate, the positional phrase + sloppy-phrase
+    projections, the prefix and suffix token filters, and the fuzzy
+    part's vocabulary + postings passes (deletion_variants is one
+    linear lineage — a union-of-rounds shape would re-scan the
+    vocabulary per round). Stored-read budget, exactly SIX, none
+    touching the corpus parquet: bucket-pruned chunks reads for
+    AND/OR/NOT, prefix_stored, suffix_stored, and fuzzy_stored's
+    postings fetches, plus the letter-pruned positions reads for the
+    stored phrase and stored slop. (fuzzy_stored's and suffix's
+    vocabulary passes collect eagerly at build time — neighborhood-
+    bounded driver scalars — so they are not in this plan.)"""
     plan = _spec_plan(spark, "boolean_search")
     import re
 
