@@ -274,6 +274,13 @@ _CHUNK_TOKENS = 32
 _CHUNK_OVERLAP = 8
 _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
 
+# Token budget for the 'pack' part: deliberately SMALLER than
+# _CHUNK_TOKENS so full-width chunks exercise the oversize-singleton
+# rule (a doc at/over budget opens its own bin) while tail chunks
+# exercise real multi-chunk packing — both branches of the greedy loop
+# land in the driver-verified invariants.
+_PACK_BUDGET = 30
+
 
 def _sql_salted_unit_hash(salt: str) -> str:
     """SQL twin of sampling._unit_hash / export.training_order's hash:
@@ -524,6 +531,25 @@ UNION ALL
 SELECT 'chunk', doc_id, chunk_id, CAST(len(ck) AS BIGINT),
        md5(array_to_string(ck, ' '))
 FROM cwins WHERE len(ck) > 0
+UNION ALL
+SELECT 'pack', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(count(*) AS BIGINT), 'rows'
+FROM cwins WHERE len(ck) > 0
+UNION ALL
+SELECT 'pack', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(count(*) AS BIGINT), 'distinct_keys'
+FROM cwins WHERE len(ck) > 0
+UNION ALL
+SELECT 'pack', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(coalesce(sum(len(ck)), 0) AS BIGINT), 'token_sum'
+FROM cwins WHERE len(ck) > 0
+UNION ALL
+SELECT 'pack', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), 'overfull_multi'
+UNION ALL
+SELECT 'pack', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(count(*) AS BIGINT), 'oversize_bins'
+FROM cwins WHERE len(ck) > {_PACK_BUDGET}
 """,
     tags=("dedup", "pipeline", "hygiene"),
     doc="The two destructive hygiene passes of the training pipeline in "
@@ -565,7 +591,19 @@ FROM cwins WHERE len(ck) > 0
     "langs — the weight solve's round-9 powers and decimal-summed "
     "normalizer make each weight one IEEE division the oracle "
     "reproduces bit-for-bit; 'split' rows "
-    "verify the leak-proof hash train/test split. Scale shape: "
+    "verify the leak-proof hash train/test split. 'pack' rows "
+    "driver-verify sequence packing (operators/packing.py "
+    "pack_sequences, partition-local best-fit-decreasing over the "
+    "chunk stream at budget 30 < chunk width 32): the greedy loop is "
+    "not SQL-expressible, but its invariants are exact aggregates the "
+    "oracle recomputes from the chunk stream alone — every chunk "
+    "packed exactly once (rows == distinct_keys == the oracle's chunk "
+    "count), token mass conserved (token_sum), no multi-chunk bin "
+    "over budget (overfull_multi == 0), and over-budget chunks "
+    "isolated as singleton bins (oversize_bins == the oracle's "
+    "over-budget chunk count — a bin can only exceed the budget via "
+    "exactly one oversize chunk, so the counts are a bijection). "
+    "Scale shape: "
     "span/decontam passes are equi-joins on md5 identities (gram "
     "groupBy + cut-list join; shingle join bounded by shared "
     "vocabulary) — never a cross join; BPE training collapses the "
@@ -679,14 +717,72 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.chunking import chunk_documents
 
-    ck = chunk_documents(
+    chunks_raw = chunk_documents(
         docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
-    ).select(
+    )
+    ck = chunks_raw.select(
         F.lit("chunk").alias("op"),
         F.col("doc_id").cast("long").alias("id_a"),
         F.col("chunk_id").cast("long").alias("id_b"),
         F.col("n_tokens").alias("n"),
         F.md5(F.col("chunk").cast("binary")).alias("metric"),
+    )
+    # FFD packing: the greedy loop itself is partition-local Python
+    # (not SQL-expressible), but its INVARIANTS are exact aggregates
+    # the oracle recomputes from the chunk stream alone — every chunk
+    # packed exactly once (rows == distinct keys == oracle chunk
+    # count), token mass conserved, NO multi-doc bin over budget
+    # (oracle literal 0), and over-budget chunks isolated as singleton
+    # bins (bin-over-budget count == oracle's over-budget chunk count).
+    from ..operators.packing import pack_sequences
+
+    packed = pack_sequences(
+        chunks_raw.select("doc_id", "chunk_id", "n_tokens"),
+        budget=_PACK_BUDGET,
+        id_cols=("doc_id", "chunk_id"),
+    )
+    pack_bins = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("total"), F.count("*").alias("nd")
+    )
+
+    def _pack_row(agg_df: DataFrame, label: str) -> DataFrame:
+        return agg_df.select(
+            F.lit("pack").alias("op"),
+            F.lit(0).cast("long").alias("id_a"),
+            F.lit(0).cast("long").alias("id_b"),
+            F.col("v").cast("long").alias("n"),
+            F.lit(label).alias("metric"),
+        )
+
+    pk = (
+        _pack_row(packed.agg(F.count("*").alias("v")), "rows")
+        .unionByName(
+            _pack_row(
+                packed.agg(
+                    F.count_distinct(F.col("doc_id"), F.col("chunk_id")).alias("v")
+                ),
+                "distinct_keys",
+            )
+        )
+        .unionByName(
+            _pack_row(packed.agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("v")), "token_sum")
+        )
+        .unionByName(
+            _pack_row(
+                pack_bins.where(
+                    (F.col("nd") >= 2) & (F.col("total") > _PACK_BUDGET)
+                ).agg(F.count("*").alias("v")),
+                "overfull_multi",
+            )
+        )
+        .unionByName(
+            _pack_row(
+                pack_bins.where(F.col("total") > _PACK_BUDGET).agg(
+                    F.count("*").alias("v")
+                ),
+                "oversize_bins",
+            )
+        )
     )
     tr_side, te_side = train_test_split(
         docs.select("doc_id"), "doc_id", _SPLIT_FRAC, salt="split"
@@ -715,6 +811,7 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mf)
         .unionByName(twf)
         .unionByName(ck)
+        .unionByName(pk)
         .unionByName(sp)
     )
 

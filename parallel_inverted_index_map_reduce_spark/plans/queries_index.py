@@ -9,6 +9,8 @@ split on \\s+, lower, strip [^a-z], drop empties
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -84,6 +86,36 @@ def _serving_base(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
     base = "rrserve_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     srv.ensure_search_index(docs, base, n_buckets=4, chunk_size=256)
     return base
+
+
+def _streamed_serving_store(spark: SparkSession, docs: DataFrame) -> str:
+    """Build a streamed serving snapshot IN-SESSION and return its
+    store directory: the corpus lands as three parquet files, a
+    maxFilesPerTrigger=1 availableNow stream folds them through
+    streaming/serving_stream.py's build-then-merge path (batch 0 builds,
+    batches 1-2 exercise the incremental merge), and the caller serves
+    from the latest committed snapshot. A fresh temp directory per call
+    keeps the run idempotent — nothing persists across driver runs, so
+    the streamed layout is rebuilt and re-proven every time."""
+    import tempfile
+
+    from ..streaming import serving_stream as svs
+
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_stream_")
+    src = os.path.join(tmp, "docs_in")
+    store = os.path.join(tmp, "serving_versions")
+    ckpt = os.path.join(tmp, "ckpt")
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = svs.start_incremental_serving(stream, store, ckpt)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streamed serving build did not finish in 600s")
+    return store
 
 
 @register(
@@ -485,6 +517,12 @@ SELECT 'bm25_stored', 'spark query hash', doc_id,
        rk
 FROM btop WHERE rk <= 10
 UNION ALL
+SELECT 'bm25_streamed', 'spark query hash', doc_id,
+       CAST(CAST(round(CAST(score_dec AS DECIMAL(28,12)), 6)
+            AS DECIMAL(18,6)) AS VARCHAR),
+       rk
+FROM btop WHERE rk <= 10
+UNION ALL
 SELECT 'near3', 'spark query', doc_id, CAST(md AS VARCHAR),
        row_number() OVER (ORDER BY doc_id)
 FROM near WHERE md <= 3
@@ -511,7 +549,16 @@ FROM mtop WHERE rk <= 10
     "bm25_search_stored reads only the query terms' pruned buckets — "
     "the oracle stays the corpus-scan formulation, so the hash match "
     "PROVES the stored path loses nothing while never re-tokenizing "
-    "the corpus), 'near3' rows are NEAR/3 proximity matches "
+    "the corpus), 'bm25_streamed' rows are the SAME query served from "
+    "a STREAM-MAINTAINED snapshot built in-session (streaming/"
+    "serving_stream.py: the corpus arrives as three micro-batches "
+    "under an availableNow trigger — batch 0 builds, batches 1-2 run "
+    "the incremental chunk merge — each committing a versioned "
+    "complete-or-invisible snapshot; the query answers from the latest "
+    "committed version through the same frame-parameterized BM25 body "
+    "as the stored path, and the corpus-scan oracle proves the "
+    "stream-maintained layout lossless, not just test-asserted), "
+    "'near3' rows are NEAR/3 proximity matches "
     "(proximity_search — positional postings + zero-shuffle per-doc "
     "min-distance array fold; the oracle's positional self-join min() "
     "proves the fold), and 'near3_stored' rows are the SAME proximity "
@@ -555,6 +602,16 @@ def q_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score"),
         "rank",
     )
+    from ..streaming import serving_stream as svs
+
+    streamed_store = _streamed_serving_store(spark, docs)
+    bm_streamed = svs.bm25_search_version(spark, streamed_store, q, k=10).select(
+        F.lit("bm25_streamed").alias("op"),
+        F.lit(q).alias("query"),
+        "doc_id",
+        F.col("score"),
+        "rank",
+    )
 
     def near_rows(matches: DataFrame, label: str) -> DataFrame:
         w = Window.orderBy("doc_id")
@@ -586,6 +643,7 @@ def q_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         bm.unionByName(bm_stored)
+        .unionByName(bm_streamed)
         .unionByName(nr)
         .unionByName(nr_stored)
         .unionByName(mlt)
