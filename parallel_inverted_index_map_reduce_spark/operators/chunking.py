@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import stable_hash32
+
 
 def chunk_documents(
     docs: DataFrame,
@@ -64,4 +66,79 @@ def chunk_documents(
             F.array_join("c.toks", " ").alias("chunk"),
         )
         .where(F.col("n_tokens") > 0)  # empty docs produce no chunks
+    )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 3,
+    divisor: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk): CONTENT-DEFINED chunk
+    boundaries over the token stream — the basic LBFS scheme
+    (Muthitacharoen et al. 2001, "A low-bandwidth network file
+    system"), token-granular: a boundary falls AFTER token i
+    (i >= window) iff the md5-derived hash of the trailing
+    ``window``-token string is divisible by ``divisor``. Expected chunk
+    length ~= ``divisor`` tokens.
+
+    Why content-defined: fixed-width chunking (chunk_documents) shifts
+    every boundary after an insertion, so one edited token re-hashes
+    the document's whole tail and defeats chunk-level dedup.  CDC
+    boundaries depend only on a local window, so an edit perturbs at
+    most the chunks overlapping it — the property blob/chunk dedup
+    stores rely on.  This is the hash-only variant (no min/max clamp):
+    min/max enforcement is an inherently sequential scan, while the
+    pure divisibility rule stays a per-position predicate — fully
+    declarative, and exactly reproducible in SQL (the registry
+    oracle's formulation).
+
+    Scale shape: one projection — tokenize once, hash ``n`` window
+    strings, derive boundary positions and segment slices as array
+    expressions, one explode. No UDF, no shuffle, whole-stage codegen
+    end to end (same contract as chunk_documents).
+    """
+    if window < 1 or divisor < 1:
+        raise ValueError("need window >= 1 and divisor >= 1")
+    toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
+    n = F.size(toks)
+    # 1-based token positions where a chunk may END: hash the trailing
+    # window and keep positions whose hash is divisible by `divisor`
+    bps = F.when(
+        n >= window,
+        F.filter(
+            F.sequence(F.lit(window), n),
+            lambda i: stable_hash32(
+                F.concat_ws("\x1f", F.slice(toks, i - window + 1, F.lit(window)))
+            )
+            % divisor
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), F.transform(bps, lambda p: p + 1))
+    ends = F.concat(bps, F.array(n))
+    # j-th segment = tokens[starts[j] .. ends[j]]; a boundary exactly at
+    # the last token leaves one trailing empty candidate, filtered below
+    segs = F.transform(
+        F.sequence(F.lit(1), F.size(starts)),
+        lambda j: F.struct(
+            (j - 1).cast("long").alias("chunk_id"),
+            F.slice(
+                toks,
+                F.element_at(starts, j),
+                F.element_at(ends, j) - F.element_at(starts, j) + 1,
+            ).alias("toks"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(segs).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.toks").cast("long").alias("n_tokens"),
+            F.array_join("c.toks", " ").alias("chunk"),
+        )
+        .where(F.col("n_tokens") > 0)
     )

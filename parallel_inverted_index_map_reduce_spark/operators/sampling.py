@@ -209,3 +209,94 @@ def temperature_mix(
     weights = _temperature_weights_from_counts(counts, strata_col, alpha)
     fractions = _mix_fractions(weights, counts)
     return stratified_sample(df, strata_col, fractions, key, salt), fractions
+
+
+def priority_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    salt: str = "priority",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministically:
+    Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    reservoir"), the A-Res scheme with the hash as the uniform draw.
+    Each row gets priority -ln(u)/w (u = the salted unit hash of its
+    key, shifted into (0, 1]; w = its weight, clamped to >= 1); the k
+    SMALLEST priorities are the sample — provably equivalent to
+    sequential weighted draws without replacement, yet a pure function
+    of the data like every sampler here.
+
+    Determinism discipline: libm log's last bits differ across
+    platforms, so the priority is rounded to 9 decimals and ties break
+    on the key (the BM25 idf rule) — rank and membership are then
+    bit-reproducible and SQL-twinnable.
+
+    Scale shape: the priority is one codegen expression per row; the
+    k-subset is orderBy(...).limit(k) — Spark's TakeOrdered, a
+    per-partition top-k then a k-row merge, never a global sort. The
+    final rank window runs over k rows on one task.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    u = (
+        stable_hash32(F.concat_ws("\x1f", F.lit(salt), F.col(key).cast("string")))
+        + F.lit(1)
+    ) / F.lit(_HASH_SPACE)
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    pri = F.round(-F.log(u) / w, 9)
+    top = (
+        df.select(F.col(key), F.col(weight_col), pri.alias("priority"))
+        .orderBy("priority", key)
+        .limit(k)
+    )
+    rk = Window.orderBy("priority", key)
+    return top.select(
+        key,
+        weight_col,
+        "priority",
+        F.row_number().over(rk).cast("long").alias("rank"),
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    key: str,
+    k: int,
+    salt: str = "quota",
+) -> DataFrame:
+    """EXACT per-stratum quotas: the k rows of each stratum whose salted
+    key hashes order first (fraction-based stratified_sample hits a
+    TARGET RATE; evaluation-set construction wants exactly-k-per-domain,
+    which a fraction cannot promise). Hash-ordered, so the quota set is
+    stable across runs, partitionings, and engines; rows beyond the
+    quota drop; strata smaller than k keep everything. NULL strata drop
+    (no domain to fill a quota for).
+
+    Scale shape: one hash projection + one rank window partitioned by
+    stratum. Strata counts are corpus-scale but each window partition
+    sorts only its own stratum; a pathologically hot stratum is the
+    same skew the letter-bucket index rank handles — salt the window
+    with a second key or pre-filter with an approximate per-stratum
+    threshold if one stratum dominates the corpus.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    h = stable_hash32(
+        F.concat_ws("\x1f", F.lit(salt), F.col(key).cast("string"))
+    )
+    rk = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.where(F.col(strata_col).isNotNull())
+        .select(
+            strata_col,
+            key,
+            F.row_number().over(rk).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )

@@ -274,6 +274,18 @@ _CHUNK_TOKENS = 32
 _CHUNK_OVERLAP = 8
 _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
 
+# CDC parameters for the 'cdc' part: window 3 makes boundary decisions
+# genuinely local, divisor 8 targets ~8-token expected chunks so the
+# synthetic docs (median ~56 tokens) split into several content-defined
+# segments.
+_CDC_WINDOW = 3
+_CDC_DIVISOR = 8
+
+# Sample sizes for the 'priority' / 'quota' parts: 25 of 500 docs keeps
+# the weighted draw selective; 10 per lang is an eval-set-sized quota.
+_PRIORITY_K = 25
+_QUOTA_K = 10
+
 # Token budget for the 'pack' part: deliberately SMALLER than
 # _CHUNK_TOKENS so full-width chunks exercise the oversize-singleton
 # rule (a doc at/over budget opens its own bin) while tail chunks
@@ -483,6 +495,41 @@ cwins AS (
                       (greatest(0, len(tks) - {_CHUNK_OVERLAP + 1})
                        // {_CHUNK_STRIDE}) * {_CHUNK_STRIDE} + 1,
                       {_CHUNK_STRIDE})) AS u(s)
+),
+cdcb AS (
+    SELECT doc_id, tks,
+           list_filter(range({_CDC_WINDOW}, len(tks) + 1),
+             i -> CAST('0x' || substr(md5(array_to_string(
+                      list_slice(tks, i - {_CDC_WINDOW - 1}, i), chr(31))),
+                      1, 8) AS BIGINT) % {_CDC_DIVISOR} = 0
+           ) AS bps
+    FROM ctoks
+),
+cdcseg AS (
+    SELECT doc_id, u.j - 1 AS chunk_id,
+           list_slice(tks,
+                      list_concat([1], list_transform(bps, p -> p + 1))[u.j],
+                      list_concat(bps, [len(tks)])[u.j]) AS ck
+    FROM cdcb, unnest(range(1, len(bps) + 2)) AS u(j)
+),
+pri AS (
+    SELECT doc_id, n_chars,
+           round(-ln(({sql_stable_hash32("'priority' || chr(31) || CAST(doc_id AS VARCHAR)")} + 1)
+                     / 4294967296.0)
+                 / greatest(CAST(n_chars AS DOUBLE), 1.0), 9) AS p
+    FROM documents
+),
+prik AS (
+    SELECT doc_id, n_chars, p,
+           row_number() OVER (ORDER BY p, doc_id) AS rk
+    FROM pri
+),
+quo AS (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+               ORDER BY {sql_stable_hash32("'quota' || chr(31) || CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS rk
+    FROM documents WHERE lang IS NOT NULL
 )
 SELECT 'span_dedup' AS op, d.doc_id AS id_a, CAST(0 AS BIGINT) AS id_b,
        CAST(coalesce(rn.n_raw, 0) - coalesce(ka.n_kept, 0) AS BIGINT) AS n,
@@ -550,6 +597,17 @@ UNION ALL
 SELECT 'pack', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
        CAST(count(*) AS BIGINT), 'oversize_bins'
 FROM cwins WHERE len(ck) > {_PACK_BUDGET}
+UNION ALL
+SELECT 'cdc', doc_id, chunk_id, CAST(len(ck) AS BIGINT),
+       md5(array_to_string(ck, ' '))
+FROM cdcseg WHERE len(ck) > 0
+UNION ALL
+SELECT 'priority', doc_id, rk, CAST(n_chars AS BIGINT),
+       {sql_stable_round6('p')}
+FROM prik WHERE rk <= {_PRIORITY_K}
+UNION ALL
+SELECT 'quota', doc_id, rk, CAST(0 AS BIGINT), lang
+FROM quo WHERE rk <= {_QUOTA_K}
 """,
     tags=("dedup", "pipeline", "hygiene"),
     doc="The two destructive hygiene passes of the training pipeline in "
@@ -603,7 +661,24 @@ FROM cwins WHERE len(ck) > {_PACK_BUDGET}
     "isolated as singleton bins (oversize_bins == the oracle's "
     "over-budget chunk count — a bin can only exceed the budget via "
     "exactly one oversize chunk, so the counts are a bijection). "
-    "Scale shape: "
+    "'cdc' rows driver-verify CONTENT-DEFINED chunking "
+    "(chunking.py cdc_chunks, the hash-only LBFS boundary scheme of "
+    "Muthitacharoen et al. 2001 at token granularity): a boundary "
+    "falls after token i iff the md5 hash of the trailing 3-token "
+    "window is divisible by 8, so an edit perturbs only the chunks "
+    "overlapping it — the property chunk-level dedup relies on, which "
+    "fixed-width chunking lacks; boundaries, segment slices, and "
+    "segment hashes are one declarative projection the oracle "
+    "reproduces bit-for-bit. 'priority' rows driver-verify weighted "
+    "sampling WITHOUT replacement (sampling.py priority_sample, "
+    "Efraimidis & Spirakis 2006 A-Res with the salted key hash as the "
+    "uniform draw): the 25 smallest round-9 priorities -ln(u)/w "
+    "(w = n_chars) with their ranks and round-6 priority strings, "
+    "bit-reproducible on both engines. 'quota' rows driver-verify "
+    "exact per-stratum quotas (sampling.py quota_sample): the 10 "
+    "hash-first docs per lang with their in-stratum ranks — the "
+    "exactly-k-per-domain eval-set primitive a keep-fraction cannot "
+    "promise. Scale shape: "
     "span/decontam passes are equi-joins on md5 identities (gram "
     "groupBy + cut-list join; shingle join bounded by shared "
     "vocabulary) — never a cross join; BPE training collapses the "
@@ -784,6 +859,38 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # content-defined chunking: the hash-only LBFS boundary rule is one
+    # declarative projection, so the oracle reproduces every boundary
+    # and segment hash bit-for-bit (operators/chunking.py cdc_chunks)
+    from ..operators.chunking import cdc_chunks
+
+    cdc = cdc_chunks(docs, window=_CDC_WINDOW, divisor=_CDC_DIVISOR).select(
+        F.lit("cdc").alias("op"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("chunk_id").cast("long").alias("id_b"),
+        F.col("n_tokens").alias("n"),
+        F.md5(F.col("chunk").cast("binary")).alias("metric"),
+    )
+    from ..operators.sampling import priority_sample, quota_sample
+
+    pri = priority_sample(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", k=_PRIORITY_K
+    ).select(
+        F.lit("priority").alias("op"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("rank").alias("id_b"),
+        F.col("n_chars").cast("long").alias("n"),
+        stable_round6(F.col("priority")).alias("metric"),
+    )
+    quo = quota_sample(
+        docs.select("doc_id", "lang"), "lang", "doc_id", k=_QUOTA_K
+    ).select(
+        F.lit("quota").alias("op"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("rank").alias("id_b"),
+        F.lit(0).cast("long").alias("n"),
+        F.col("lang").alias("metric"),
+    )
     tr_side, te_side = train_test_split(
         docs.select("doc_id"), "doc_id", _SPLIT_FRAC, salt="split"
     )
@@ -812,6 +919,9 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(twf)
         .unionByName(ck)
         .unionByName(pk)
+        .unionByName(cdc)
+        .unionByName(pri)
+        .unionByName(quo)
         .unionByName(sp)
     )
 

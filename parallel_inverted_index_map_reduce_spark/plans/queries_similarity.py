@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,6 +53,38 @@ buckets AS (
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
+
+
+def _streamed_ann_store(spark: SparkSession, emb: DataFrame) -> str:
+    """Build a streamed ANN snapshot IN-SESSION and return its store
+    directory: the embeddings land as three parquet files, a
+    maxFilesPerTrigger=1 availableNow stream folds them through
+    streaming/ann_stream.py (the first batch seeds the fixed coarse
+    quantizer, later batches assign under it and union in), and the
+    caller serves from the latest committed snapshot. Which rows seed
+    the quantizer depends on the file split — deliberately irrelevant
+    to the registry anchor, which probes ALL lists with decimal scores
+    so the served ranks equal brute force whatever the centroids. A
+    fresh temp directory per call keeps the run idempotent."""
+    import tempfile
+
+    from ..streaming import ann_stream as avs
+
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_annstream_")
+    src = os.path.join(tmp, "emb_in")
+    store = os.path.join(tmp, "ann_versions")
+    ckpt = os.path.join(tmp, "ckpt")
+    emb.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = avs.start_incremental_ann(stream, store, ckpt, n_list=8, n_iters=2)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streamed ANN build did not finish in 600s")
+    return store
 
 
 def _ann_serving_base(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
@@ -231,6 +265,10 @@ SELECT 'ivf_stored' AS op, vec_a, vec_b, CAST(NULL AS DOUBLE) AS score,
        rk AS "rank"
 FROM exact_ranked WHERE rk <= 3
 UNION ALL
+SELECT 'ann_streamed' AS op, vec_a, vec_b, CAST(NULL AS DOUBLE) AS score,
+       rk AS "rank"
+FROM exact_ranked WHERE rk <= 3
+UNION ALL
 SELECT 'int8' AS op, vec_a, vec_b, CAST(NULL AS DOUBLE) AS score,
        rk AS "rank"
 FROM q_ranked WHERE rk <= 3
@@ -251,8 +289,8 @@ FROM (
 ) WHERE r = 1
 """,
     tags=("similarity", "serving", "dedup"),
-    doc="Six embedding-space formulations in ONE labeled result (op "
-    "column): five ANN paths plus 'semdedup' — SemDedup semantic "
+    doc="Eight embedding-space formulations in ONE labeled result (op "
+    "column): six ANN paths plus two SemDedup parts. 'semdedup' — SemDedup semantic "
     "near-dup pruning (operators/similarity.py semantic_dedup, Abbas "
     "et al. 2023): cluster-local pairwise cosine over the IVF k-means "
     "partition, run at n_list=1 so the cluster machinery provably "
@@ -283,7 +321,16 @@ FROM (
     "parquet, probes pruned at the directory level via a static IN; "
     "ensure_ann_index verifies the sidecar's embeddings fingerprint on "
     "attach) while the oracle stays the brute-force formulation — the "
-    "hash match proves the stored layout loses nothing; 'int8' is the "
+    "hash match proves the stored layout loses nothing; 'ann_streamed' "
+    "answers the SAME queries from a STREAM-MAINTAINED snapshot built "
+    "in-session (streaming/ann_stream.py: three availableNow "
+    "micro-batches — the first seeds the fixed coarse quantizer, the "
+    "rest assign under it and union into versioned "
+    "complete-or-invisible snapshots; served through the same "
+    "frame-parameterized body as the stored path at nprobe == n_list "
+    "with decimal scores, so whatever rows seeded the quantizer the "
+    "ranks are provably the brute-force ranks and the hash match "
+    "proves the stream-maintained layout lossless); 'int8' is the "
     "quantized shortlist path, "
     "whose integer dot products and scales the oracle reproduces exactly "
     "— ranks order by raw IEEE doubles on both engines (score column "
@@ -328,6 +375,23 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("score"),
         "rank",
     )
+    from ..streaming import ann_stream as avs
+
+    ann_store = _streamed_ann_store(spark, emb)
+    ann_sv = avs.ann_search_version(
+        spark,
+        ann_store,
+        emb.where(F.col("vec_id") < 5),
+        k=3,
+        nprobe=8,
+        decimal_scores=True,
+    ).select(
+        F.lit("ann_streamed").alias("op"),
+        "vec_a",
+        "vec_b",
+        F.lit(None).cast("double").alias("score"),
+        "rank",
+    )
     q8 = qz.quantized_topk(emb, k=3, n_queries=5).select(
         F.lit("int8").alias("op"),
         "vec_a",
@@ -367,6 +431,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exact.unionByName(ivf)
         .unionByName(ivf_s)
+        .unionByName(ann_sv)
         .unionByName(q8)
         .unionByName(knn)
         .unionByName(sd)

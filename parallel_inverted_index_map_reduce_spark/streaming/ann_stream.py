@@ -117,15 +117,23 @@ def ann_search_version(
     queries: DataFrame,
     k: int = 3,
     nprobe: int = 4,
+    decimal_scores: bool = False,
 ) -> DataFrame:
     """IVF cosine top-k served from the latest committed streamed
     snapshot — the same frame-parameterized body as the stored-table
-    path (serving.ann_from_frames)."""
+    path (serving.ann_from_frames). ``decimal_scores`` scores with the
+    exact decimal dot so at nprobe == n_list the ranks are provably the
+    brute-force ranks (the registry anchor's contract)."""
     from ..operators.serving import ann_from_frames
 
     v = read_ann_version(spark, store_dir)
     if v is None:
         raise FileNotFoundError(f"no committed ANN version in {store_dir}")
     return ann_from_frames(
-        v["vectors"], _version_centroids(v), queries, k=k, nprobe=nprobe
+        v["vectors"],
+        _version_centroids(v),
+        queries,
+        k=k,
+        nprobe=nprobe,
+        decimal_scores=decimal_scores,
     )

@@ -162,3 +162,81 @@ def test_scrub_phone_requires_phone_structure(spark):
     for j, text in enumerate(unmasked):
         i = len(masked) + j
         assert out[i] == text, f"should NOT mask: {text!r} -> {out[i]!r}"
+
+
+def test_cdc_chunks_cover_and_locality(spark):
+    from parallel_inverted_index_map_reduce_spark.operators.chunking import (
+        cdc_chunks,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    cdc = cdc_chunks(docs, window=3, divisor=8).cache()
+    # coverage: concatenating a doc's chunks in chunk_id order rebuilds
+    # the normalized (single-spaced, trimmed) document exactly
+    rebuilt = cdc.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("re")
+    )
+    norm = docs.select(
+        "doc_id",
+        F.array_join(
+            F.expr("filter(split(text, ' '), t -> t != '')"), " "
+        ).alias("orig"),
+    ).where(F.length("orig") > 0)
+    joined = norm.join(rebuilt, "doc_id", "left")
+    assert joined.where(
+        (F.col("re").isNull()) | (F.col("re") != F.col("orig"))
+    ).count() == 0
+
+    # chunk ids dense from 0
+    agg = cdc.groupBy("doc_id").agg(
+        F.min("chunk_id").alias("lo"),
+        F.max("chunk_id").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    assert agg.where(
+        (F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)
+    ).count() == 0
+
+    # CONTENT-DEFINED locality: editing one token in the middle of a
+    # doc leaves every chunk hash outside the edit's neighborhood
+    # identical (fixed-width chunking would shift the whole tail)
+    one = docs.where(F.col("doc_id") == 1)
+    orig = {
+        (r.chunk_id): r.chunk
+        for r in cdc_chunks(one, window=3, divisor=8).collect()
+    }
+    assert len(orig) >= 3, "doc 1 must split into several chunks"
+    edited = one.select(
+        "doc_id",
+        F.array_join(
+            F.expr(
+                "transform(filter(split(text, ' '), t -> t != ''), "
+                "(t, i) -> CASE WHEN i = 25 THEN 'EDITEDTOKEN' ELSE t END)"
+            ),
+            " ",
+        ).alias("text"),
+    )
+    after = {
+        (r.chunk_id): r.chunk
+        for r in cdc_chunks(edited, window=3, divisor=8).collect()
+    }
+    shared = set(orig.values()) & set(after.values())
+    # all chunks fully before or after the edit window survive verbatim
+    assert len(shared) >= max(0, len(orig) - 3)
+
+
+def test_cdc_chunks_invariant_under_repartition(spark):
+    from parallel_inverted_index_map_reduce_spark.operators.chunking import (
+        cdc_chunks,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    a = cdc_chunks(docs, window=3, divisor=8)
+    b = cdc_chunks(docs.repartition(13), window=3, divisor=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

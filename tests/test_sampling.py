@@ -105,3 +105,55 @@ def test_temperature_mix_endpoints_and_boost(spark):
     m2, _ = sp.temperature_mix(docs, "source", 0.5, key="doc_id")
     m3, _ = sp.temperature_mix(docs, "source", 0.5, key="doc_id")
     assert sorted(map(tuple, m2.collect())) == sorted(map(tuple, m3.collect()))
+
+
+def test_priority_sample_matches_sequential_reference(spark):
+    # A-Res equivalence: the k smallest -ln(u)/w priorities computed by
+    # the engine equal a plain-Python recomputation over the same hashes
+    import hashlib
+    import math
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "n_chars")
+    got = sp.priority_sample(docs, "doc_id", "n_chars", k=25).collect()
+    rows = docs.collect()
+    ref = []
+    for r in rows:
+        h = int(
+            hashlib.md5(f"priority\x1f{r.doc_id}".encode()).hexdigest()[:8], 16
+        )
+        u = (h + 1) / 2**32
+        w = max(float(r.n_chars), 1.0)
+        ref.append((round(-math.log(u) / w, 9), r.doc_id, r.n_chars))
+    ref.sort()
+    ref = ref[:25]
+    assert [(g.doc_id, g.rank) for g in sorted(got, key=lambda g: g.rank)] == [
+        (d, i + 1) for i, (_, d, _) in enumerate(ref)
+    ]
+    for g in got:
+        p, d, _ = ref[g.rank - 1]
+        assert abs(g.priority - p) < 1e-12
+
+
+def test_priority_sample_invariant_under_repartition(spark):
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "n_chars")
+    a = sp.priority_sample(docs, "doc_id", "n_chars", k=25)
+    b = sp.priority_sample(docs.repartition(17), "doc_id", "n_chars", k=25)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_quota_sample_exact_quotas_and_stability(spark):
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "lang")
+    q = sp.quota_sample(docs, "lang", "doc_id", k=10)
+    per = {r.lang: r.n for r in q.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {
+        r.lang: r.n
+        for r in docs.where(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, n in per.items():
+        assert n == min(10, sizes[lang])
+    # stable under repartition
+    b = sp.quota_sample(docs.repartition(7), "lang", "doc_id", k=10)
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, b.collect()))
