@@ -530,6 +530,19 @@ quo AS (
                ORDER BY {sql_stable_hash32("'quota' || chr(31) || CAST(doc_id AS VARCHAR)")},
                         doc_id) AS rk
     FROM documents WHERE lang IS NOT NULL
+),
+pii AS (
+    SELECT doc_id,
+           coalesce(text, '') || ' contact doc' || CAST(doc_id AS VARCHAR)
+           || '@example.com via 10.0.' || CAST(doc_id // 256 AS VARCHAR)
+           || '.' || CAST(doc_id % 256 AS VARCHAR) || ' now' AS t
+    FROM documents
+),
+piie AS (
+    SELECT doc_id, t,
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                          '<EMAIL>', 'g') AS te
+    FROM pii
 )
 SELECT 'span_dedup' AS op, d.doc_id AS id_a, CAST(0 AS BIGINT) AS id_b,
        CAST(coalesce(rn.n_raw, 0) - coalesce(ka.n_kept, 0) AS BIGINT) AS n,
@@ -608,6 +621,15 @@ FROM prik WHERE rk <= {_PRIORITY_K}
 UNION ALL
 SELECT 'quota', doc_id, rk, CAST(0 AS BIGINT), lang
 FROM quo WHERE rk <= {_QUOTA_K}
+UNION ALL
+SELECT 'scrub', doc_id,
+       CAST(len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT),
+       CAST(len(regexp_extract_all(te,
+            '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS BIGINT),
+       md5(regexp_replace(te, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b',
+                          '<IP>', 'g'))
+FROM piie
 """,
     tags=("dedup", "pipeline", "hygiene"),
     doc="The two destructive hygiene passes of the training pipeline in "
@@ -678,7 +700,13 @@ FROM quo WHERE rk <= {_QUOTA_K}
     "exact per-stratum quotas (sampling.py quota_sample): the 10 "
     "hash-first docs per lang with their in-stratum ranks — the "
     "exactly-k-per-domain eval-set primitive a keep-fraction cannot "
-    "promise. Scale shape: "
+    "promise. 'scrub' rows driver-verify PII redaction "
+    "(functions/scrub.py): the digit-free corpus gets one synthetic "
+    "email + one IP appended identically in both engines, and the md5 "
+    "of the fully scrubbed text plus the per-stage counts cross-verify "
+    "the email/IP regexp_replace chain (the phone stage's lookaround "
+    "pattern is not RE2-expressible and matches nothing in this "
+    "fixture; its behavior stays pytest-verified). Scale shape: "
     "span/decontam passes are equi-joins on md5 identities (gram "
     "groupBy + cut-list join; shingle join bounded by shared "
     "vocabulary) — never a cross join; BPE training collapses the "
@@ -891,6 +919,33 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("n"),
         F.col("lang").alias("metric"),
     )
+    # PII scrubbing over a deterministic fixture: the corpus is digit-
+    # free word soup, so each doc gets one synthetic email + one IP
+    # appended IDENTICALLY in both engines; the md5 of the fully
+    # scrubbed text and both counts then cross-verify the email/IP
+    # stages (RE2-expressible). The PHONE stage runs too but matches
+    # nothing here (its lookaround pattern is not RE2-expressible —
+    # phone redaction behavior stays pytest-verified in
+    # tests/test_chunking_scrub.py).
+    from ..functions.scrub import scrub_counts, scrub_text
+
+    pii_text = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via 10.0."),
+        (F.col("doc_id") / 256).cast("int").cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" now"),
+    )
+    sc = docs.select(
+        F.lit("scrub").alias("op"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        scrub_counts(pii_text).getField("n_emails").alias("id_b"),
+        scrub_counts(pii_text).getField("n_ips").alias("n"),
+        F.md5(scrub_text(pii_text).cast("binary")).alias("metric"),
+    )
     tr_side, te_side = train_test_split(
         docs.select("doc_id"), "doc_id", _SPLIT_FRAC, salt="split"
     )
@@ -922,6 +977,7 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cdc)
         .unionByName(pri)
         .unionByName(quo)
+        .unionByName(sc)
         .unionByName(sp)
     )
 
