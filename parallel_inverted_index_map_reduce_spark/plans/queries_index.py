@@ -97,11 +97,14 @@ def _streamed_serving_store(spark: SparkSession, docs: DataFrame) -> str:
     from the latest committed snapshot. A fresh temp directory per call
     keeps the run idempotent — nothing persists across driver runs, so
     the streamed layout is rebuilt and re-proven every time."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..streaming import serving_stream as svs
 
     tmp = tempfile.mkdtemp(prefix="sparkgraft_stream_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     src = os.path.join(tmp, "docs_in")
     store = os.path.join(tmp, "serving_versions")
     ckpt = os.path.join(tmp, "ckpt")

@@ -66,11 +66,14 @@ def _streamed_ann_store(spark: SparkSession, emb: DataFrame) -> str:
     to the registry anchor, which probes ALL lists with decimal scores
     so the served ranks equal brute force whatever the centroids. A
     fresh temp directory per call keeps the run idempotent."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..streaming import ann_stream as avs
 
     tmp = tempfile.mkdtemp(prefix="sparkgraft_annstream_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     src = os.path.join(tmp, "emb_in")
     store = os.path.join(tmp, "ann_versions")
     ckpt = os.path.join(tmp, "ckpt")

@@ -265,3 +265,36 @@ def test_cms_build_single_corpus_scan(spark):
     assert _count_scans(plan) == 1, plan
     # one aggregation exchange (+ the scan-spread repartition)
     assert _count_exchanges(plan) <= 2, plan
+
+
+def test_cdc_chunks_zero_shuffle(spark):
+    """Content-defined chunking is ONE projection + explode: boundary
+    hashing, segment slicing, and row expansion all happen scan-side —
+    any Exchange would mean the array work leaked into a shuffle."""
+    from parallel_inverted_index_map_reduce_spark.operators.chunking import (
+        cdc_chunks,
+    )
+    from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = _plan(cdc_chunks(docs))
+    assert _count_exchanges(plan) == 0, plan
+
+
+def test_priority_sample_uses_take_ordered(spark):
+    """The weighted k-subset must be TakeOrderedAndProject (per-partition
+    top-k + k-row merge), never a corpus-wide Sort: a global sort of the
+    priorities is the classic scale-killer this operator exists to
+    avoid. The rank window runs over k rows only."""
+    from parallel_inverted_index_map_reduce_spark.operators.sampling import (
+        priority_sample,
+    )
+    from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "n_chars")
+    plan = _plan(priority_sample(docs, "doc_id", "n_chars", k=25))
+    assert "TakeOrderedAndProject" in plan, plan
