@@ -240,3 +240,28 @@ def test_cdc_chunks_invariant_under_repartition(spark):
     a = cdc_chunks(docs, window=3, divisor=8)
     b = cdc_chunks(docs.repartition(13), window=3, divisor=8)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cdc_chunks_edge_params(spark):
+    from parallel_inverted_index_map_reduce_spark.operators.chunking import (
+        cdc_chunks,
+    )
+    import pytest as _pt
+
+    docs = spark.createDataFrame(
+        [(0, "one"), (1, "a b"), (2, ""), (3, None), (4, "w x y z q r s t")],
+        "doc_id long, text string",
+    )
+    # window longer than every doc: one chunk per non-empty doc
+    rows = cdc_chunks(docs, window=50, divisor=2).collect()
+    assert {(r.doc_id, r.chunk_id) for r in rows} == {(0, 0), (1, 0), (4, 0)}
+    assert all(r.chunk_id == 0 for r in rows)
+    # divisor=1: boundary after EVERY position >= window; the first
+    # window-1 tokens ride with the first boundary's chunk
+    rows1 = cdc_chunks(docs.where("doc_id = 4"), window=3, divisor=1).collect()
+    sizes = [r.n_tokens for r in sorted(rows1, key=lambda r: r.chunk_id)]
+    assert sizes == [3, 1, 1, 1, 1, 1]  # 8 tokens: [w x y] then singletons
+    with _pt.raises(ValueError):
+        cdc_chunks(docs, window=0)
+    with _pt.raises(ValueError):
+        cdc_chunks(docs, divisor=0)
