@@ -41,17 +41,25 @@ def read_ann_version(
     spark: SparkSession, store_dir: str
 ) -> dict[str, DataFrame] | None:
     """The latest COMMITTED ANN snapshot as {artifact: DataFrame}, or
-    None before the first commit. Explicit schemas keep a zero-row
-    batch's empty directories readable (inference over no part files
-    raises — the serving_stream lesson)."""
+    None before the first commit. Vectors are read with their WRITTEN
+    schema (inference): the embedding element type follows the corpus
+    (float32 normally, float64 for a regenerated corpus — the
+    schema-drift contract), and pinning float here made a drifted
+    snapshot unreadable. The explicit ARTIFACTS schema remains the
+    fallback for a zero-row batch's empty directory, where inference
+    over no part files raises (the serving_stream lesson)."""
     dirs = eo.committed_batch_dirs(store_dir)
     if not dirs:
         return None
     latest = max(dirs, key=lambda d: int(d.rsplit("=", 1)[1]))
-    return {
-        a: spark.read.schema(schema).parquet(os.path.join(latest, a))
-        for a, schema in ARTIFACTS.items()
-    }
+    out = {}
+    for a, schema in ARTIFACTS.items():
+        path = os.path.join(latest, a)
+        try:
+            out[a] = spark.read.parquet(path)
+        except Exception:
+            out[a] = spark.read.schema(schema).parquet(path)
+    return out
 
 
 def _version_centroids(prev: dict[str, DataFrame]) -> list[list[float]]:

@@ -91,6 +91,11 @@ def start_incremental_serving(
         # feeds positions, doclen, AND the chunk build/merge pairs
         new_pos = (
             positional_postings(batch)
+            # a regenerated corpus can carry int32 doc ids (the
+            # schema-drift contract); normalize to the snapshot's
+            # declared bigint so every committed version reads under
+            # the one ARTIFACTS schema
+            .withColumn("doc_id", F.col("doc_id").cast("long"))
             .withColumn("letter", F.substring("word", 1, 1))
             .localCheckpoint(eager=False)
         )

@@ -78,7 +78,17 @@ def test_queries_survive_nanos_timestamps(spark, drifted_dir):
 
 
 def test_queries_survive_float64_embeddings(spark, drifted_dir):
+    # includes the ann_streamed part: the streamed snapshot must write
+    # AND read back float64 vectors (regression: a pinned float schema
+    # made a drifted snapshot unreadable)
     assert _compare(spark, drifted_dir, "ann_topk") > 0
+
+
+def test_streamed_serving_survives_int32_doc_ids(spark, drifted_dir):
+    """The bm25_streamed part on a drifted corpus: the snapshot
+    normalizes int32 doc ids to its declared bigint at write time, so
+    every committed version reads under the one ARTIFACTS schema."""
+    assert _compare(spark, drifted_dir, "ranked_retrieval") > 0
 
 
 def test_document_queries_tolerate_null_and_empty_text(spark, tmp_path):
