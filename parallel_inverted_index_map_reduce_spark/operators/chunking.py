@@ -95,45 +95,69 @@ def cdc_chunks(
     declarative, and exactly reproducible in SQL (the registry
     oracle's formulation).
 
-    Scale shape: one projection — tokenize once, hash ``n`` window
+    Scale shape: staged projections — tokenize once, hash ``n`` window
     strings, derive boundary positions and segment slices as array
-    expressions, one explode. No UDF, no shuffle, whole-stage codegen
-    end to end (same contract as chunk_documents).
+    expressions, one explode. No UDF, no shuffle. The staging is
+    load-bearing, not cosmetic: higher-order lambdas evaluate
+    INTERPRETED, re-computing any captured non-attribute subexpression
+    per element — a lambda that captures the tokenize expression
+    re-splits the document at every position, O(n^2) per doc (measured
+    8x slower at sf0.1). Each stage therefore materializes what the
+    next stage's lambdas capture (toks, then bps) as plain columns, so
+    every lambda touches attributes only and the whole op stays O(n).
     """
     if window < 1 or divisor < 1:
         raise ValueError("need window >= 1 and divisor >= 1")
-    toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
-    n = F.size(toks)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"filter(split({text_col}, ' '), t -> t != '')").alias("toks"),
+    )
+    n = F.size("toks")
     # 1-based token positions where a chunk may END: hash the trailing
     # window and keep positions whose hash is divisible by `divisor`
-    bps = F.when(
-        n >= window,
-        F.filter(
-            F.sequence(F.lit(window), n),
-            lambda i: stable_hash32(
-                F.concat_ws("\x1f", F.slice(toks, i - window + 1, F.lit(window)))
-            )
-            % divisor
-            == 0,
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    starts = F.concat(F.array(F.lit(1)), F.transform(bps, lambda p: p + 1))
-    ends = F.concat(bps, F.array(n))
-    # j-th segment = tokens[starts[j] .. ends[j]]; a boundary exactly at
-    # the last token leaves one trailing empty candidate, filtered below
+    with_bps = staged.select(
+        "doc_id",
+        "toks",
+        F.when(
+            n >= window,
+            F.filter(
+                F.sequence(F.lit(window), n),
+                lambda i: stable_hash32(
+                    F.concat_ws(
+                        "\x1f",
+                        F.slice(F.col("toks"), i - window + 1, F.lit(window)),
+                    )
+                )
+                % divisor
+                == 0,
+            ),
+        )
+        .otherwise(F.array().cast("array<int>"))
+        .alias("bps"),
+    )
+    bounded = with_bps.select(
+        "doc_id",
+        "toks",
+        F.concat(
+            F.array(F.lit(1)), F.transform(F.col("bps"), lambda p: p + 1)
+        ).alias("ss"),
+        F.concat(F.col("bps"), F.array(F.size("toks"))).alias("es"),
+    )
+    # j-th segment = tokens[ss[j] .. es[j]]; a boundary exactly at the
+    # last token leaves one trailing empty candidate, filtered below
     segs = F.transform(
-        F.sequence(F.lit(1), F.size(starts)),
+        F.sequence(F.lit(1), F.size("ss")),
         lambda j: F.struct(
             (j - 1).cast("long").alias("chunk_id"),
             F.slice(
-                toks,
-                F.element_at(starts, j),
-                F.element_at(ends, j) - F.element_at(starts, j) + 1,
+                F.col("toks"),
+                F.element_at(F.col("ss"), j),
+                F.element_at(F.col("es"), j) - F.element_at(F.col("ss"), j) + 1,
             ).alias("toks"),
         ),
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(segs).alias("c"))
+        bounded.select("doc_id", F.explode(segs).alias("c"))
         .select(
             "doc_id",
             F.col("c.chunk_id").alias("chunk_id"),
