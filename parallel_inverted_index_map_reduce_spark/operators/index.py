@@ -1086,23 +1086,32 @@ def phrase_slop_filter(
     Backward reachability as a pure array fold: S_{n-1} = p_{n-1}, and
     S_k = { i in p_k : exists j in S_{k+1} with 1 <= j - i <= slop+1 };
     the matches are S_0. Each step is one F.filter/F.exists pair —
-    per-row codegen array work bounded by the phrase terms' positions
-    in that document, no join, no shuffle beyond the input's."""
+    per-row array work bounded by the phrase terms' positions in that
+    document, no join, no shuffle beyond the input's. Each S_k is
+    STAGED as a column between steps: higher-order lambdas evaluate
+    interpreted and re-compute captured non-attribute subexpressions
+    per element, so a chained filter-inside-exists expression would
+    re-derive S_{k+1} for every candidate in p_k — O(prod tf_k) for an
+    n-word phrase instead of O(sum tf_k * tf_{k+1}) (the cdc_chunks
+    lesson, operators/chunking.py)."""
     allowed = slop + 1
 
-    def step(reachable: Column, prev: Column) -> Column:
-        return F.filter(
-            prev,
-            lambda i: F.exists(
-                reachable, lambda j: (j > i) & (j <= i + allowed)
+    staged = per_doc
+    reach_col = f"p{n_words - 1}"
+    for k in range(n_words - 2, -1, -1):
+        reach = F.col(reach_col)
+        staged = staged.withColumn(
+            f"s{k}",
+            F.filter(
+                F.col(f"p{k}"),
+                lambda i: F.exists(
+                    reach, lambda j: (j > i) & (j <= i + allowed)
+                ),
             ),
         )
-
-    reachable = F.col(f"p{n_words - 1}")
-    for k in range(n_words - 2, -1, -1):
-        reachable = step(reachable, F.col(f"p{k}"))
+        reach_col = f"s{k}"
     return (
-        per_doc.select("doc_id", reachable.alias("match_positions"))
+        staged.select("doc_id", F.col(reach_col).alias("match_positions"))
         .where(F.size("match_positions") > 0)
     )
 
