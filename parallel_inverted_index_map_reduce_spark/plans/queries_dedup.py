@@ -615,6 +615,12 @@ SELECT 'cdc', doc_id, chunk_id, CAST(len(ck) AS BIGINT),
        md5(array_to_string(ck, ' '))
 FROM cdcseg WHERE len(ck) > 0
 UNION ALL
+SELECT 'cdc_dup', MIN(doc_id), CAST(count(DISTINCT doc_id) AS BIGINT),
+       CAST(count(*) AS BIGINT), md5(array_to_string(ck, ' '))
+FROM cdcseg WHERE len(ck) > 0
+GROUP BY md5(array_to_string(ck, ' '))
+HAVING count(DISTINCT doc_id) > 1
+UNION ALL
 SELECT 'priority', doc_id, rk, CAST(n_chars AS BIGINT),
        {sql_stable_round6('p')}
 FROM prik WHERE rk <= {_PRIORITY_K}
@@ -691,7 +697,11 @@ FROM piie
     "overlapping it — the property chunk-level dedup relies on, which "
     "fixed-width chunking lacks; boundaries, segment slices, and "
     "segment hashes are one declarative projection the oracle "
-    "reproduces bit-for-bit. 'priority' rows driver-verify weighted "
+    "reproduces bit-for-bit; 'cdc_dup' rows close the loop on WHY — "
+    "cross-document duplicated blocks group on their chunk hash "
+    "(storage-dedup style: min doc, distinct-doc count, occurrence "
+    "count per duplicated block), one 16-byte-key groupBy, never a "
+    "pairwise comparison. 'priority' rows driver-verify weighted "
     "sampling WITHOUT replacement (sampling.py priority_sample, "
     "Efraimidis & Spirakis 2006 A-Res with the salted key hash as the "
     "uniform draw): the 25 smallest round-9 priorities -ln(u)/w "
@@ -892,12 +902,28 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and segment hash bit-for-bit (operators/chunking.py cdc_chunks)
     from ..operators.chunking import cdc_chunks
 
-    cdc = cdc_chunks(docs, window=_CDC_WINDOW, divisor=_CDC_DIVISOR).select(
+    cdc_raw = cdc_chunks(docs, window=_CDC_WINDOW, divisor=_CDC_DIVISOR)
+    cdc = cdc_raw.select(
         F.lit("cdc").alias("op"),
         F.col("doc_id").cast("long").alias("id_a"),
         F.col("chunk_id").cast("long").alias("id_b"),
         F.col("n_tokens").alias("n"),
         F.md5(F.col("chunk").cast("binary")).alias("metric"),
+    )
+    # the point of content-defined boundaries: cross-document duplicated
+    # BLOCKS group on their chunk hash (storage-dedup style) — one
+    # 16-byte-key groupBy, never a pairwise comparison
+    cdc_dup = (
+        cdc_raw.groupBy(F.md5(F.col("chunk").cast("binary")).alias("metric"))
+        .agg(
+            F.min("doc_id").cast("long").alias("id_a"),
+            F.count_distinct("doc_id").cast("long").alias("id_b"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .where(F.col("id_b") > 1)
+        .select(
+            F.lit("cdc_dup").alias("op"), "id_a", "id_b", "n", "metric"
+        )
     )
     from ..operators.sampling import priority_sample, quota_sample
 
@@ -975,6 +1001,7 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ck)
         .unionByName(pk)
         .unionByName(cdc)
+        .unionByName(cdc_dup)
         .unionByName(pri)
         .unionByName(quo)
         .unionByName(sc)
