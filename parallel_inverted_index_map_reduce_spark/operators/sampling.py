@@ -278,10 +278,10 @@ def quota_sample(
 
     Scale shape: one hash projection + one rank window partitioned by
     stratum. Strata counts are corpus-scale but each window partition
-    sorts only its own stratum; a pathologically hot stratum is the
-    same skew the letter-bucket index rank handles — salt the window
-    with a second key or pre-filter with an approximate per-stratum
-    threshold if one stratum dominates the corpus.
+    sorts only its own stratum; when one stratum dominates the corpus,
+    use :func:`quota_sample_scalable` — the decomposed two-phase form
+    (bucket-local top-k, then a merge over <= n_buckets * k survivors)
+    proven row-identical to this one.
     """
     from pyspark.sql import Window
 
@@ -297,6 +297,70 @@ def quota_sample(
             strata_col,
             key,
             F.row_number().over(rk).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+def quota_sample_scalable(
+    df: DataFrame,
+    strata_col: str,
+    key: str,
+    k: int,
+    n_buckets: int = 64,
+    salt: str = "quota",
+) -> DataFrame:
+    """:func:`quota_sample` with the hot-stratum sort DECOMPOSED — the
+    index build's scalable-rank move (build_index_scalable), applied to
+    per-group top-k.
+
+    The plain form windows over the stratum, so one task sorts each
+    stratum end to end; a stratum holding half the corpus is then one
+    giant sort. Here the stratum splits into ``n_buckets`` CONTENT-HASH
+    buckets (hash of the key — deterministic, partition-independent,
+    never spark_partition_id):
+
+    - phase 1 ranks within (stratum, bucket) and keeps each bucket's k
+      smallest — n_buckets tasks each sort ~1/n_buckets of the stratum,
+      and the union of bucket-local top-ks provably contains the
+      stratum's global top-k;
+    - phase 2 re-ranks the survivors within the stratum — at most
+      n_buckets * k rows per stratum, trivially one task.
+
+    Proven row-identical to quota_sample for every (k, n_buckets) in
+    tests/test_sampling.py. Two bounded shuffles instead of one
+    unbounded one; pick n_buckets ~ cluster parallelism / n_strata.
+    """
+    from pyspark.sql import Window
+
+    if k < 1 or n_buckets < 1:
+        raise ValueError(f"need k >= 1 and n_buckets >= 1, got {k}, {n_buckets}")
+    h = stable_hash32(
+        F.concat_ws("\x1f", F.lit(salt), F.col(key).cast("string"))
+    )
+    staged = (
+        df.where(F.col(strata_col).isNotNull())
+        .select(
+            strata_col,
+            key,
+            h.alias("_h"),
+            (h % n_buckets).alias("_bucket"),
+        )
+    )
+    w_local = Window.partitionBy(strata_col, "_bucket").orderBy(
+        F.col("_h").asc(), F.col(key).asc()
+    )
+    survivors = staged.withColumn(
+        "_lr", F.row_number().over(w_local)
+    ).where(F.col("_lr") <= k)
+    w_global = Window.partitionBy(strata_col).orderBy(
+        F.col("_h").asc(), F.col(key).asc()
+    )
+    return (
+        survivors.select(
+            strata_col,
+            key,
+            F.row_number().over(w_global).cast("long").alias("rank"),
         )
         .where(F.col("rank") <= k)
     )

@@ -157,3 +157,28 @@ def test_quota_sample_exact_quotas_and_stability(spark):
     # stable under repartition
     b = sp.quota_sample(docs.repartition(7), "lang", "doc_id", k=10)
     assert sorted(map(tuple, q.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_quota_sample_scalable_identical_to_plain(spark):
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "lang")
+    plain = sorted(map(tuple, sp.quota_sample(docs, "lang", "doc_id", k=10).collect()))
+    for nb in (1, 3, 64):
+        dec = sorted(
+            map(
+                tuple,
+                sp.quota_sample_scalable(
+                    docs, "lang", "doc_id", k=10, n_buckets=nb
+                ).collect(),
+            )
+        )
+        assert dec == plain, f"n_buckets={nb} diverges from the plain window"
+    # partition invariance of the decomposed form
+    b = sorted(
+        map(
+            tuple,
+            sp.quota_sample_scalable(
+                docs.repartition(11), "lang", "doc_id", k=10, n_buckets=7
+            ).collect(),
+        )
+    )
+    assert b == plain
