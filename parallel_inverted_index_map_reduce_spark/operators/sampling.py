@@ -364,3 +364,75 @@ def quota_sample_scalable(
         )
         .where(F.col("rank") <= k)
     )
+
+
+def priority_sample_scalable(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    n_buckets: int = 64,
+    salt: str = "priority",
+) -> DataFrame:
+    """:func:`priority_sample` for LARGE k — the same A-Res priorities,
+    ranked without TakeOrdered's driver-side k-row merge (fine at
+    k=25, wrong at k=10M) and without any single task sorting the
+    corpus.
+
+    The rank decomposes the build_index_scalable way, bucketed by the
+    priority's VALUE RANGE (priorities are round-9 -ln(u)/w with
+    w >= 1, so they live in [0, 22.181): u >= 2^-32 bounds -ln(u)):
+
+    - bucket = floor(p / 22.181 * n_buckets): rank order IS bucket
+      order, so global rank = (count in lower buckets) + (rank within
+      bucket);
+    - bucket counts -> running offsets: one window over n_buckets rows;
+    - within-bucket rank: a window whose partition count is n_buckets,
+      each sorting ~1/n_buckets of the corpus (weight-skewed corpora
+      make buckets uneven — still n_buckets-way spread, and only
+      correctness, not balance, is load-bearing);
+    - keep global rank <= k.
+
+    Proven row-identical to priority_sample at small k and
+    partition-invariant in tests/test_sampling.py.
+    """
+    from pyspark.sql import Window
+
+    if k < 1 or n_buckets < 1:
+        raise ValueError(f"need k >= 1 and n_buckets >= 1, got {k}, {n_buckets}")
+    _P_MAX = 22.181  # -ln(2^-32) = 22.1807...; round-9 keeps p below this
+    u = (
+        stable_hash32(F.concat_ws("\x1f", F.lit(salt), F.col(key).cast("string")))
+        + F.lit(1)
+    ) / F.lit(_HASH_SPACE)
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    pri = F.round(-F.log(u) / w, 9)
+    staged = df.select(
+        F.col(key),
+        F.col(weight_col),
+        pri.alias("priority"),
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(pri / _P_MAX * n_buckets).cast("int"),
+        ).alias("_bucket"),
+    )
+    counts = staged.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bucket",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    w_in = Window.partitionBy("_bucket").orderBy(
+        F.col("priority").asc(), F.col(key).asc()
+    )
+    return (
+        staged.withColumn("_within", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "_bucket")
+        .select(
+            key,
+            weight_col,
+            "priority",
+            (F.col("_offset") + F.col("_within")).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )

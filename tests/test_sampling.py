@@ -182,3 +182,33 @@ def test_quota_sample_scalable_identical_to_plain(spark):
         )
     )
     assert b == plain
+
+
+def test_priority_sample_scalable_identical_to_plain(spark):
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "n_chars")
+    plain = sorted(map(tuple, sp.priority_sample(docs, "doc_id", "n_chars", k=25).collect()))
+    for nb in (1, 5, 64):
+        dec = sorted(
+            map(
+                tuple,
+                sp.priority_sample_scalable(
+                    docs, "doc_id", "n_chars", k=25, n_buckets=nb
+                ).collect(),
+            )
+        )
+        assert dec == plain, f"n_buckets={nb} diverges"
+    # large k: every row ranked, rank is a dense permutation of 1..n
+    n = docs.count()
+    allr = sp.priority_sample_scalable(docs, "doc_id", "n_chars", k=n, n_buckets=8)
+    ranks = sorted(r.rank for r in allr.collect())
+    assert ranks == list(range(1, n + 1))
+    # partition invariance
+    b = sorted(
+        map(
+            tuple,
+            sp.priority_sample_scalable(
+                docs.repartition(13), "doc_id", "n_chars", k=25, n_buckets=5
+            ).collect(),
+        )
+    )
+    assert b == plain
