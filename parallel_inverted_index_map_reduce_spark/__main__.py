@@ -518,6 +518,75 @@ def _prep(args) -> int:
         spark.stop()
 
 
+def _sample(args) -> int:
+    from .operators import sampling as sp
+    from .session import get_spark
+
+    spark = get_spark(app_name="sample", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        docs = spark.read.parquet(args.documents)
+        if args.priority is not None:
+            fn = (
+                sp.priority_sample_scalable if args.scalable else sp.priority_sample
+            )
+            rows = fn(docs, args.key, args.weight_col, k=args.priority).collect()
+            for r in sorted(rows, key=lambda r: r["rank"]):
+                print(
+                    f"priority #{r['rank']}: {args.key} {r[args.key]} "
+                    f"weight {r[args.weight_col]} p {r['priority']}"
+                )
+            return 0
+        if args.quota is not None:
+            fn = sp.quota_sample_scalable if args.scalable else sp.quota_sample
+            rows = fn(docs, args.strata, args.key, k=args.quota).collect()
+            for r in sorted(rows, key=lambda r: (r[args.strata], r["rank"])):
+                print(
+                    f"quota {r[args.strata]} #{r['rank']}: "
+                    f"{args.key} {r[args.key]}"
+                )
+            return 0
+        print(
+            "nothing to do: pass --priority K or --quota K", file=sys.stderr
+        )
+        return 2
+    finally:
+        spark.stop()
+
+
+def _cdc(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .operators.chunking import cdc_chunks
+    from .session import get_spark
+
+    spark = get_spark(app_name="cdc-chunks", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        docs = spark.read.parquet(args.documents)
+        chunks = cdc_chunks(docs, window=args.window, divisor=args.divisor)
+        if args.out:
+            chunks.write.mode("overwrite").parquet(args.out)
+        stats = chunks.agg(
+            F.count("*").alias("n_chunks"),
+            F.count_distinct(F.md5(F.col("chunk").cast("binary"))).alias(
+                "n_distinct_blocks"
+            ),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        ).first()
+        print(
+            f"cdc chunks {stats['n_chunks']} distinct_blocks "
+            f"{stats['n_distinct_blocks']} tokens {stats['n_tokens']} "
+            f"avg {stats['avg_tokens']}"
+        )
+        if args.out:
+            print(f"written to {args.out}")
+        return 0
+    finally:
+        spark.stop()
+
+
 def _stats(args) -> int:
     from .operators.report import corpus_report
     from .session import get_spark
@@ -544,6 +613,37 @@ def main(argv: list[str] | None = None) -> int:
         )
         parser.add_argument("documents", help="documents parquet path")
         return _stats(parser.parse_args(argv[1:]))
+
+    if argv and argv[0] == "sample":
+        parser = argparse.ArgumentParser(
+            prog="parallel_inverted_index_map_reduce_spark sample",
+            description="Deterministic sampling over a documents "
+            "parquet: weighted without replacement (--priority, "
+            "Efraimidis-Spirakis on the key hash) or exact per-stratum "
+            "quotas (--quota). --scalable picks the decomposed forms "
+            "for hot strata / large k.",
+        )
+        parser.add_argument("documents", help="documents parquet path")
+        parser.add_argument("--priority", type=int, default=None, metavar="K")
+        parser.add_argument("--quota", type=int, default=None, metavar="K")
+        parser.add_argument("--key", default="doc_id")
+        parser.add_argument("--weight-col", default="n_chars")
+        parser.add_argument("--strata", default="lang")
+        parser.add_argument("--scalable", action="store_true")
+        return _sample(parser.parse_args(argv[1:]))
+
+    if argv and argv[0] == "cdc":
+        parser = argparse.ArgumentParser(
+            prog="parallel_inverted_index_map_reduce_spark cdc",
+            description="Content-defined chunking (LBFS hash-only "
+            "boundaries at token granularity): prints chunk/block "
+            "stats, optionally lands the chunk table.",
+        )
+        parser.add_argument("documents", help="documents parquet path")
+        parser.add_argument("--window", type=int, default=3)
+        parser.add_argument("--divisor", type=int, default=8)
+        parser.add_argument("--out", default=None, help="chunk parquet out dir")
+        return _cdc(parser.parse_args(argv[1:]))
 
     if argv and argv[0] == "prep":
         parser = argparse.ArgumentParser(

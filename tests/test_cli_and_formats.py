@@ -518,3 +518,71 @@ def test_cli_store_stats_reports_health(spark, tmp_path):
     assert st["chunks_current"] and st["norms_current"]
     res = cli("verify-store", "clistat", str(both))
     assert res.returncode == 0 and "stale" not in res.stdout
+
+
+def test_cli_sample_and_cdc_modes(spark, tmp_path):
+    """The sampling + content-defined-chunking CLI fronts: priority /
+    quota (plain and --scalable agree cross-process with the in-session
+    operators) and cdc stats."""
+    from parallel_inverted_index_map_reduce_spark.operators import sampling as sp
+
+    src = str(tmp_path / "docs_pq")
+    docs = load_table(spark, SF_ORACLE, "documents")
+    docs.write.parquet(src)
+
+    res = subprocess.run(
+        [sys.executable, "-m", "parallel_inverted_index_map_reduce_spark",
+         "sample", src, "--priority", "5"],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    got = [l for l in res.stdout.splitlines() if l.startswith("priority #")]
+    want = sp.priority_sample(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", k=5
+    ).collect()
+    assert [int(l.split("doc_id ")[1].split(" ")[0]) for l in got] == [
+        r.doc_id for r in sorted(want, key=lambda r: r.rank)
+    ]
+
+    res = subprocess.run(
+        [sys.executable, "-m", "parallel_inverted_index_map_reduce_spark",
+         "sample", src, "--quota", "2", "--scalable"],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    got_q = {
+        (l.split()[1], int(l.split("doc_id ")[1]))
+        for l in res.stdout.splitlines()
+        if l.startswith("quota ")
+    }
+    want_q = {
+        (r.lang, r.doc_id)
+        for r in sp.quota_sample(
+            docs.select("doc_id", "lang"), "lang", "doc_id", k=2
+        ).collect()
+    }
+    assert got_q == want_q
+
+    res = subprocess.run(
+        [sys.executable, "-m", "parallel_inverted_index_map_reduce_spark",
+         "sample", src],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 2 and "nothing to do" in res.stderr
+
+    out = str(tmp_path / "cdc_pq")
+    res = subprocess.run(
+        [sys.executable, "-m", "parallel_inverted_index_map_reduce_spark",
+         "cdc", src, "--out", out],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("cdc chunks")][0]
+    n_cli = int(line.split()[2])
+    from parallel_inverted_index_map_reduce_spark.operators.chunking import (
+        cdc_chunks,
+    )
+
+    assert n_cli == cdc_chunks(docs).count()
+    landed = spark.read.parquet(out)
+    assert landed.count() == n_cli
