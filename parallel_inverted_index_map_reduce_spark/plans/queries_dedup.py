@@ -7,6 +7,8 @@ operators/dedup.py stage for stage.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -15,6 +17,7 @@ from ..functions.hashing import (
     MINHASH_A,
     MINHASH_B,
     MINHASH_P,
+    NUM_PERM,
     sql_stable_hash32,
 )
 from ..operators import dedup as dd
@@ -294,6 +297,257 @@ _QUOTA_K = 10
 _PACK_BUDGET = 30
 
 
+# ---- composed-pipeline parts ('pipe_streamed' / 'pipe_batch') ----------
+# Batch boundaries for the streamed prep pipeline's three deterministic
+# doc_id-range micro-batches at sf0.01 (500 docs): terciles put verified
+# near-dup pairs BOTH within batches ((87,134), (285,301), (393,420)...)
+# and across them — including the chain 45 -> 267 -> 413 spanning all
+# three, so the persistent signature store must suppress a near-dup of a
+# doc landed two batches earlier. At other SFs the slices degrade
+# gracefully (sf0.001's 50 docs all land in batch 0; later batches are
+# legal zero-row commits).
+_PIPE_B1, _PIPE_B2 = 167, 334
+_PIPE_MINQ = 0.3
+_PIPE_THRESH = 0.8
+# the batch-composed part additionally exercises the language filter
+_PIPE_BATCH_LANGS = ("en", "es")
+# chunk params shared with the 'chunk' part so the oracle's cwins CTE
+# serves both; budget only shapes bin_id, which the hash excludes (the
+# packer's bin numbering follows partition layout — its invariants are
+# the 'pack' part's job)
+_PIPE_PREP_KW = dict(
+    min_quality=_PIPE_MINQ,
+    dedup_threshold=_PIPE_THRESH,
+    chunk_tokens=_CHUNK_TOKENS,
+    overlap=_CHUNK_OVERLAP,
+    budget=256,
+)
+
+# MinHash chain over the oracle's existing `shingles` CTE, pp_-prefixed
+# so it composes into pipeline_hygiene's WITH block without colliding
+# with MINHASH_CTE's names. MATERIALIZED: the per-batch scopes below
+# reference these (and each other) many times over — DuckDB's default
+# inlining of the nested scope chain blows the plan up combinatorially
+# (measured: minutes vs seconds on the sf0.01 corpus).
+_PIPE_BASE_CTE = f"""
+pp_perms(perm_id, a, b) AS (VALUES {_PERM_ROWS}),
+pp_sigs AS MATERIALIZED (
+    SELECT s.doc_id, p.perm_id,
+           min((p.a * s.shingle_hash + p.b) % {MINHASH_P}) AS minhash
+    FROM shingles s CROSS JOIN pp_perms p
+    GROUP BY s.doc_id, p.perm_id
+),
+pp_bands AS MATERIALIZED (
+    SELECT doc_id, CAST(floor(perm_id / {LSH_ROWS}) AS INT) AS band_id,
+           string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm_id) AS band_sig
+    FROM pp_sigs GROUP BY doc_id, 2
+),
+pp_sizes AS MATERIALIZED (
+    SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+),
+pp_quality AS MATERIALIZED (
+    SELECT doc_id FROM tokpos GROUP BY doc_id
+    HAVING CAST(CAST(round(CAST(
+        0.4 * (sum(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+                   THEN 1 ELSE 0 END) * 1.0 / count(*))
+      + 0.3 * least(sum(length(tok)) * 1.0 / count(*) / 10.0, 1.0)
+      + 0.3 * least(count(*) * 1.0 / 100.0, 1.0) AS DECIMAL(28,12)), 6)
+        AS DECIMAL(18,6)) AS DOUBLE) >= {_PIPE_MINQ}
+)"""
+
+
+def _pipe_dedup_cte(p: str, scope: str) -> str:
+    """CTE chain reproducing ``near_dup_keep_list`` (operators/dedup.py)
+    over the doc-id set in CTE ``scope``, stage for stage: exact dedup
+    (min doc_id per md5(text)) -> LSH band collisions among the
+    canonical survivors -> exact shingle-Jaccard verify (round-6
+    decimal, cast double, >= threshold — the engine's comparison
+    verbatim) -> drop doc_b of every qualifying pair. ``{p}_kept`` is
+    the surviving doc-id set."""
+    return f"""
+{p}_ek AS MATERIALIZED (
+    SELECT min(x.doc_id) AS doc_id
+    FROM {scope} x JOIN documents d ON d.doc_id = x.doc_id
+    GROUP BY md5(d.text)
+),
+{p}_cand AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pp_bands a JOIN pp_bands b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+     AND a.doc_id < b.doc_id
+    JOIN {p}_ek ka ON ka.doc_id = a.doc_id
+    JOIN {p}_ek kb ON kb.doc_id = b.doc_id
+),
+{p}_inter AS MATERIALIZED (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM {p}_cand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b
+     AND sb.shingle_hash = sa.shingle_hash
+    GROUP BY 1, 2
+),
+{p}_kept AS MATERIALIZED (
+    SELECT doc_id FROM {p}_ek
+    EXCEPT
+    SELECT DISTINCT c.doc_b
+    FROM {p}_cand c
+    LEFT JOIN {p}_inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN pp_sizes za ON za.doc_id = c.doc_a
+    JOIN pp_sizes zb ON zb.doc_id = c.doc_b
+    WHERE CAST(CAST(round(CAST(COALESCE(i.n_common, 0) * 1.0
+          / (za.n_sh + zb.n_sh - COALESCE(i.n_common, 0)) AS DECIMAL(28,12)), 6)
+          AS DECIMAL(18,6)) AS DOUBLE) >= {_PIPE_THRESH}
+)"""
+
+
+def _pipe_cross_cte(p: str, lo: int | None, hi: int | None, landed: str) -> str:
+    """Cross-batch suppression + in-batch scope for the doc_id slice
+    [lo, hi): a new doc drops BEFORE the in-batch pipeline iff a banded
+    candidate against the landed signature store carries a MinHash
+    agreement estimate >= threshold (streaming/pipeline.py
+    process_batch; estimator = fraction of agreeing components,
+    dedup.minhash_estimate — 16 longs per landed doc, never its text).
+    ``{p}_scope`` = slice ∩ quality survivors ∩ not-suppressed."""
+    bounds = " AND ".join(
+        ([f"a.doc_id >= {lo}"] if lo is not None else [])
+        + ([f"a.doc_id < {hi}"] if hi is not None else [])
+    )
+    qbounds = bounds.replace("a.doc_id", "q.doc_id")
+    return f"""
+{p}_cc AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id
+    FROM pp_bands a JOIN pp_bands l
+      ON a.band_id = l.band_id AND a.band_sig = l.band_sig
+    JOIN {landed} lp ON lp.doc_id = l.doc_id
+    JOIN pp_sigs sa ON sa.doc_id = a.doc_id
+    JOIN pp_sigs sl ON sl.doc_id = l.doc_id AND sl.perm_id = sa.perm_id
+    WHERE {bounds}
+    GROUP BY a.doc_id, l.doc_id
+    HAVING sum(CASE WHEN sa.minhash = sl.minhash THEN 1 ELSE 0 END) * 1.0
+           / {NUM_PERM} >= {_PIPE_THRESH}
+),
+{p}_scope AS MATERIALIZED (
+    SELECT q.doc_id FROM pp_quality q
+    WHERE {qbounds}
+      AND q.doc_id NOT IN (SELECT doc_id FROM {p}_cc)
+)"""
+
+
+# the full unrolled 3-batch replay + the whole-corpus batch composition
+_PIPE_CTES = (
+    _PIPE_BASE_CTE
+    + f""",
+p0_scope AS MATERIALIZED (
+    SELECT doc_id FROM pp_quality WHERE doc_id < {_PIPE_B1}
+)"""
+    + ","
+    + _pipe_dedup_cte("p0", "p0_scope")
+    + ","
+    + _pipe_cross_cte("p1", _PIPE_B1, _PIPE_B2, "p0_kept")
+    + ","
+    + _pipe_dedup_cte("p1", "p1_scope")
+    + """,
+pp_land1 AS MATERIALIZED (
+    SELECT doc_id FROM p0_kept UNION SELECT doc_id FROM p1_kept
+)"""
+    + ","
+    + _pipe_cross_cte("p2", _PIPE_B2, None, "pp_land1")
+    + ","
+    + _pipe_dedup_cte("p2", "p2_scope")
+    + """,
+pp_kept AS MATERIALIZED (
+    SELECT doc_id FROM pp_land1 UNION SELECT doc_id FROM p2_kept
+),
+pb_scope AS MATERIALIZED (
+    SELECT q.doc_id FROM pp_quality q JOIN documents d ON d.doc_id = q.doc_id
+    WHERE d.lang IN ("""
+    + ", ".join(f"'{s}'" for s in _PIPE_BATCH_LANGS)
+    + """)
+)"""
+    + ","
+    + _pipe_dedup_cte("pb", "pb_scope")
+)
+
+# session-scoped memo of built prep stores, keyed by (sf_dir, kind):
+# repeated query construction in one session (registry-wide plan sweeps,
+# repeated driver parts) reuses the committed snapshot instead of
+# re-running the stream / re-landing the batch output. A fresh driver
+# process always rebuilds, so the layouts stay re-proven per run.
+_PIPE_STORES: dict[tuple[str, str], str] = {}
+
+
+def _pipe_tmpdir() -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_pipe_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return tmp
+
+
+def _streamed_prep_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
+    """Run the incremental prep pipeline (streaming/pipeline.py) over
+    three DETERMINISTIC doc_id-range micro-batches and return the
+    committed output dir. Each slice lands as one parquet file followed
+    by a full availableNow run against the SAME checkpoint, so batch
+    membership and order are exact (one file -> one batch) and the
+    restart path — resume after a committed batch — is exercised twice
+    per build. Cross-batch exact + near-dup suppression runs against
+    the persistent signature store the earlier batches committed."""
+    key = (sf_dir, "streamed")
+    got = _PIPE_STORES.get(key)
+    if got is not None and os.path.isdir(got):
+        return got
+    from ..streaming import pipeline as spipe
+
+    tmp = _pipe_tmpdir()
+    src = os.path.join(tmp, "src")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    slices = [
+        F.col("doc_id") < _PIPE_B1,
+        (F.col("doc_id") >= _PIPE_B1) & (F.col("doc_id") < _PIPE_B2),
+        F.col("doc_id") >= _PIPE_B2,
+    ]
+    for pred in slices:
+        docs.where(pred).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = spipe.start_incremental_prep(
+            stream,
+            out,
+            ckpt,
+            cross_batch_threshold=_PIPE_THRESH,
+            languages=(),
+            **_PIPE_PREP_KW,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("streamed prep batch did not finish in 600s")
+    _PIPE_STORES[key] = out
+    return out
+
+
+def _batch_prep_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
+    """Land the COMPOSED batch pipeline (pipeline.py run_and_land:
+    scrub -> lang filter -> quality filter -> one-pass near-dup dedup ->
+    chunk -> pack -> hive-partitioned sink) and return the output dir;
+    the part reads what actually LANDED, so a stage-reorder regression
+    turns the driver row red."""
+    key = (sf_dir, "batch")
+    got = _PIPE_STORES.get(key)
+    if got is not None and os.path.isdir(got):
+        return got
+    from .. import pipeline as bpipe
+
+    out = os.path.join(_pipe_tmpdir(), "landed")
+    bpipe.run_and_land(
+        spark, docs, out, languages=_PIPE_BATCH_LANGS, **_PIPE_PREP_KW
+    )
+    _PIPE_STORES[key] = out
+    return out
+
+
 def _sql_salted_unit_hash(salt: str) -> str:
     """SQL twin of sampling._unit_hash / export.training_order's hash:
     md5 over salt + US + key, as a [0, 1) double (division by 2^32 is
@@ -543,7 +797,10 @@ piie AS (
            regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
                           '<EMAIL>', 'g') AS te
     FROM pii
-)
+)"""
+    + ","
+    + _PIPE_CTES
+    + f"""
 SELECT 'span_dedup' AS op, d.doc_id AS id_a, CAST(0 AS BIGINT) AS id_b,
        CAST(coalesce(rn.n_raw, 0) - coalesce(ka.n_kept, 0) AS BIGINT) AS n,
        md5(coalesce(ka.text, '')) AS metric
@@ -636,6 +893,14 @@ SELECT 'scrub', doc_id,
        md5(regexp_replace(te, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b',
                           '<IP>', 'g'))
 FROM piie
+UNION ALL
+SELECT 'pipe_streamed', doc_id, chunk_id, CAST(len(ck) AS BIGINT),
+       md5(array_to_string(ck, ' '))
+FROM cwins JOIN pp_kept USING (doc_id) WHERE len(ck) > 0
+UNION ALL
+SELECT 'pipe_batch', doc_id, chunk_id, CAST(len(ck) AS BIGINT),
+       md5(array_to_string(ck, ' '))
+FROM cwins JOIN pb_kept USING (doc_id) WHERE len(ck) > 0
 """,
     tags=("dedup", "pipeline", "hygiene"),
     doc="The two destructive hygiene passes of the training pipeline in "
@@ -716,7 +981,28 @@ FROM piie
     "of the fully scrubbed text plus the per-stage counts cross-verify "
     "the email/IP regexp_replace chain (the phone stage's lookaround "
     "pattern is not RE2-expressible and matches nothing in this "
-    "fixture; its behavior stays pytest-verified). Scale shape: "
+    "fixture; its behavior stays pytest-verified). "
+    "'pipe_streamed' rows driver-verify the INCREMENTAL prep pipeline "
+    "(streaming/pipeline.py): three deterministic doc_id-range "
+    "micro-batches run availableNow in-session against one checkpoint "
+    "(one slice file per run, so batch order and membership are exact "
+    "and the resume-after-commit path runs twice); each batch runs the "
+    "full prep flow (scrub -> quality filter -> within-batch near-dup "
+    "dedup -> chunk -> pack) and lands exactly-once behind a commit "
+    "marker, while near-dups of ALREADY-LANDED docs — including a "
+    "chain spanning all three batches — are suppressed against the "
+    "persistent MinHash signature store (16 longs per landed doc, "
+    "never its text; estimator = fraction of agreeing components). "
+    "The rows are the per-chunk md5s of what the stream COMMITTED; the "
+    "oracle replays the whole composition batch by batch (unrolled "
+    "CTEs: quality gate, estimator suppression vs the landed-so-far "
+    "set, exact-dedup + LSH + Jaccard within each batch, chunking), "
+    "so stream == batch-composition is hash-checked, not test-asserted. "
+    "'pipe_batch' rows do the same for the COMPOSED batch pipeline "
+    "(pipeline.py run_and_land over the full corpus with the language "
+    "filter ON): per-chunk md5s of the hive-partitioned landed output "
+    "vs the oracle's recomputed lang ∩ quality ∩ dedup survivor set — "
+    "a stage-reorder regression turns the row red. Scale shape: "
     "span/decontam passes are equi-joins on md5 identities (gram "
     "groupBy + cut-list join; shingle join bounded by shared "
     "vocabulary) — never a cross join; BPE training collapses the "
@@ -925,10 +1211,24 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("cdc_dup").alias("op"), "id_a", "id_b", "n", "metric"
         )
     )
-    from ..operators.sampling import priority_sample, quota_sample
+    # the SCALABLE decomposed-rank forms carry the driver hash check
+    # (round 7): row-identical to the plain forms (tests/test_sampling.py
+    # proves it for every (k, n_buckets)), so the oracles stand
+    # unchanged — but the paths a 100 TB run would use (value-range
+    # bucketed rank; bucket-local top-k + bounded merge) are now the
+    # ones the driver verifies. n_buckets deliberately non-power-of-2
+    # and small enough that buckets really split the sample.
+    from ..operators.sampling import (
+        priority_sample_scalable,
+        quota_sample_scalable,
+    )
 
-    pri = priority_sample(
-        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", k=_PRIORITY_K
+    pri = priority_sample_scalable(
+        docs.select("doc_id", "n_chars"),
+        "doc_id",
+        "n_chars",
+        k=_PRIORITY_K,
+        n_buckets=7,
     ).select(
         F.lit("priority").alias("op"),
         F.col("doc_id").cast("long").alias("id_a"),
@@ -936,8 +1236,8 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n"),
         stable_round6(F.col("priority")).alias("metric"),
     )
-    quo = quota_sample(
-        docs.select("doc_id", "lang"), "lang", "doc_id", k=_QUOTA_K
+    quo = quota_sample_scalable(
+        docs.select("doc_id", "lang"), "lang", "doc_id", k=_QUOTA_K, n_buckets=5
     ).select(
         F.lit("quota").alias("op"),
         F.col("doc_id").cast("long").alias("id_a"),
@@ -971,6 +1271,31 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrub_counts(pii_text).getField("n_emails").alias("id_b"),
         scrub_counts(pii_text).getField("n_ips").alias("n"),
         F.md5(scrub_text(pii_text).cast("binary")).alias("metric"),
+    )
+    # the two composed-pipeline parts: what the STREAMED prep pipeline
+    # landed across three deterministic micro-batches (cross-batch
+    # near-dup suppression against the committed signature store
+    # included), and what the BATCH pipeline landed end to end — both
+    # read back from their committed/landed parquet, so the hashes pin
+    # the stage COMPOSITION (survivor sets + chunk content), not just
+    # the already-verified pieces. bin_id/shard stay out of the hash:
+    # bin numbering follows the packer's partition layout; its exact
+    # invariants are the 'pack' part's job.
+    from ..streaming.pipeline import read_prepared
+
+    ps = read_prepared(spark, _streamed_prep_store(spark, sf_dir, docs)).select(
+        F.lit("pipe_streamed").alias("op"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("chunk_id").cast("long").alias("id_b"),
+        F.col("n_tokens").cast("long").alias("n"),
+        F.md5(F.col("chunk").cast("binary")).alias("metric"),
+    )
+    pb = spark.read.parquet(_batch_prep_store(spark, sf_dir, docs)).select(
+        F.lit("pipe_batch").alias("op"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("chunk_id").cast("long").alias("id_b"),
+        F.col("n_tokens").cast("long").alias("n"),
+        F.md5(F.col("chunk").cast("binary")).alias("metric"),
     )
     tr_side, te_side = train_test_split(
         docs.select("doc_id"), "doc_id", _SPLIT_FRAC, salt="split"
@@ -1006,6 +1331,8 @@ def q_pipeline_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(quo)
         .unionByName(sc)
         .unionByName(sp)
+        .unionByName(ps)
+        .unionByName(pb)
     )
 
 
