@@ -566,7 +566,10 @@ def _cdc(args) -> int:
         docs = spark.read.parquet(args.documents)
         chunks = cdc_chunks(docs, window=args.window, divisor=args.divisor)
         if args.out:
+            # stats come from the parquet just written, not from re-
+            # deriving the whole chunking lineage a second time
             chunks.write.mode("overwrite").parquet(args.out)
+            chunks = spark.read.parquet(args.out)
         stats = chunks.agg(
             F.count("*").alias("n_chunks"),
             F.count_distinct(F.md5(F.col("chunk").cast("binary"))).alias(

@@ -201,8 +201,13 @@ def ivf_fit(
     and therefore every downstream assignment — are independent of
     partition order. Only n_list * dim floats ever reach the driver.
     """
+    # zero-length embeddings are excluded from seeding: a degenerate
+    # seed's distance to every vector would be NULL-ish (empty fold),
+    # poisoning the argmin for the whole corpus — and every query path
+    # already guards its own side with the same len > 0 rule
     seeds = (
-        emb.orderBy(stable_hash32(F.col("vec_id").cast("string")), "vec_id")
+        emb.where(F.size("embedding") > 0)
+        .orderBy(stable_hash32(F.col("vec_id").cast("string")), "vec_id")
         .limit(n_list)
         .select("embedding")
         .collect()

@@ -53,11 +53,17 @@ def read_ann_version(
         return None
     latest = max(dirs, key=lambda d: int(d.rsplit("=", 1)[1]))
     out = {}
+    from pyspark.errors import AnalysisException
+
     for a, schema in ARTIFACTS.items():
         path = os.path.join(latest, a)
         try:
             out[a] = spark.read.parquet(path)
-        except Exception:
+        except AnalysisException:
+            # only the inference failure over a zero-row batch's empty
+            # directory falls back to the pinned schema; a genuinely
+            # corrupt or partial snapshot must surface, not be re-read
+            # under a possibly wrong element type
             out[a] = spark.read.schema(schema).parquet(path)
     return out
 
