@@ -212,3 +212,89 @@ def test_priority_sample_scalable_identical_to_plain(spark):
         )
     )
     assert b == plain
+
+
+def test_quota_sample_scalable_adversarial_buckets(spark):
+    """The survivor-merge tie-break invariant (rank ties break on
+    (_h, key), valid because bucketing is h % n_buckets of the SAME
+    hash) holds at the adversarial corners: one bucket, n_buckets == k,
+    n_buckets exceeding every stratum's size, and a non-power-of-2."""
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "lang")
+    k = 10
+    plain = sorted(
+        map(tuple, sp.quota_sample(docs, "lang", "doc_id", k=k).collect())
+    )
+    max_stratum = max(
+        r.n
+        for r in docs.where(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    for nb in (1, k, max_stratum + 1, 13):
+        dec = sorted(
+            map(
+                tuple,
+                sp.quota_sample_scalable(
+                    docs, "lang", "doc_id", k=k, n_buckets=nb
+                ).collect(),
+            )
+        )
+        assert dec == plain, f"n_buckets={nb} diverges from the plain window"
+
+
+def test_priority_sample_scalable_all_tied_priorities(spark):
+    """Astronomically heavy weights collapse every round-9 priority to
+    exactly 0.0: ALL rows tie, the value-range bucketing degenerates to
+    one bucket, and both membership and rank must fall back to the key
+    tie-break alone — identically in the plain and decomposed forms."""
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", F.lit(1e15).alias("w")
+    )
+    plain = sorted(
+        map(tuple, sp.priority_sample(docs, "doc_id", "w", k=25).collect())
+    )
+    assert all(t[2] == 0.0 for t in plain)  # the tie really happened
+    for nb in (1, 25, 1000, 13):
+        dec = sorted(
+            map(
+                tuple,
+                sp.priority_sample_scalable(
+                    docs, "doc_id", "w", k=25, n_buckets=nb
+                ).collect(),
+            )
+        )
+        assert dec == plain, f"n_buckets={nb} diverges under total ties"
+    # with every priority equal, rank order IS key order
+    got = sp.priority_sample_scalable(
+        docs, "doc_id", "w", k=25, n_buckets=7
+    ).collect()
+    by_rank = [r.doc_id for r in sorted(got, key=lambda r: r.rank)]
+    assert by_rank == sorted(by_rank)
+
+
+def test_priority_sample_scalable_tied_group_at_cutoff(spark):
+    """A tied block of priorities straddling the k cutoff: even rows
+    get weight 1e15 (priority exactly 0.0), odd rows weight 1. At
+    k < n_heavy the cutoff falls INSIDE the tied block (membership
+    decided purely by tie-break); at k > n_heavy it falls in the
+    untied tail. Both must match the plain form for every bucketing."""
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, 1e15).otherwise(1.0).alias("w"),
+    )
+    n_heavy = docs.where(F.col("w") > 1.0).count()
+    for k in (max(2, n_heavy - 5), n_heavy + 5):
+        plain = sorted(
+            map(tuple, sp.priority_sample(docs, "doc_id", "w", k=k).collect())
+        )
+        for nb in (1, 2, k, 997):
+            dec = sorted(
+                map(
+                    tuple,
+                    sp.priority_sample_scalable(
+                        docs, "doc_id", "w", k=k, n_buckets=nb
+                    ).collect(),
+                )
+            )
+            assert dec == plain, f"k={k} n_buckets={nb} diverges"
