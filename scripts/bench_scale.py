@@ -145,24 +145,52 @@ def corpus(mult: int):
     return df.repartition(int(CPUS)).localCheckpoint()
 
 
+def _stage_fns():
+    """Stage registry: label -> fn(docs, n_docs) -> DataFrame. The
+    round-6 additions (cdc / scalable samplers) size their k with the
+    corpus so the measured work scales with the multiplier, and use
+    n_buckets=64 — the decomposition a real cluster would pick."""
+    from parallel_inverted_index_map_reduce_spark.operators.chunking import (
+        cdc_chunks,
+    )
+    from parallel_inverted_index_map_reduce_spark.operators.sampling import (
+        priority_sample_scalable,
+        quota_sample_scalable,
+    )
+
+    return {
+        "index_build_chunked": lambda docs, n: build_index_chunked(docs),
+        "near_dup_keep_list": lambda docs, n: near_dup_keep_list(docs),
+        "span_dedup_n20": lambda docs, n: remove_duplicate_spans(docs, n=20),
+        "cdc_chunks": lambda docs, n: cdc_chunks(docs, window=3, divisor=8),
+        "priority_scalable": lambda docs, n: priority_sample_scalable(
+            docs, "doc_id", "n_chars", k=max(1, n // 10), n_buckets=64
+        ),
+        "quota_scalable": lambda docs, n: quota_sample_scalable(
+            docs, "lang", "doc_id", k=max(1, n // 20), n_buckets=64
+        ),
+    }
+
+
 def main() -> None:
     mults = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    fns = _stage_fns()
+    picked = os.environ.get("SPARK_GRAFT_STAGES")
+    labels = (
+        [s.strip() for s in picked.split(",") if s.strip()]
+        if picked
+        else ["index_build_chunked", "near_dup_keep_list", "span_dedup_n20"]
+    )
+    unknown = [s for s in labels if s not in fns]
+    if unknown:
+        raise SystemExit(f"unknown stages {unknown}; known: {sorted(fns)}")
     rows = []
     for m in mults:
         docs = corpus(m)
-        rows.append(
-            measured(
-                "index_build_chunked", m, lambda: build_index_chunked(docs)
-            )
-        )
-        rows.append(
-            measured("near_dup_keep_list", m, lambda: near_dup_keep_list(docs))
-        )
-        rows.append(
-            measured(
-                "span_dedup_n20", m, lambda: remove_duplicate_spans(docs, n=20)
-            )
-        )
+        n = docs.count()
+        for label in labels:
+            fn = fns[label]
+            rows.append(measured(label, m, lambda: fn(docs, n)))
     print(json.dumps({"summary": rows}), flush=True)
 
 
