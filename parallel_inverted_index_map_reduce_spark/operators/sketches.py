@@ -218,3 +218,81 @@ def frequent_terms(
         summary.agg(F.coalesce(F.sum("n_part"), F.lit(0)).alias("n")).first()["n"]
     )
     return exact.where(F.col("n") > n_tokens / k)
+
+
+# ---- deterministic HyperLogLog --------------------------------------
+# Flajolet/Fusy/Gandouet/Meunier 2007, md5-based so the register table
+# is bit-reproducible on any engine/partitioning (unlike Spark's
+# native approx_count_distinct, whose HLL++ internals are
+# engine-specific and stay accuracy-bound-tested only). 32-bit stable
+# hash: bottom HLL_B bits pick the register, the remaining 26 bits'
+# leading-zero count (+1) is rho — adequate for cardinalities far
+# below 2^26; the engine's KMV sketch covers the same estimate with a
+# different space/accuracy trade (KMV: exact below the threshold,
+# ~sqrt(1/k) error above; HLL: fixed 64 registers, ~13% rse at m=64).
+
+HLL_B = 6
+HLL_M = 1 << HLL_B  # 64 registers
+HLL_ALPHA = 0.709  # alpha_64 (exact constant for m = 64 in the paper)
+_HLL_W_BITS = 32 - HLL_B  # 26
+
+
+def hll_register_table(df: DataFrame, key_col) -> DataFrame:
+    """(register, max_rho): the 64-row HLL summary of ``key_col``'s
+    distinct count. Build = ONE groupBy producing m rows whatever the
+    input size; two summaries MERGE by element-wise max (same
+    commutative-monoid shape as cms_merge), so per-shard summaries
+    roll up without rescanning. Duplicate keys are free: max over
+    identical hashes is idempotent, no distinct shuffle needed."""
+    from ..functions.hashing import stable_hash32
+
+    h = stable_hash32(key_col)
+    w = F.shiftright(h, HLL_B)
+    rho = F.when(
+        w > 0, F.lit(_HLL_W_BITS + 1) - F.length(F.bin(w))
+    ).otherwise(F.lit(_HLL_W_BITS + 1))
+    return (
+        df.select(
+            (h % F.lit(HLL_M)).cast("int").alias("register"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Element-wise max of two register tables — the HLL union."""
+    return (
+        a.unionByName(b)
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """One-row (estimate: double) from a register table.
+
+    The harmonic sum S = sum(2^-rho) over all m registers (absent
+    registers contribute 2^0 = 1) is a sum of 64 dyadic rationals with
+    rho <= 27 — EXACT in binary floating point whatever the order, so
+    the raw estimate alpha*m^2/S is one correctly-rounded divide,
+    identical on any engine. The small-range correction m*ln(m/V)
+    (raw <= 2.5m with V empty registers) rounds its ln at 9 decimals —
+    the engine's standard libm discipline (same as the bigram LM)."""
+    agg = regs.agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
+            + (F.lit(HLL_M) - F.count("*"))
+        ).alias("s"),
+        (F.lit(HLL_M) - F.count("*")).cast("int").alias("v"),
+    )
+    raw = F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / F.col("s")
+    corrected = (
+        F.round(F.log(F.lit(float(HLL_M)) / F.col("v")), 9) * F.lit(HLL_M)
+    )
+    return agg.select(
+        F.when((raw <= F.lit(2.5 * HLL_M)) & (F.col("v") > 0), corrected)
+        .otherwise(raw)
+        .alias("estimate")
+    )

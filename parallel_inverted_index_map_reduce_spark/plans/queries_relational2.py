@@ -209,6 +209,18 @@ umerged AS (
     UNION ALL
     SELECT doc_id, text FROM newdocs
 ),
+hllr AS (
+    SELECT CAST(({_HP}) % 64 AS INT) AS register,
+           MAX(CASE WHEN ({_HP}) // 64 > 0
+                    THEN 27 - length(bin(({_HP}) // 64))
+                    ELSE 27 END) AS max_rho
+    FROM lineitem GROUP BY 1
+),
+hlle AS (
+    SELECT SUM(pow(2.0, -max_rho)) + (64 - count(*)) AS s,
+           64 - count(*) AS v
+    FROM hllr
+),
 ustats AS (
     SELECT
       (SELECT count(*) FROM documents d
@@ -266,6 +278,16 @@ UNION ALL SELECT 'upsert_stats', 'counts',
        CAST(n_updated AS VARCHAR) || ':' || CAST(n_inserted AS VARCHAR)
        || ':' || CAST(n_unchanged AS VARCHAR)
 FROM ustats
+UNION ALL SELECT 'hll', 'reg_' || CAST(register AS VARCHAR),
+       CAST(max_rho AS VARCHAR)
+FROM hllr
+UNION ALL SELECT 'hll', 'estimate',
+       {sql_stable_round6(
+           "CASE WHEN 0.709 * 4096 / s <= 160 AND v > 0 "
+           "THEN round(ln(64.0 / v), 9) * 64 "
+           "ELSE 0.709 * 4096 / s END"
+       )}
+FROM hlle
 """,
     tags=("relational", "agg", "approx", "sketch"),
     doc="The DETERMINISTIC approximate-aggregate family, hash-verified "
@@ -282,10 +304,18 @@ FROM ustats
     "(frequent_terms — per-partition vectorized Misra-Gries summaries, "
     "candidates exact-verified via semi-join; the oracle is the plain "
     "full-vocabulary groupBy the MG pass avoids, so a hash match "
-    "proves the sketch path loses nothing). Unlike HLL/KLL — whose "
-    "internals legitimately differ per engine and which are covered by "
-    "accuracy-bound tests in tests/test_approx_sketches.py — every "
-    "part here is reproducible bit-for-bit on any engine with md5. "
+    "proves the sketch path loses nothing). 'hll': the engine's OWN "
+    "deterministic HyperLogLog (sketches.py hll_register_table / "
+    "hll_estimate, Flajolet et al. 2007) over the same l_partkey the "
+    "KMV part estimates — md5-hashed, so all 64 integer registers are "
+    "hash-verified individually, and the harmonic-sum estimate is "
+    "exact dyadic arithmetic (sum of 2^-rho terms is order-independent "
+    "in IEEE doubles) rendered round-6; build = ONE 64-row groupBy "
+    "whatever the input size, merge = element-wise max. Spark's native "
+    "approx_count_distinct/percentile_approx (HLL++/KLL internals, "
+    "engine-specific) stay accuracy-bound-tested in "
+    "tests/test_approx_sketches.py; every part HERE is reproducible "
+    "bit-for-bit on any engine with md5. "
     "'report'/'check'/'diff' parts driver-verify the corpus-audit "
     "family a pipeline runs before committing compute: corpus_report "
     "(operators/report.py — doc/token/vocab counts, exact-dup count, "
@@ -408,6 +438,24 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value"
         ),
     )
+    # deterministic HLL over the same key KMV estimates — the two
+    # standard distinct sketches side by side on one column; the 64
+    # integer registers are hash-verified individually and the
+    # harmonic-sum estimate is exact dyadic arithmetic (see
+    # sketches.hll_estimate)
+    hll_regs = sk.hll_register_table(l, F.col("l_partkey").cast("string"))
+    hll_reg_rows = hll_regs.select(
+        F.lit("hll").alias("part"),
+        F.concat(F.lit("reg_"), F.col("register").cast("string")).alias(
+            "metric"
+        ),
+        F.col("max_rho").cast("string").alias("value"),
+    )
+    hll_est = sk.hll_estimate(hll_regs).select(
+        F.lit("hll").alias("part"),
+        F.lit("estimate").alias("metric"),
+        stable_round6(F.col("estimate")).alias("value"),
+    )
     return (
         kmv_sample.unionByName(cms)
         .unionByName(heavy)
@@ -416,6 +464,8 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dif)
         .unionByName(ups)
         .unionByName(ust)
+        .unionByName(hll_reg_rows)
+        .unionByName(hll_est)
     )
 
 

@@ -9,6 +9,8 @@ equal to these in tests/test_streaming.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -18,6 +20,56 @@ from .registry import register
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
+
+
+# session-scoped memo of drained stateful-totals stores, keyed by
+# sf_dir — same rationale as the serving/ANN/prep snapshot memos: one
+# blocking stream run per session however often the query is built.
+_STATEFUL_STORES: dict[str, str] = {}
+
+
+def _stateful_totals_store(
+    spark: SparkSession, sf_dir: str, events: DataFrame
+) -> str:
+    """Drain the CUSTOM STATEFUL operator (streaming/stateful.py
+    running_totals_exact, applyInPandasWithState) over the events table
+    split into three micro-batches and return the committed sink dir.
+    The measure is pre-rounded IN SPARK (round(value, 6)) so the
+    Python state only ever sums exact decimals; cumulative totals are
+    order- and split-independent, so maxFilesPerTrigger batching needs
+    no deterministic file order here (unlike the prep pipeline)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming import sinks as eo
+    from ..streaming import stateful
+
+    got = _STATEFUL_STORES.get(sf_dir)
+    if got is not None and os.path.isdir(got):
+        return got
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_stateful_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    src = os.path.join(tmp, "events_in")
+    out = os.path.join(tmp, "totals")
+    ckpt = os.path.join(tmp, "ckpt")
+    staged = events.select(
+        "event_type", F.round(F.col("value"), 6).alias("value6")
+    )
+    staged.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = eo.start_exactly_once_parquet(
+        stateful.running_totals_exact(stream), out, ckpt, output_mode="update"
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stateful totals stream did not finish in 600s")
+    _STATEFUL_STORES[sf_dir] = out
+    return out
 
 
 @register(
@@ -38,12 +90,33 @@ SELECT 'sliding',
        NULL
 FROM events, unnest([0, 1]) AS t(o)
 GROUP BY 2
+UNION ALL
+SELECT 'stateful_totals',
+       CAST(NULL AS TIMESTAMP),
+       event_type,
+       count(*),
+       CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,8))) AS VARCHAR)
+FROM events
+GROUP BY event_type
 """,
     tags=("streaming", "window"),
     doc="Time-window aggregates in one labeled result: hourly tumbling "
     "per event_type (streaming twin: streaming/events.py "
     "tumbling_counts_stream) and a 2h window sliding by 1h (every "
-    "event lands in two windows).",
+    "event lands in two windows). 'stateful_totals' rows driver-verify "
+    "the CUSTOM STATEFUL operator (streaming/stateful.py "
+    "running_totals_exact — applyInPandasWithState, the extension "
+    "point for semantics Spark's built-in windows/dedup cannot "
+    "express): the events stream drains as three availableNow "
+    "micro-batches through the exactly-once sink, per-key state "
+    "carries (count, exact decimal sum) ACROSS batches, and the final "
+    "emission per event_type must equal the whole-table aggregate — "
+    "if state were lost between batches the counts would be per-batch "
+    "and the row would go red. The measure is pre-rounded in Spark "
+    "(round(value, 6)) and the Python state sums decimal.Decimal over "
+    "the rounded doubles' exact decimal values, so the cumulative sum "
+    "is order- and batch-split-independent and renders identically to "
+    "the oracle's DECIMAL(38,8) sum at scale 8.",
 )
 def q_time_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tumbling = (
@@ -75,7 +148,29 @@ def q_time_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("sum_value"),
         )
     )
-    return tumbling.unionByName(sliding)
+    # custom stateful operator, drained through the exactly-once sink:
+    # update mode emits one row per key per batch, each carrying the
+    # cumulative state, so the LAST emission per key (max batch_id) is
+    # the final total — compared against the whole-table aggregate
+    from pyspark.sql import Window
+
+    from ..streaming.sinks import read_exactly_once_parquet
+
+    store = _stateful_totals_store(spark, sf_dir, _events(spark, sf_dir))
+    w_last = Window.partitionBy("event_type").orderBy(F.col("batch_id").desc())
+    stateful_rows = (
+        read_exactly_once_parquet(spark, store)
+        .withColumn("_rn", F.row_number().over(w_last))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.lit("stateful_totals").alias("win_kind"),
+            F.lit(None).cast("timestamp").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return tumbling.unionByName(sliding).unionByName(stateful_rows)
 
 
 @register(

@@ -57,13 +57,17 @@ def committed_batch_dirs(path: str) -> list[str]:
 
 
 def start_exactly_once_parquet(
-    stream_df: DataFrame, path: str, checkpoint: str
+    stream_df: DataFrame, path: str, checkpoint: str, output_mode: str | None = None
 ):
     """Start the stream writing parquet under ``path/batch_id=N/``.
 
     Returns the StreamingQuery; callers await it. Restarting with the
     same checkpoint resumes after the last committed batch; a batch
     replayed by failure recovery rewrites only its own directory.
+
+    ``output_mode`` — set to ``"update"`` for stateful upstream
+    operators (applyInPandasWithState requires the sink mode to match
+    the operator's declared mode); the default leaves Spark's append.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -72,9 +76,11 @@ def start_exactly_once_parquet(
         batch_df.write.mode("overwrite").parquet(batch_dir(path, batch_id))
         commit(path, batch_id)
 
+    writer = stream_df.writeStream.foreachBatch(write_batch)
+    if output_mode is not None:
+        writer = writer.outputMode(output_mode)
     return (
-        stream_df.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint)
+        writer.option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )

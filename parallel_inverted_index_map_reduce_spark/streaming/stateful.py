@@ -40,3 +40,55 @@ def running_totals_per_type(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EXACT_OUTPUT_SCHEMA = "event_type string, n_events long, sum_value string"
+EXACT_STATE_SCHEMA = "n long, s string"
+
+
+def running_totals_exact(events: DataFrame) -> DataFrame:
+    """Cumulative (count, EXACT decimal sum) per event_type across
+    batches — the hash-comparable twin of :func:`running_totals_per_type`.
+
+    The caller pre-rounds the measure to 6 decimals IN SPARK
+    (``F.round(value, 6).alias("value6")``), so the one genuinely
+    engine-sensitive step (double rounding mode) happens in the same
+    engine expression the registry's batch aggregates use. The state
+    then accumulates ``decimal.Decimal(repr(double))``: a
+    6-decimal-rounded double's shortest repr IS its decimal value (no
+    shorter decimal lands on the same double at these magnitudes), so
+    the running sum is exact, order- and batch-split-independent, and
+    equal to SQL's ``SUM(CAST(round(value, 6) AS DECIMAL(38,8)))``.
+    Rendered at scale 8 to match the DECIMAL(38,8)->VARCHAR cast.
+
+    State rides as (count, decimal-string) — strings because the exact
+    sum must not round-trip through a binary double between batches.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        from decimal import Decimal
+
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, "0")
+        tot = Decimal(s)
+        for pdf in pdfs:
+            n += len(pdf)
+            for v in pdf["value6"].dropna():
+                tot += Decimal(repr(float(v)))
+        state.update((n, str(tot)))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "sum_value": [f"{tot:.8f}"],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=EXACT_OUTPUT_SCHEMA,
+        stateStructType=EXACT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -69,3 +69,29 @@ def test_threshold_sketch_estimates_near_exact(spark):
     }
     heavy = {m: int(v) for (p, m), v in est.items() if p == "heavy"}
     assert heavy and all(n > 0 for n in heavy.values())
+
+
+def test_deterministic_hll_accuracy_merge_and_stability(spark):
+    """The engine's OWN md5-based HLL (sketches.py): estimate within
+    the rated ~1.04/sqrt(64) = 13% rse (3x headroom), register table
+    invariant under repartition AND duplication (max is idempotent),
+    and the shard-merge equals the whole-table build exactly."""
+    from parallel_inverted_index_map_reduce_spark.operators import sketches as sk
+
+    l = load_table(spark, SF_ORACLE, "lineitem")
+    key = F.col("l_partkey").cast("string")
+    regs = sk.hll_register_table(l, key)
+    est = sk.hll_estimate(regs).first().estimate
+    exact = l.agg(F.countDistinct("l_partkey")).first()[0]
+    assert abs(est - exact) / exact < 0.40
+
+    base = sorted(map(tuple, regs.collect()))
+    rep = sk.hll_register_table(l.repartition(17), key)
+    assert sorted(map(tuple, rep.collect())) == base
+    dup = sk.hll_register_table(l.unionByName(l), key)
+    assert sorted(map(tuple, dup.collect())) == base
+
+    half_a = sk.hll_register_table(l.where(F.col("l_orderkey") % 2 == 0), key)
+    half_b = sk.hll_register_table(l.where(F.col("l_orderkey") % 2 == 1), key)
+    merged = sorted(map(tuple, sk.hll_merge(half_a, half_b).collect()))
+    assert merged == base
