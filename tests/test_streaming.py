@@ -110,3 +110,69 @@ def test_stateful_running_totals(spark):
     for k in batch:
         assert got[k][0] == batch[k][0], k
         assert abs(got[k][1] - batch[k][1]) < 1e-4, k
+
+
+def test_stateful_exact_totals_survive_query_restart(spark, tmp_path):
+    """running_totals_exact's state must RESTORE FROM THE CHECKPOINT
+    across query restarts, not just carry across micro-batches of one
+    run: drain two file-slices, stop, land a third slice, start a NEW
+    query on the same checkpoint — the final per-key totals must equal
+    the whole-table aggregate, rendered through the same decimal
+    discipline the driver part uses."""
+    from pyspark.sql import functions as F
+
+    from parallel_inverted_index_map_reduce_spark.streaming import (
+        sinks as eo,
+        stateful,
+    )
+
+    events = load_table(spark, SF_ORACLE, "events").select(
+        "event_type", F.round(F.col("value"), 6).alias("value6")
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    third = events.where(F.col("event_type").isNotNull())  # stable split
+    first_two = third.where(F.crc32(F.col("event_type").cast("binary")) % 3 < 2)
+    last_one = third.where(F.crc32(F.col("event_type").cast("binary")) % 3 == 2)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = eo.start_exactly_once_parquet(
+            stateful.running_totals_exact(stream), out, ckpt,
+            output_mode="update",
+        )
+        assert q.awaitTermination(420), "stream did not finish within 420s"
+
+    first_two.repartition(2).write.mode("append").parquet(src)
+    run_once()
+    last_one.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # NEW query, same checkpoint: state must restore
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("batch_id").desc())
+    got = {
+        (r.event_type): (r.n_events, r.sum_value)
+        for r in eo.read_exactly_once_parquet(spark, out)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .collect()
+    }
+    batch = {
+        r.event_type: (r.n, r.s)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value6").cast("decimal(38,8)"))
+            .cast("decimal(38,8)")
+            .cast("string")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert got == batch
