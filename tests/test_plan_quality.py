@@ -298,3 +298,64 @@ def test_priority_sample_uses_take_ordered(spark):
     docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "n_chars")
     plan = _plan(priority_sample(docs, "doc_id", "n_chars", k=25))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_scalable_samplers_no_global_sort(spark):
+    """The decomposed-rank forms (which carry the driver hash check as
+    of round 7) must never plan a corpus-wide Sort over a single
+    partition: every window is partitioned by stratum/bucket, so each
+    Sort node in the plan sits under a hash-partitioned Exchange, never
+    an Exchange SinglePartition."""
+    import re
+
+    from parallel_inverted_index_map_reduce_spark.operators.sampling import (
+        priority_sample_scalable,
+        quota_sample_scalable,
+    )
+    from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    for label, df in (
+        (
+            "priority",
+            priority_sample_scalable(
+                docs.select("doc_id", "n_chars"), "doc_id", "n_chars", k=25,
+                n_buckets=7,
+            ),
+        ),
+        (
+            "quota",
+            quota_sample_scalable(
+                docs.select("doc_id", "lang"), "lang", "doc_id", k=10,
+                n_buckets=5,
+            ),
+        ),
+    ):
+        plan = _plan(df)
+        assert not re.search(r"Exchange SinglePartition", plan), (label, plan)
+
+
+def test_hll_register_table_single_aggregation(spark):
+    """The HLL build must stay ONE aggregation over the input — a
+    64-row summary whatever the corpus size, with exactly one exchange
+    (the register groupBy)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from parallel_inverted_index_map_reduce_spark.operators.sketches import (
+        hll_register_table,
+    )
+    from parallel_inverted_index_map_reduce_spark.sources.tables import load_table
+
+    from .conftest import SF_ORACLE
+
+    l = load_table(spark, SF_ORACLE, "lineitem")
+    plan = _plan(hll_register_table(l, F.col("l_partkey").cast("string")))
+    n_shuffles = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    # one Exchange for the register groupBy + at most the scan-spread
+    # repartition (sources/tables.py)
+    assert n_shuffles <= 2, plan
+    assert "HashAggregate" in plan
