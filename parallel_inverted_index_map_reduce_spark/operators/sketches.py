@@ -280,9 +280,12 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
     identical on any engine. The small-range correction m*ln(m/V)
     (raw <= 2.5m with V empty registers) rounds its ln at 9 decimals —
     the engine's standard libm discipline (same as the bigram LM)."""
+    # coalesce: an EMPTY register table (empty shard in a rollup) must
+    # read as all-64-registers-at-zero -> the small-range branch returns
+    # exactly 0, not a NULL that poisons downstream arithmetic
     agg = regs.agg(
         (
-            F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
+            F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))), F.lit(0.0))
             + (F.lit(HLL_M) - F.count("*"))
         ).alias("s"),
         (F.lit(HLL_M) - F.count("*")).cast("int").alias("v"),

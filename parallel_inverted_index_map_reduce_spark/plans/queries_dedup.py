@@ -323,6 +323,17 @@ _PIPE_PREP_KW = dict(
     budget=256,
 )
 
+# INVARIANT the pipe oracles depend on: these CTEs replay the prep
+# composition over RAW document text, while the engine's first stage is
+# scrub_text — the two agree because the synthetic documents corpus
+# contains no PII-shaped text (no '@', no digits), making scrub the
+# identity. tests/test_chunking_scrub.py::test_documents_fixture_is_
+# scrub_identity pins this: if a future data generator ever emits
+# scrubbables, that test fails loudly instead of these parts going
+# silently red. (A full SQL replay of scrub is impossible — the phone
+# stage's lookaround pattern is not RE2-expressible, as the 'scrub'
+# part documents.)
+#
 # MinHash chain over the oracle's existing `shingles` CTE, pp_-prefixed
 # so it composes into pipeline_hygiene's WITH block without colliding
 # with MINHASH_CTE's names. MATERIALIZED: the per-batch scopes below
@@ -413,16 +424,27 @@ def _pipe_cross_cte(p: str, lo: int | None, hi: int | None, landed: str) -> str:
         + ([f"a.doc_id < {hi}"] if hi is not None else [])
     )
     qbounds = bounds.replace("a.doc_id", "q.doc_id")
+    # candidate pairs MUST collapse to distinct (new, landed) BEFORE the
+    # per-perm estimator join (mirroring lsh_cross_candidates' distinct):
+    # a pair colliding in B bands would otherwise contribute B copies of
+    # each signature row and the agreement sum would read B*A instead of
+    # A — suppressing pairs whose true estimate is below the threshold
+    # whenever B*A/16 crosses it (a latent false-red for any corpus with
+    # a multi-band collision under 0.8 estimated similarity).
     return f"""
-{p}_cc AS MATERIALIZED (
-    SELECT DISTINCT a.doc_id
+{p}_cp AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id, l.doc_id AS landed_id
     FROM pp_bands a JOIN pp_bands l
       ON a.band_id = l.band_id AND a.band_sig = l.band_sig
     JOIN {landed} lp ON lp.doc_id = l.doc_id
-    JOIN pp_sigs sa ON sa.doc_id = a.doc_id
-    JOIN pp_sigs sl ON sl.doc_id = l.doc_id AND sl.perm_id = sa.perm_id
     WHERE {bounds}
-    GROUP BY a.doc_id, l.doc_id
+),
+{p}_cc AS MATERIALIZED (
+    SELECT DISTINCT c.doc_id
+    FROM {p}_cp c
+    JOIN pp_sigs sa ON sa.doc_id = c.doc_id
+    JOIN pp_sigs sl ON sl.doc_id = c.landed_id AND sl.perm_id = sa.perm_id
+    GROUP BY c.doc_id, c.landed_id
     HAVING sum(CASE WHEN sa.minhash = sl.minhash THEN 1 ELSE 0 END) * 1.0
            / {NUM_PERM} >= {_PIPE_THRESH}
 ),

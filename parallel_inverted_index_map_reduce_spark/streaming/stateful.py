@@ -70,18 +70,22 @@ def running_totals_exact(events: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        n, s = state.get if state.exists else (0, "0")
-        tot = Decimal(s)
+        # s == "" is the "no non-null value seen yet" sentinel: SQL SUM
+        # over a key whose every value is NULL is NULL, not 0, and the
+        # oracle comparison holds the operator to that
+        n, s = state.get if state.exists else (0, "")
+        tot = Decimal(s) if s else None
         for pdf in pdfs:
             n += len(pdf)
             for v in pdf["value6"].dropna():
-                tot += Decimal(repr(float(v)))
-        state.update((n, str(tot)))
+                d = Decimal(repr(float(v)))
+                tot = d if tot is None else tot + d
+        state.update((n, str(tot) if tot is not None else ""))
         yield pd.DataFrame(
             {
                 "event_type": [key[0]],
                 "n_events": [n],
-                "sum_value": [f"{tot:.8f}"],
+                "sum_value": [f"{tot:.8f}" if tot is not None else None],
             }
         )
 

@@ -265,3 +265,35 @@ def test_cdc_chunks_edge_params(spark):
         cdc_chunks(docs, window=0)
     with _pt.raises(ValueError):
         cdc_chunks(docs, divisor=0)
+
+
+def test_documents_fixture_is_scrub_identity(spark):
+    """The pipe_streamed/pipe_batch oracles (plans/queries_dedup.py)
+    replay the prep composition over RAW text, relying on scrub_text
+    being the identity on the synthetic corpus (no '@', no digits).
+    Pin that invariant: if the data generator ever emits PII-shaped
+    text, fail HERE with a clear message instead of the driver rows
+    going silently red."""
+    from pyspark.sql import functions as F
+
+    from parallel_inverted_index_map_reduce_spark.functions.scrub import (
+        scrub_counts,
+    )
+    from parallel_inverted_index_map_reduce_spark.sources.tables import (
+        load_table,
+    )
+
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    c = scrub_counts(F.col("text"))
+    row = docs.agg(
+        F.sum(c.getField("n_emails")).alias("e"),
+        F.sum(c.getField("n_ips")).alias("i"),
+        F.sum(c.getField("n_phones")).alias("p"),
+    ).first()
+    assert (row.e, row.i, row.p) == (0, 0, 0), (
+        "documents fixture now contains PII-shaped text; the pipe_* "
+        "oracle replay over raw text is no longer valid — scrub the "
+        "oracle side or regenerate the fixture"
+    )
