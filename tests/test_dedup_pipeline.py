@@ -69,3 +69,91 @@ def test_lsh_banding_tuner_properties():
 
     # the engine's shipped banding is the recall-biased pick at 0.5
     assert lsh_banding(NUM_PERM, 0.5, beta=4) == (LSH_BANDS, LSH_ROWS)
+
+
+def test_cross_batch_oracle_cte_matches_engine_on_multiband_subthreshold(spark):
+    """Regression lock for the round-7 oracle fix: a (new, landed) pair
+    colliding in SEVERAL LSH bands with MinHash agreement BELOW the
+    threshold must not be suppressed — the engine dedups candidate
+    pairs before estimating, and the oracle CTE must too (the broken
+    formulation summed agreement once per colliding band, reading
+    B*A/16). Uses a real such pair from the sf0.1 corpus (docs 1103 and
+    1568: 4 colliding bands, 12/16 agreement = est 0.75 < 0.8) and runs
+    BOTH the engine path and the actual generated oracle CTE text."""
+    import duckdb
+
+    from parallel_inverted_index_map_reduce_spark.plans.queries_dedup import (
+        SHINGLES_CTE,
+        _PIPE_BASE_CTE,
+        _pipe_cross_cte,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .where(F.col("doc_id").isin(1103, 1568))
+        .select("doc_id", "text")
+    )
+    landed = docs.where(F.col("doc_id") == 1103)
+    new = docs.where(F.col("doc_id") == 1568)
+
+    # preconditions: the pair really is multi-band-colliding + sub-threshold
+    cand = dd.lsh_cross_candidates(dd.minhash_table(new), dd.minhash_table(landed))
+    assert [tuple(r) for r in cand.collect()] == [(1568, 1103)]
+    est = dd.minhash_estimate(
+        dd.minhash_table(new), dd.minhash_table(landed), cand
+    ).first()
+    assert 0.5 <= est.est_jaccard < 0.8  # sub-threshold, far from ties
+
+    # engine: nothing suppressed
+    drops = (
+        dd.minhash_estimate(dd.minhash_table(new), dd.minhash_table(landed), cand)
+        .where(F.col("est_jaccard") >= 0.8)
+        .select("doc_id")
+    )
+    assert drops.count() == 0
+
+    # oracle: the generated CTE text over the same two docs
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.1/documents.parquet') "
+        "WHERE doc_id IN (1103, 1568)"
+    )
+    sql = (
+        "WITH "
+        + SHINGLES_CTE
+        + ","
+        + _PIPE_BASE_CTE
+        + ",\nlz AS (SELECT 1103 AS doc_id)"
+        + ","
+        + _pipe_cross_cte("px", 1568, None, "lz")
+        + "\nSELECT doc_id FROM px_cc"
+    )
+    assert con.execute(sql).fetchall() == []
+
+    # ...and the broken pre-fix formulation DOES differ on this pair,
+    # proving the test has teeth (band multiplicity 4 x agreement 12
+    # reads as 48/16 = 3.0 >= 0.8)
+    broken = (
+        "WITH "
+        + SHINGLES_CTE
+        + ","
+        + _PIPE_BASE_CTE
+        + """,
+lz AS (SELECT 1103 AS doc_id),
+bx AS (
+    SELECT DISTINCT a.doc_id
+    FROM pp_bands a JOIN pp_bands l
+      ON a.band_id = l.band_id AND a.band_sig = l.band_sig
+    JOIN lz lp ON lp.doc_id = l.doc_id
+    JOIN pp_sigs sa ON sa.doc_id = a.doc_id
+    JOIN pp_sigs sl ON sl.doc_id = l.doc_id AND sl.perm_id = sa.perm_id
+    WHERE a.doc_id >= 1568
+    GROUP BY a.doc_id, l.doc_id
+    HAVING sum(CASE WHEN sa.minhash = sl.minhash THEN 1 ELSE 0 END) * 1.0
+           / 16 >= 0.8
+)
+SELECT doc_id FROM bx"""
+    )
+    assert con.execute(broken).fetchall() == [(1568,)]
+    con.close()

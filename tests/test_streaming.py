@@ -176,3 +176,85 @@ def test_stateful_exact_totals_survive_query_restart(spark, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_stateful_exact_totals_all_null_key_sums_to_null(spark, tmp_path):
+    """SQL SUM over a key whose every value is NULL is NULL, not 0 —
+    the exact-totals operator must render it the same way (the driver
+    oracle holds it to DECIMAL-sum semantics), while still counting the
+    rows."""
+    from pyspark.sql import functions as F
+
+    from parallel_inverted_index_map_reduce_spark.streaming import (
+        sinks as eo,
+        stateful,
+    )
+
+    rows = [("a", 1.5), ("a", None), ("nulls", None), ("nulls", None)]
+    df = spark.createDataFrame(rows, "event_type string, value6 double")
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = eo.start_exactly_once_parquet(
+        stateful.running_totals_exact(stream),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        output_mode="update",
+    )
+    assert q.awaitTermination(420)
+    got = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in eo.read_exactly_once_parquet(spark, str(tmp_path / "out"))
+        .collect()
+    }
+    assert got == {"a": (2, "1.50000000"), "nulls": (2, None)}
+
+
+def test_stateful_exact_totals_rendering_adversarial_values(spark, tmp_path):
+    """The Python decimal accumulation must render byte-identically to
+    Spark's DECIMAL(38,8) sum cast to string on the awkward cases: a
+    group summing to exactly zero, negatives, values whose double repr
+    uses exponent notation (1e-07), and large magnitudes."""
+    from pyspark.sql import functions as F
+
+    from parallel_inverted_index_map_reduce_spark.streaming import (
+        sinks as eo,
+        stateful,
+    )
+
+    rows = [
+        ("zero", 1.5), ("zero", -1.5),
+        ("tiny", 1e-06), ("tiny", 2e-06),
+        ("neg", -0.000001), ("neg", -123456.789012),
+        ("big", 987654321.123456), ("big", 0.000004),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, v double").select(
+        "event_type", F.round(F.col("v"), 6).alias("value6")
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = eo.start_exactly_once_parquet(
+        stateful.running_totals_exact(stream),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        output_mode="update",
+    )
+    assert q.awaitTermination(420)
+    got = {
+        r.event_type: r.sum_value
+        for r in eo.read_exactly_once_parquet(spark, str(tmp_path / "out"))
+        .collect()
+    }
+    want = {
+        r.event_type: r.s
+        for r in df.groupBy("event_type")
+        .agg(
+            F.sum(F.col("value6").cast("decimal(38,8)"))
+            .cast("decimal(38,8)")
+            .cast("string")
+            .alias("s")
+        )
+        .collect()
+    }
+    assert got == want, (got, want)
