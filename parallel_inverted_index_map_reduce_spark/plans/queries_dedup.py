@@ -490,84 +490,64 @@ pb_scope AS MATERIALIZED (
     + _pipe_dedup_cte("pb", "pb_scope")
 )
 
-# session-scoped memo of built prep stores, keyed by (sf_dir, kind):
-# repeated query construction in one session (registry-wide plan sweeps,
-# repeated driver parts) reuses the committed snapshot instead of
-# re-running the stream / re-landing the batch output. A fresh driver
-# process always rebuilds, so the layouts stay re-proven per run.
-_PIPE_STORES: dict[tuple[str, str], str] = {}
-
-
-def _pipe_tmpdir() -> str:
-    import atexit
-    import shutil
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="sparkgraft_pipe_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    return tmp
-
-
 def _streamed_prep_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
     """Run the incremental prep pipeline (streaming/pipeline.py) over
     three DETERMINISTIC doc_id-range micro-batches and return the
-    committed output dir. Each slice lands as one parquet file followed
-    by a full availableNow run against the SAME checkpoint, so batch
-    membership and order are exact (one file -> one batch) and the
-    restart path — resume after a committed batch — is exercised twice
-    per build. Cross-batch exact + near-dup suppression runs against
-    the persistent signature store the earlier batches committed."""
-    key = (sf_dir, "streamed")
-    got = _PIPE_STORES.get(key)
-    if got is not None and os.path.isdir(got):
-        return got
+    committed output dir (session-memoized — plans/stores.py). Each
+    slice lands as one parquet file followed by a full availableNow run
+    against the SAME checkpoint, so batch membership and order are
+    exact (one file -> one batch) and the restart path — resume after a
+    committed batch — is exercised twice per build. Cross-batch exact +
+    near-dup suppression runs against the persistent signature store
+    the earlier batches committed."""
     from ..streaming import pipeline as spipe
+    from .stores import drain, session_store
 
-    tmp = _pipe_tmpdir()
-    src = os.path.join(tmp, "src")
-    out = os.path.join(tmp, "out")
-    ckpt = os.path.join(tmp, "ckpt")
-    slices = [
-        F.col("doc_id") < _PIPE_B1,
-        (F.col("doc_id") >= _PIPE_B1) & (F.col("doc_id") < _PIPE_B2),
-        F.col("doc_id") >= _PIPE_B2,
-    ]
-    for pred in slices:
-        docs.where(pred).coalesce(1).write.mode("append").parquet(src)
-        stream = spark.readStream.schema(docs.schema).parquet(src)
-        q = spipe.start_incremental_prep(
-            stream,
-            out,
-            ckpt,
-            cross_batch_threshold=_PIPE_THRESH,
-            languages=(),
-            **_PIPE_PREP_KW,
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError("streamed prep batch did not finish in 600s")
-    _PIPE_STORES[key] = out
-    return out
+    def build(tmp: str) -> str:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        slices = [
+            F.col("doc_id") < _PIPE_B1,
+            (F.col("doc_id") >= _PIPE_B1) & (F.col("doc_id") < _PIPE_B2),
+            F.col("doc_id") >= _PIPE_B2,
+        ]
+        for b, pred in enumerate(slices):
+            docs.where(pred).coalesce(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(docs.schema).parquet(src)
+            drain(
+                spipe.start_incremental_prep(
+                    stream,
+                    out,
+                    ckpt,
+                    cross_batch_threshold=_PIPE_THRESH,
+                    languages=(),
+                    **_PIPE_PREP_KW,
+                ),
+                f"streamed prep batch {b}",
+            )
+        return out
+
+    return session_store("prep_stream", sf_dir, build)
 
 
 def _batch_prep_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
     """Land the COMPOSED batch pipeline (pipeline.py run_and_land:
     scrub -> lang filter -> quality filter -> one-pass near-dup dedup ->
-    chunk -> pack -> hive-partitioned sink) and return the output dir;
-    the part reads what actually LANDED, so a stage-reorder regression
-    turns the driver row red."""
-    key = (sf_dir, "batch")
-    got = _PIPE_STORES.get(key)
-    if got is not None and os.path.isdir(got):
-        return got
+    chunk -> pack -> hive-partitioned sink) and return the output dir
+    (session-memoized — plans/stores.py); the part reads what actually
+    LANDED, so a stage-reorder regression turns the driver row red."""
     from .. import pipeline as bpipe
+    from .stores import session_store
 
-    out = os.path.join(_pipe_tmpdir(), "landed")
-    bpipe.run_and_land(
-        spark, docs, out, languages=_PIPE_BATCH_LANGS, **_PIPE_PREP_KW
-    )
-    _PIPE_STORES[key] = out
-    return out
+    def build(tmp: str) -> str:
+        out = os.path.join(tmp, "landed")
+        bpipe.run_and_land(
+            spark, docs, out, languages=_PIPE_BATCH_LANGS, **_PIPE_PREP_KW
+        )
+        return out
+
+    return session_store("prep_batch", sf_dir, build)
 
 
 def _sql_salted_unit_hash(salt: str) -> str:

@@ -88,49 +88,33 @@ def _serving_base(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
     return base
 
 
-# session-scoped memo of streamed serving snapshots, keyed by sf_dir:
-# plan-only consumers (registry-wide plan sweeps) construct this query's
-# DataFrame repeatedly, and every rebuild cost a blocking stream run and
-# leaked a temp dir until process exit. A fresh driver process still
-# rebuilds, so the streamed layout stays re-proven per run.
-_SERVING_STREAM_STORES: dict[str, str] = {}
-
-
 def _streamed_serving_store(
     spark: SparkSession, sf_dir: str, docs: DataFrame
 ) -> str:
-    """Build (or reuse this session's) streamed serving snapshot and
-    return its store directory: the corpus lands as three parquet
-    files, a maxFilesPerTrigger=1 availableNow stream folds them
-    through streaming/serving_stream.py's build-then-merge path (batch
-    0 builds, batches 1-2 exercise the incremental merge), and the
-    caller serves from the latest committed snapshot."""
-    import atexit
-    import shutil
-    import tempfile
-
+    """Build (or reuse this session's — plans/stores.py) streamed
+    serving snapshot and return its store directory: the corpus lands
+    as three parquet files, a maxFilesPerTrigger=1 availableNow stream
+    folds them through streaming/serving_stream.py's build-then-merge
+    path (batch 0 builds, batches 1-2 exercise the incremental merge),
+    and the caller serves from the latest committed snapshot."""
     from ..streaming import serving_stream as svs
+    from .stores import drain, session_store
 
-    got = _SERVING_STREAM_STORES.get(sf_dir)
-    if got is not None and os.path.isdir(got):
-        return got
-    tmp = tempfile.mkdtemp(prefix="sparkgraft_stream_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    src = os.path.join(tmp, "docs_in")
-    store = os.path.join(tmp, "serving_versions")
-    ckpt = os.path.join(tmp, "ckpt")
-    docs.repartition(3).write.parquet(src)
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = svs.start_incremental_serving(stream, store, ckpt)
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("streamed serving build did not finish in 600s")
-    _SERVING_STREAM_STORES[sf_dir] = store
-    return store
+    def build(tmp: str) -> str:
+        src = os.path.join(tmp, "docs_in")
+        store = os.path.join(tmp, "serving_versions")
+        ckpt = os.path.join(tmp, "ckpt")
+        docs.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        drain(svs.start_incremental_serving(stream, store, ckpt),
+              "streamed serving build")
+        return store
+
+    return session_store("serving_stream", sf_dir, build)
 
 
 @register(

@@ -55,50 +55,37 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
-# session-scoped memo of streamed ANN snapshots, keyed by sf_dir: plan
-# sweeps and repeated driver parts construct this query's DataFrame many
-# times per session, and each uneeded rebuild costs a full streaming
-# build (and leaked a temp dir until process exit). A fresh driver
-# process still rebuilds, so the streamed layout stays re-proven per run.
-_ANN_STREAM_STORES: dict[str, str] = {}
-
-
 def _streamed_ann_store(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
-    """Build (or reuse this session's) streamed ANN snapshot and return
-    its store directory: the embeddings land as three parquet files, a
-    maxFilesPerTrigger=1 availableNow stream folds them through
-    streaming/ann_stream.py (the first batch seeds the fixed coarse
-    quantizer, later batches assign under it and union in), and the
-    caller serves from the latest committed snapshot. Which rows seed
-    the quantizer depends on the file split — deliberately irrelevant
-    to the registry anchor, which probes ALL lists with decimal scores
-    so the served ranks equal brute force whatever the centroids."""
-    import atexit
-    import shutil
-    import tempfile
-
+    """Build (or reuse this session's — plans/stores.py) streamed ANN
+    snapshot and return its store directory: the embeddings land as
+    three parquet files, a maxFilesPerTrigger=1 availableNow stream
+    folds them through streaming/ann_stream.py (the first batch seeds
+    the fixed coarse quantizer, later batches assign under it and union
+    in), and the caller serves from the latest committed snapshot.
+    Which rows seed the quantizer depends on the file split —
+    deliberately irrelevant to the registry anchor, which probes ALL
+    lists with decimal scores so the served ranks equal brute force
+    whatever the centroids."""
     from ..streaming import ann_stream as avs
+    from .stores import drain, session_store
 
-    got = _ANN_STREAM_STORES.get(sf_dir)
-    if got is not None and os.path.isdir(got):
-        return got
-    tmp = tempfile.mkdtemp(prefix="sparkgraft_annstream_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    src = os.path.join(tmp, "emb_in")
-    store = os.path.join(tmp, "ann_versions")
-    ckpt = os.path.join(tmp, "ckpt")
-    emb.repartition(3).write.parquet(src)
-    stream = (
-        spark.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = avs.start_incremental_ann(stream, store, ckpt, n_list=8, n_iters=2)
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("streamed ANN build did not finish in 600s")
-    _ANN_STREAM_STORES[sf_dir] = store
-    return store
+    def build(tmp: str) -> str:
+        src = os.path.join(tmp, "emb_in")
+        store = os.path.join(tmp, "ann_versions")
+        ckpt = os.path.join(tmp, "ckpt")
+        emb.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        drain(
+            avs.start_incremental_ann(stream, store, ckpt, n_list=8, n_iters=2),
+            "streamed ANN build",
+        )
+        return store
+
+    return session_store("ann_stream", sf_dir, build)
 
 
 def _ann_serving_base(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:

@@ -22,54 +22,46 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
-# session-scoped memo of drained stateful-totals stores, keyed by
-# sf_dir — same rationale as the serving/ANN/prep snapshot memos: one
-# blocking stream run per session however often the query is built.
-_STATEFUL_STORES: dict[str, str] = {}
-
-
 def _stateful_totals_store(
     spark: SparkSession, sf_dir: str, events: DataFrame
 ) -> str:
     """Drain the CUSTOM STATEFUL operator (streaming/stateful.py
     running_totals_exact, applyInPandasWithState) over the events table
-    split into three micro-batches and return the committed sink dir.
-    The measure is pre-rounded IN SPARK (round(value, 6)) so the
-    Python state only ever sums exact decimals; cumulative totals are
-    order- and split-independent, so maxFilesPerTrigger batching needs
-    no deterministic file order here (unlike the prep pipeline)."""
-    import atexit
-    import shutil
-    import tempfile
-
+    split into three micro-batches and return the committed sink dir
+    (session-memoized — plans/stores.py). The measure is pre-rounded IN
+    SPARK (round(value, 6)) so the Python state only ever sums exact
+    decimals; cumulative totals are order- and split-independent, so
+    maxFilesPerTrigger batching needs no deterministic file order here
+    (unlike the prep pipeline)."""
     from ..streaming import sinks as eo
     from ..streaming import stateful
+    from .stores import drain, session_store
 
-    got = _STATEFUL_STORES.get(sf_dir)
-    if got is not None and os.path.isdir(got):
-        return got
-    tmp = tempfile.mkdtemp(prefix="sparkgraft_stateful_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    src = os.path.join(tmp, "events_in")
-    out = os.path.join(tmp, "totals")
-    ckpt = os.path.join(tmp, "ckpt")
-    staged = events.select(
-        "event_type", F.round(F.col("value"), 6).alias("value6")
-    )
-    staged.repartition(3).write.parquet(src)
-    stream = (
-        spark.readStream.schema(staged.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = eo.start_exactly_once_parquet(
-        stateful.running_totals_exact(stream), out, ckpt, output_mode="update"
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("stateful totals stream did not finish in 600s")
-    _STATEFUL_STORES[sf_dir] = out
-    return out
+    def build(tmp: str) -> str:
+        src = os.path.join(tmp, "events_in")
+        out = os.path.join(tmp, "totals")
+        ckpt = os.path.join(tmp, "ckpt")
+        staged = events.select(
+            "event_type", F.round(F.col("value"), 6).alias("value6")
+        )
+        staged.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        drain(
+            eo.start_exactly_once_parquet(
+                stateful.running_totals_exact(stream),
+                out,
+                ckpt,
+                output_mode="update",
+            ),
+            "stateful totals stream",
+        )
+        return out
+
+    return session_store("stateful_totals", sf_dir, build)
 
 
 @register(

@@ -1,0 +1,56 @@
+"""Session-scoped memoization for expensive built-store directories.
+
+Several registry entries build a store at DataFrame-construction time
+(streamed serving/ANN snapshots, the incremental prep pipeline's
+committed output, the stateful-totals sink). Plan-only consumers —
+registry-wide plan sweeps, repeated driver parts — construct those
+DataFrames many times per session, and every rebuild costs a blocking
+stream run and leaks a temp dir until process exit. This module is the
+ONE implementation of the fix: memoize the built directory per
+(kind, key) for the life of the process, building into a fresh
+atexit-cleaned temp dir on first use. A fresh driver process always
+rebuilds, so every layout stays re-proven per run.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+_STORES: dict[tuple[str, str], str] = {}
+
+
+def fresh_tmpdir(prefix: str = "sparkgraft_store_") -> str:
+    """A temp dir removed at interpreter exit (best-effort)."""
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return tmp
+
+
+def session_store(kind: str, key: str, build: Callable[[str], str]) -> str:
+    """Return the memoized store directory for ``(kind, key)``.
+
+    On first use (or if the cached directory vanished), calls
+    ``build(tmpdir)`` with a fresh atexit-cleaned temp dir; ``build``
+    returns the store path to cache (usually a subdirectory of the
+    temp dir it was given).
+    """
+    k = (kind, key)
+    got = _STORES.get(k)
+    if got is not None and os.path.isdir(got):
+        return got
+    store = build(fresh_tmpdir(f"sparkgraft_{kind}_"))
+    _STORES[k] = store
+    return store
+
+
+def drain(query, what: str, timeout_sec: int = 600) -> None:
+    """Await a StreamingQuery's availableNow termination, raising (and
+    stopping the query) on timeout — the shared build-time discipline
+    for every in-session snapshot builder."""
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(f"{what} did not finish in {timeout_sec}s")
