@@ -605,8 +605,74 @@ def _stats(args) -> int:
         spark.stop()
 
 
+def _sketch(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .operators import sketches as sk
+    from .session import get_spark
+
+    spark = get_spark(app_name="sketch", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        df = spark.read.parquet(args.input)
+        did = False
+        if args.hll is not None:
+            regs = sk.hll_register_table(df, F.col(args.hll).cast("string"))
+            est = sk.hll_estimate(regs).first().estimate
+            exact = None
+            if args.exact:
+                exact = df.agg(F.count_distinct(args.hll)).first()[0]
+            line = f"hll {args.hll} estimate {est:.1f}"
+            if exact is not None:
+                line += f" exact {exact} err {abs(est - exact) / max(exact, 1):.1%}"
+            print(line)
+            did = True
+        if args.heavy is not None:
+            for r in sk.frequent_terms(df, k=args.heavy).orderBy(
+                F.desc("n"), "word"
+            ).collect():
+                print(f"heavy {r.word} {r.n}")
+            did = True
+        if args.cms:
+            probes = [w for w in args.cms.split(",") if w]
+            for r in sk.cms_estimate(sk.cms_build(df), probes).orderBy(
+                "word"
+            ).collect():
+                print(f"cms {r.word} <= {r.est}")
+            did = True
+        if not did:
+            print(
+                "nothing to do: pass --hll COL, --heavy K, and/or "
+                "--cms w1,w2",
+                file=sys.stderr,
+            )
+            return 2
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+
+    if argv and argv[0] == "sketch":
+        parser = argparse.ArgumentParser(
+            prog="parallel_inverted_index_map_reduce_spark sketch",
+            description="Deterministic approximate aggregates over a "
+            "parquet table: --hll COL prints the 64-register md5-HLL "
+            "distinct estimate (--exact also computes the true count "
+            "and error); --heavy K prints every term above a 1/K "
+            "frequency (Misra-Gries candidates, exact-verified; needs "
+            "documents-shaped input with a text column); --cms w1,w2 "
+            "prints count-min upper bounds for the probe words (same "
+            "input shape).",
+        )
+        parser.add_argument("input", help="parquet path")
+        parser.add_argument("--hll", default=None, metavar="COL")
+        parser.add_argument("--exact", action="store_true")
+        parser.add_argument("--heavy", type=int, default=None, metavar="K")
+        parser.add_argument("--cms", default=None, metavar="WORDS")
+        return _sketch(parser.parse_args(argv[1:]))
 
     if argv and argv[0] == "stats":
         parser = argparse.ArgumentParser(

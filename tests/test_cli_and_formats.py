@@ -586,3 +586,42 @@ def test_cli_sample_and_cdc_modes(spark, tmp_path):
     assert n_cli == cdc_chunks(docs).count()
     landed = spark.read.parquet(out)
     assert landed.count() == n_cli
+
+
+def test_sketch_cli_hll_heavy_cms(tmp_path):
+    """The sketch front prints the deterministic approximate aggregates
+    in one subprocess run each: the HLL estimate with its exact-count
+    error, MG heavy hitters with exact counts, and CMS upper bounds
+    (an absent probe's bound is collision noise, never understated)."""
+
+    def cli(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "parallel_inverted_index_map_reduce_spark",
+             "sketch", *args],
+            cwd=REPO, capture_output=True, text=True, timeout=300,
+        )
+
+    res = cli("/root/testdata/sf0.001/lineitem.parquet",
+              "--hll", "l_partkey", "--exact")
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("hll ")][0]
+    # "hll l_partkey estimate E exact X err P%"
+    parts = line.split()
+    est, exact = float(parts[3]), int(parts[5])
+    assert exact > 0 and abs(est - exact) / exact < 0.40
+
+    res = cli("/root/testdata/sf0.001/documents.parquet",
+              "--heavy", "60", "--cms", "join,nosuchwordxyz")
+    assert res.returncode == 0, res.stderr[-2000:]
+    heavies = [l for l in res.stdout.splitlines() if l.startswith("heavy ")]
+    assert heavies, res.stdout
+    cms = {l.split()[1]: int(l.split()[3])
+           for l in res.stdout.splitlines() if l.startswith("cms ")}
+    assert set(cms) == {"join", "nosuchwordxyz"}
+    # one-sided error: the real word's bound is at least its heavy count
+    heavy_counts = {l.split()[1]: int(l.split()[2]) for l in heavies}
+    if "join" in heavy_counts:
+        assert cms["join"] >= heavy_counts["join"]
+
+    res = cli("/root/testdata/sf0.001/documents.parquet")
+    assert res.returncode == 2  # nothing to do
