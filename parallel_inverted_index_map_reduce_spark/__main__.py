@@ -615,6 +615,23 @@ def _sketch(args) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         df = spark.read.parquet(args.input)
+        # validate required columns up front: a wrong-shaped input gets
+        # a one-line error (like the 'nothing to do' path), not a raw
+        # AnalysisException stack from deep inside the operator
+        if args.hll is not None and args.hll not in df.columns:
+            print(
+                f"--hll column {args.hll!r} not in {args.input} "
+                f"(columns: {', '.join(df.columns)})",
+                file=sys.stderr,
+            )
+            return 2
+        if (args.heavy is not None or args.cms) and "text" not in df.columns:
+            print(
+                "--heavy/--cms need a documents-shaped input with a "
+                f"'text' column; {args.input} has: {', '.join(df.columns)}",
+                file=sys.stderr,
+            )
+            return 2
         did = False
         if args.hll is not None:
             regs = sk.hll_register_table(df, F.col(args.hll).cast("string"))

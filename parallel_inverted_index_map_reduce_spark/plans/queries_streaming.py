@@ -64,6 +64,14 @@ def _stateful_totals_store(
     return session_store("stateful_totals", sf_dir, build)
 
 
+# stateful_totals oracle envelope: DuckDB's CAST(round(value,6) AS
+# DECIMAL(38,8)) rounds the binary double directly, while Spark/Python
+# go through the double's shortest decimal repr; the two agree in the
+# 8th decimal only while |value| stays below ~3.3e7 (there the double's
+# ulp crosses 5e-9). tests/test_streaming.py::
+# test_events_fixture_value_envelope pins the fixture inside that bound
+# (and NaN-free — see streaming/stateful.py), so a generator change
+# fails the test loudly instead of turning this row confusingly red.
 @register(
     "time_window_stats",
     oracle="""

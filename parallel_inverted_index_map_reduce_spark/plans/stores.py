@@ -18,9 +18,15 @@ import atexit
 import os
 import shutil
 import tempfile
+import threading
 from collections.abc import Callable
 
 _STORES: dict[tuple[str, str], str] = {}
+# per-key build locks (guarded by _LOCKS_GUARD): two threads asking for
+# the same store must not both miss the cache and run the expensive
+# stream build twice; different keys still build concurrently
+_LOCKS_GUARD = threading.Lock()
+_LOCKS: dict[tuple[str, str], threading.Lock] = {}
 
 
 def fresh_tmpdir(prefix: str = "sparkgraft_store_") -> str:
@@ -39,12 +45,15 @@ def session_store(kind: str, key: str, build: Callable[[str], str]) -> str:
     temp dir it was given).
     """
     k = (kind, key)
-    got = _STORES.get(k)
-    if got is not None and os.path.isdir(got):
-        return got
-    store = build(fresh_tmpdir(f"sparkgraft_{kind}_"))
-    _STORES[k] = store
-    return store
+    with _LOCKS_GUARD:
+        lock = _LOCKS.setdefault(k, threading.Lock())
+    with lock:
+        got = _STORES.get(k)
+        if got is not None and os.path.isdir(got):
+            return got
+        store = build(fresh_tmpdir(f"sparkgraft_{kind}_"))
+        _STORES[k] = store
+        return store
 
 
 def drain(query, what: str, timeout_sec: int = 600) -> None:

@@ -63,6 +63,16 @@ def running_totals_exact(events: DataFrame) -> DataFrame:
 
     State rides as (count, decimal-string) — strings because the exact
     sum must not round-trip through a binary double between batches.
+
+    NO-NaN INVARIANT (pinned by tests/test_streaming.py::
+    test_events_fixture_value_envelope): Arrow hands the UDF a float64
+    pandas column where SQL NULL and a genuine NaN VALUE are
+    indistinguishable (both arrive as NaN), so ``dropna`` necessarily
+    treats both as SQL NULL — skipped by the sum but counted in
+    n_events. SQL SUM instead PROPAGATES a non-null NaN. The two
+    semantics only agree because the events fixture contains no NaN
+    values; the fixture test fails loudly if a future generator emits
+    one, instead of this operator silently diverging from the oracle.
     """
 
     def update(key, pdfs, state: GroupState):

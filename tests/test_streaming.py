@@ -258,3 +258,35 @@ def test_stateful_exact_totals_rendering_adversarial_values(spark, tmp_path):
         .collect()
     }
     assert got == want, (got, want)
+
+
+def test_events_fixture_value_envelope(spark):
+    """Two invariants the stateful_totals driver row leans on, pinned
+    here so a future data-generator change fails THIS test loudly
+    instead of the row going confusingly red:
+
+    - NO NaN values: Arrow hands running_totals_exact a float64 column
+      where SQL NULL and a NaN VALUE are indistinguishable, so the
+      operator's dropna treats both as NULL — but SQL SUM propagates a
+      non-null NaN (streaming/stateful.py docstring).
+    - MAGNITUDE BOUND |value| < 3.3e7: the oracle's
+      CAST(round(value,6) AS DECIMAL(38,8)) rounds the binary double
+      while Spark/Python go through the shortest decimal repr; above
+      ~3.3e7 the double's ulp exceeds 5e-9 and the 8th decimal can
+      disagree (plans/queries_streaming.py oracle note).
+    """
+    from pyspark.sql import functions as F
+
+    bad = (
+        load_table(spark, SF_ORACLE, "events")
+        .agg(
+            F.sum(F.when(F.isnan("value"), 1).otherwise(0)).alias("n_nan"),
+            F.max(F.abs("value")).alias("max_abs"),
+        )
+        .first()
+    )
+    assert bad.n_nan == 0, f"events.value holds {bad.n_nan} NaN cells"
+    assert bad.max_abs is None or bad.max_abs < 3.3e7, (
+        f"events.value magnitude {bad.max_abs} exceeds the stateful "
+        "oracle's 8th-decimal agreement envelope"
+    )
