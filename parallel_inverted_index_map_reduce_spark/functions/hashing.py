@@ -48,6 +48,22 @@ def sql_stable_hash32(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
 
 
+def stable_hash48(col: Column) -> Column:
+    """First 48 bits of md5 as a non-negative long — the wider variant
+    for sketches whose accuracy envelope outgrows 32 bits (the HLL:
+    32-bit hashing collides materially above ~10^8 distinct keys, while
+    48 bits keeps the expected collision undercount n^2/2^49 below 0.04%
+    even at 10^11). Still one BIGINT in both engines; DuckDB twin is
+    :func:`sql_stable_hash48`."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 12), 16, 10).cast(
+        "long"
+    )
+
+
+def sql_stable_hash48(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 12) AS BIGINT)"
+
+
 def minhash_expr(hash_col: str, a: int, b: int) -> Column:
     return (F.lit(a) * F.col(hash_col) + F.lit(b)) % F.lit(MINHASH_P)
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import sql_stable_hash32
+from ..functions.hashing import sql_stable_hash32, sql_stable_hash48
 from ..sources.tables import load_table
 from .exprs import sql_stable_round6
 from .registry import register
@@ -118,6 +118,11 @@ _SAMPLE_T = 268_435_456  # 2^32 / 16
 
 
 _HP = sql_stable_hash32("CAST(l_partkey AS VARCHAR)")
+# HLL uses the WIDER 48-bit hash (functions/hashing.py stable_hash48):
+# 32 bits collide materially above ~10^8 distinct keys, and the whole
+# point of a distinct sketch at 100 TB is 10^9+ keys. KMV stays 32-bit
+# (its threshold _KMV_T is calibrated to the 2^32 space).
+_HP48 = sql_stable_hash48("CAST(l_partkey AS VARCHAR)")
 _HO = sql_stable_hash32("CAST(l_orderkey AS VARCHAR)")
 _HR = sql_stable_hash32("l_orderkey || '-' || l_linenumber")
 _SAMPLED = f"CASE WHEN {_HR} < {_SAMPLE_T} THEN l_extendedprice END"
@@ -210,10 +215,10 @@ umerged AS (
     SELECT doc_id, text FROM newdocs
 ),
 hllr AS (
-    SELECT CAST(({_HP}) % 64 AS INT) AS register,
-           MAX(CASE WHEN ({_HP}) // 64 > 0
-                    THEN 27 - length(bin(({_HP}) // 64))
-                    ELSE 27 END) AS max_rho
+    SELECT CAST(({_HP48}) % 64 AS INT) AS register,
+           MAX(CASE WHEN ({_HP48}) // 64 > 0
+                    THEN 43 - length(bin(({_HP48}) // 64))
+                    ELSE 43 END) AS max_rho
     FROM lineitem GROUP BY 1
 ),
 hlle AS (

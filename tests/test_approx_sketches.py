@@ -95,3 +95,22 @@ def test_deterministic_hll_accuracy_merge_and_stability(spark):
     half_b = sk.hll_register_table(l.where(F.col("l_orderkey") % 2 == 1), key)
     merged = sorted(map(tuple, sk.hll_merge(half_a, half_b).collect()))
     assert merged == base
+
+
+def test_deterministic_hll_large_cardinality_envelope(spark):
+    """Round-8 envelope fix: the 48-bit hash must hold the rated
+    accuracy at cardinalities where the old 32-bit hash's collisions
+    (and its missing large-range branch) would start to bite. 10^7
+    DISTINCT synthetic keys -> estimate within 3x the published
+    1.04/sqrt(64) ~= 13% rse. Also pins the widened rho domain: with
+    42 w-bits the register table must stay physically mergeable and
+    every max_rho in [1, 43]."""
+    from parallel_inverted_index_map_reduce_spark.operators import sketches as sk
+
+    n = 10_000_000
+    keys = spark.range(n).select(F.col("id").cast("string").alias("k"))
+    regs = sk.hll_register_table(keys, F.col("k"))
+    rows = regs.collect()
+    assert all(1 <= r.max_rho <= 43 for r in rows), rows
+    est = sk.hll_estimate(regs).first().estimate
+    assert abs(est - n) / n < 0.39, est
