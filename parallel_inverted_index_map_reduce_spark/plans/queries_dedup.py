@@ -501,7 +501,7 @@ def _streamed_prep_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> s
     near-dup suppression runs against the persistent signature store
     the earlier batches committed."""
     from ..streaming import pipeline as spipe
-    from .stores import drain, session_store
+    from .stores import drain, session_store, tuned_shuffle
 
     def build(tmp: str) -> str:
         src = os.path.join(tmp, "src")
@@ -512,20 +512,21 @@ def _streamed_prep_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> s
             (F.col("doc_id") >= _PIPE_B1) & (F.col("doc_id") < _PIPE_B2),
             F.col("doc_id") >= _PIPE_B2,
         ]
-        for b, pred in enumerate(slices):
-            docs.where(pred).coalesce(1).write.mode("append").parquet(src)
-            stream = spark.readStream.schema(docs.schema).parquet(src)
-            drain(
-                spipe.start_incremental_prep(
-                    stream,
-                    out,
-                    ckpt,
-                    cross_batch_threshold=_PIPE_THRESH,
-                    languages=(),
-                    **_PIPE_PREP_KW,
-                ),
-                f"streamed prep batch {b}",
-            )
+        with tuned_shuffle(spark):
+            for b, pred in enumerate(slices):
+                docs.where(pred).coalesce(1).write.mode("append").parquet(src)
+                stream = spark.readStream.schema(docs.schema).parquet(src)
+                drain(
+                    spipe.start_incremental_prep(
+                        stream,
+                        out,
+                        ckpt,
+                        cross_batch_threshold=_PIPE_THRESH,
+                        languages=(),
+                        **_PIPE_PREP_KW,
+                    ),
+                    f"streamed prep batch {b}",
+                )
         return out
 
     return session_store("prep_stream", sf_dir, build)
@@ -538,13 +539,14 @@ def _batch_prep_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
     (session-memoized — plans/stores.py); the part reads what actually
     LANDED, so a stage-reorder regression turns the driver row red."""
     from .. import pipeline as bpipe
-    from .stores import session_store
+    from .stores import session_store, tuned_shuffle
 
     def build(tmp: str) -> str:
         out = os.path.join(tmp, "landed")
-        bpipe.run_and_land(
-            spark, docs, out, languages=_PIPE_BATCH_LANGS, **_PIPE_PREP_KW
-        )
+        with tuned_shuffle(spark):
+            bpipe.run_and_land(
+                spark, docs, out, languages=_PIPE_BATCH_LANGS, **_PIPE_PREP_KW
+            )
         return out
 
     return session_store("prep_batch", sf_dir, build)

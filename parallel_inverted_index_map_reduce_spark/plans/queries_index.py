@@ -82,9 +82,11 @@ def _serving_base(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
     import hashlib
 
     from ..operators import serving as srv
+    from .stores import tuned_shuffle
 
     base = "rrserve_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    srv.ensure_search_index(docs, base, n_buckets=4, chunk_size=256)
+    with tuned_shuffle(spark):
+        srv.ensure_search_index(docs, base, n_buckets=4, chunk_size=256)
     return base
 
 
@@ -98,20 +100,21 @@ def _streamed_serving_store(
     path (batch 0 builds, batches 1-2 exercise the incremental merge),
     and the caller serves from the latest committed snapshot."""
     from ..streaming import serving_stream as svs
-    from .stores import drain, session_store
+    from .stores import drain, session_store, tuned_shuffle
 
     def build(tmp: str) -> str:
         src = os.path.join(tmp, "docs_in")
         store = os.path.join(tmp, "serving_versions")
         ckpt = os.path.join(tmp, "ckpt")
-        docs.repartition(3).write.parquet(src)
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        drain(svs.start_incremental_serving(stream, store, ckpt),
-              "streamed serving build")
+        with tuned_shuffle(spark):
+            docs.repartition(3).write.parquet(src)
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            drain(svs.start_incremental_serving(stream, store, ckpt),
+                  "streamed serving build")
         return store
 
     return session_store("serving_stream", sf_dir, build)
@@ -132,22 +135,25 @@ def _streamed_index_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> 
     needs no determinism (unlike the prep pipeline's cross-batch
     suppression, which is order-sensitive and slices by doc_id)."""
     from ..streaming import index_stream as sidx
-    from .stores import drain, session_store
+    from .stores import drain, session_store, tuned_shuffle
 
     def build(tmp: str) -> str:
         src = os.path.join(tmp, "docs_in")
         out = os.path.join(tmp, "index_versions")
         ckpt = os.path.join(tmp, "ckpt")
-        docs.repartition(3).write.parquet(src)
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        drain(
-            sidx.start_incremental_index(stream, out, ckpt, chunk_size=256),
-            "streamed index build",
-        )
+        with tuned_shuffle(spark):
+            docs.repartition(3).write.parquet(src)
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            drain(
+                sidx.start_incremental_index(
+                    stream, out, ckpt, chunk_size=256
+                ),
+                "streamed index build",
+            )
         return out
 
     return session_store("index_stream", sf_dir, build)

@@ -67,22 +67,25 @@ def _streamed_ann_store(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str
     lists with decimal scores so the served ranks equal brute force
     whatever the centroids."""
     from ..streaming import ann_stream as avs
-    from .stores import drain, session_store
+    from .stores import drain, session_store, tuned_shuffle
 
     def build(tmp: str) -> str:
         src = os.path.join(tmp, "emb_in")
         store = os.path.join(tmp, "ann_versions")
         ckpt = os.path.join(tmp, "ckpt")
-        emb.repartition(3).write.parquet(src)
-        stream = (
-            spark.readStream.schema(emb.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        drain(
-            avs.start_incremental_ann(stream, store, ckpt, n_list=8, n_iters=2),
-            "streamed ANN build",
-        )
+        with tuned_shuffle(spark):
+            emb.repartition(3).write.parquet(src)
+            stream = (
+                spark.readStream.schema(emb.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            drain(
+                avs.start_incremental_ann(
+                    stream, store, ckpt, n_list=8, n_iters=2
+                ),
+                "streamed ANN build",
+            )
         return store
 
     return session_store("ann_stream", sf_dir, build)
@@ -99,8 +102,11 @@ def _ann_serving_base(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
     never served stale."""
     import hashlib
 
+    from .stores import tuned_shuffle
+
     base = "annserve_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    srv.ensure_ann_index(emb, base, n_list=8, n_iters=2)
+    with tuned_shuffle(spark):
+        srv.ensure_ann_index(emb, base, n_list=8, n_iters=2)
     return base
 
 

@@ -20,6 +20,7 @@ import shutil
 import tempfile
 import threading
 from collections.abc import Callable
+from contextlib import contextmanager
 
 _STORES: dict[tuple[str, str], str] = {}
 # per-key build locks (guarded by _LOCKS_GUARD): two threads asking for
@@ -54,6 +55,37 @@ def session_store(kind: str, key: str, build: Callable[[str], str]) -> str:
         store = build(fresh_tmpdir(f"sparkgraft_{kind}_"))
         _STORES[k] = store
         return store
+
+
+@contextmanager
+def tuned_shuffle(spark, n: int | None = None):
+    """Temporarily pin spark.sql.shuffle.partitions to the machine's
+    parallelism for the duration of a store build.
+
+    The driver owns the session and leaves the 200-partition default;
+    a streaming micro-batch then runs every stateful stage (join state
+    stores, window state, HDFS-backed providers) 200-wide over
+    kilobytes of data — measured 100 s vs ~20 s for the stream-joins
+    build at sf0.01. The override is scoped and restored: it applies
+    to queries STARTED inside the block (each build uses its own fresh
+    checkpoint, so the state-store partition count baked into it is
+    consistent), and partition count never changes result CONTENT
+    (pinned by tests/test_determinism.py's shuffle-partition matrix).
+    """
+    key = "spark.sql.shuffle.partitions"
+    n = n if n is not None else spark.sparkContext.defaultParallelism
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def drain(query, what: str, timeout_sec: int = 600) -> None:

@@ -85,7 +85,13 @@ def start_incremental_prep(
         if cross_batch_threshold is not None:
             landed_sigs = _landed_signatures(spark, out_dir)
             if landed_sigs is not None:
-                batch_sigs = dd.minhash_table(fresh)
+                # pin the signature table: it feeds the candidate join,
+                # the estimator (twice), and the final store write —
+                # without the checkpoint the shingle->minhash aggregation
+                # re-executes per consumer
+                batch_sigs = dd.minhash_table(fresh).localCheckpoint(
+                    eager=False
+                )
                 cand = dd.lsh_cross_candidates(batch_sigs, landed_sigs)
                 near = (
                     dd.minhash_estimate(batch_sigs, landed_sigs, cand)
@@ -94,6 +100,12 @@ def start_incremental_prep(
                     .distinct()
                 )
                 fresh = fresh.join(near, "doc_id", "left_anti")
+        # pin the suppressed batch input: prepare_training_data fans it
+        # into several independent actions (quality semi-join, keep-list
+        # checkpoints, chunk/pack), each of which would otherwise replay
+        # the anti-joins AND the whole cross-batch probe chain above —
+        # measured 3x the per-batch wall at sf0.01 (BENCH_NOTES round 8)
+        fresh = fresh.localCheckpoint(eager=False)
         packed = batch_pipeline.prepare_training_data(fresh, **prep_kwargs)
         packed.write.mode("overwrite").parquet(eo.batch_dir(out_dir, batch_id))
         # signature store: 16 longs per KEPT doc, written before the

@@ -60,8 +60,21 @@ def test_session_stream_matches_batch(spark):
         sev.read_events_stream(spark, SF_ORACLE)
     )
     got = _drain(spark, stream, "t_session")
-    batch = all_specs()["session_window_stats"].fn(spark, SF_ORACLE)
-    srows = sorted(map(tuple, got.collect()))
+    # the registry entry is a labeled multi-part result since round 8
+    # (streaming-join parts); the session-window twin is its 'session'
+    # rows, in the stream's column shape
+    batch = (
+        all_specs()["session_window_stats"]
+        .fn(spark, SF_ORACLE)
+        .where("part = 'session'")
+        .selectExpr(
+            "user_id",
+            "t_start AS session_start",
+            "t_end AS session_end",
+            "n_events",
+        )
+    )
+    srows = sorted(map(tuple, got.select(*batch.columns).collect()))
     brows = sorted(map(tuple, batch.collect()))
     assert srows == brows
 
