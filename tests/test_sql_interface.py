@@ -144,3 +144,96 @@ def test_plain_sql_bm25_over_the_attached_serving_store(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_plain_sql_ivf_probe_over_the_attached_ann_store(spark):
+    """The stored ANN layout is queryable by ANY SQL client, exactly as
+    the BM25 store is: a pure spark.sql IVF probe over the attached
+    <base>_vectors/_centroids tables matches ann_search_stored
+    row-for-row at the SAME pruned nprobe — the LAYOUT (list_id
+    partition dirs + centroids companion), not the Python operators, is
+    the product surface. Two statements, like any SQL client: one
+    selects the probe lists per query from the centroids table, the
+    second carries them as literals so the partition IN-filter pruning
+    holds unconditionally (the same static-filter discipline
+    ann_search_stored uses)."""
+    from parallel_inverted_index_map_reduce_spark.operators import serving as srv
+    from parallel_inverted_index_map_reduce_spark.sources.tables import (
+        load_table,
+        register_views,
+    )
+
+    register_views(spark, SF_ORACLE)
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    srv.store_ann_index(emb, "sqlann", n_list=4, n_iters=1)
+
+    k, nprobe = 5, 2
+    # the engine's whole-stage-codegen folds, verbatim in SQL
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) ->"
+        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+    sqdist = (
+        "aggregate(zip_with({a}, {b}, (x, y) ->"
+        " (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+    probes = spark.sql(
+        f"""
+        WITH d AS (
+            SELECT e.vec_id AS vec_a, c.list_id,
+                   round({sqdist.format(a="e.embedding", b="c.centroid")}, 9)
+                       AS dist
+            FROM embeddings e CROSS JOIN sqlann_centroids c
+            WHERE e.vec_id < 3
+        ),
+        ranked AS (
+            SELECT vec_a, list_id,
+                   row_number() OVER (
+                       PARTITION BY vec_a ORDER BY dist, list_id) AS rk
+            FROM d
+        )
+        SELECT vec_a, list_id FROM ranked WHERE rk <= {nprobe}
+        """
+    ).collect()
+    probe_rows = ", ".join(f"({r.vec_a}, {r.list_id})" for r in probes)
+    probe_ids = ", ".join(map(str, sorted({r.list_id for r in probes})))
+    got = spark.sql(
+        f"""
+        WITH probes(vec_a, list_id) AS (VALUES {probe_rows}),
+        q AS (
+            SELECT vec_id AS vec_a, embedding AS qe,
+                   sqrt({dot.format(a="embedding", b="embedding")}) AS qn
+            FROM embeddings WHERE vec_id < 3
+        ),
+        cand AS (
+            SELECT list_id, vec_id AS vec_b, embedding AS ce,
+                   sqrt({dot.format(a="embedding", b="embedding")}) AS cn
+            FROM sqlann_vectors WHERE list_id IN ({probe_ids})
+        ),
+        cos AS (
+            SELECT q.vec_a, c.vec_b,
+                   round({dot.format(a="q.qe", b="c.ce")} / (q.qn * c.cn), 6)
+                       AS cosine
+            FROM probes p
+            JOIN q ON q.vec_a = p.vec_a
+            JOIN cand c ON c.list_id = p.list_id
+            WHERE q.vec_a != c.vec_b
+        )
+        SELECT vec_a, vec_b, cosine, rank FROM (
+            SELECT vec_a, vec_b, cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY vec_a
+                       ORDER BY cosine DESC, vec_b ASC) AS BIGINT) AS rank
+            FROM cos
+        ) WHERE rank <= {k}
+        """
+    )
+    want = srv.ann_search_stored(
+        spark, "sqlann", emb.where("vec_id < 3"), k=k, nprobe=nprobe
+    )
+    grows = sorted(map(tuple, got.collect()))
+    wrows = sorted(map(tuple, want.collect()))
+    assert len(wrows) > 0, "stored ANN probe matched nothing — bad fixture"
+    assert grows == wrows
