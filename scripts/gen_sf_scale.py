@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Generate a scaled sf directory by replicating an existing one with
+consistent key offsets — evidence tooling for above-bench-scale runs
+(the sf1 headline table in BENCH_NOTES round 8).
+
+    python scripts/gen_sf_scale.py /root/testdata/sf0.1 /tmp/sf1 10
+
+Design choices, so the scaled workload measures what sf1 WOULD:
+
+- region/nation stay fixed (TPC-H holds them constant across SF), and
+  every replicated table offsets its own key AND its foreign keys by
+  replica * base-cardinality, so referential joins keep sf0.1's
+  fan-out instead of multiplying it.
+- documents get CHIMERA text per replica — the first half of one base
+  doc spliced to the second half of another, the pairing varying by
+  replica via distinct prime strides. A plain copy (or a copy with a
+  seed suffix) would be a ~1.0-Jaccard near-dup of its original, so
+  minhash_lsh_pairs at 10x would measure a 90%-duplicate corpus
+  (quadratic candidate blow-up) instead of a corpus that is simply 10x
+  bigger; two chimeras share at most one half (~1/3 Jaccard, under the
+  0.8 threshold), so the near-dup rate stays the base corpus's.
+- embeddings rotate each vector's components by the replica index —
+  norm-preserving but direction-changing, so cosine top-k at 10x
+  ranks 10x real candidates instead of 10 identical copies of each.
+- events offset event_id/user_id and keep ts: the stream's event-time
+  span is part of its semantics (windows per hour), so scaling adds
+  events per window, not more calendar.
+
+Only ~2x base memory is held at once (one table, narrow projections);
+everything else is Spark-side unions written straight back out.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# distinct prime strides per replica keep chimera pairings collision-free
+_P1, _P2 = 7919, 104729
+
+
+def _offset(df: DataFrame, i: int, counts: dict[str, int], cols: dict[str, str]):
+    """Replica ``i`` of ``df`` with every key column in ``cols`` offset
+    by i * its base table's cardinality (cols maps column -> table)."""
+    out = df
+    for col, table in cols.items():
+        out = out.withColumn(col, F.col(col) + F.lit(i * counts[table]))
+    return out
+
+
+def _replicate(df: DataFrame, mult: int, counts, cols) -> DataFrame:
+    parts = [_offset(df, i, counts, cols) for i in range(mult)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _chimera_docs(docs: DataFrame, mult: int, n: int) -> DataFrame:
+    """Replica 0 is the base corpus; replica i >= 1 splices doc
+    (d + i*_P1) % n's first half to doc (d + i*_P2 + 13) % n's second
+    half (character-level halves — shingle-equivalent for dedup)."""
+    halves = docs.select(
+        "doc_id",
+        F.substring("text", 1, (F.length("text") / 2).cast("int")).alias("h1"),
+        F.expr("substring(text, CAST(length(text) / 2 AS INT) + 1)").alias(
+            "h2"
+        ),
+        "lang",
+        "source",
+    )
+    parts = [docs]
+    for i in range(1, mult):
+        a = halves.select(
+            ((F.col("doc_id") - i * _P1) % n + n) % n, F.col("h1"), "lang", "source"
+        ).toDF("doc_id", "h1", "lang", "source")
+        b = halves.select(
+            ((F.col("doc_id") - (i * _P2 + 13)) % n + n) % n, F.col("h2")
+        ).toDF("doc_id", "h2")
+        parts.append(
+            a.join(b, "doc_id")
+            .select(
+                (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+                F.concat(F.col("h1"), F.col("h2")).alias("text"),
+                "lang",
+                "source",
+            )
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _rotated_embeddings(emb: DataFrame, mult: int, n: int) -> DataFrame:
+    parts = [emb]
+    for i in range(1, mult):
+        dim_rot = 1 + (i % 7)
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                F.concat(
+                    F.expr(f"slice(embedding, {dim_rot + 1}, size(embedding))"),
+                    F.expr(f"slice(embedding, 1, {dim_rot})"),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    src, dst, mult = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    spark = (
+        SparkSession.builder.master(f"local[{os.cpu_count()}]")
+        .config("spark.sql.shuffle.partitions", str(os.cpu_count()))
+        .config("spark.ui.enabled", "false")
+        .appName("gen-sf-scale")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    os.makedirs(dst, exist_ok=True)
+
+    read = lambda t: spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+    counts = {
+        t: read(t).count()
+        for t in ("customer", "supplier", "part", "orders", "documents",
+                  "embeddings", "events", "lineitem")
+    }
+    plans: dict[str, DataFrame] = {
+        "region": read("region"),
+        "nation": read("nation"),
+        "customer": _replicate(
+            read("customer"), mult, counts, {"c_custkey": "customer"}
+        ),
+        "supplier": _replicate(
+            read("supplier"), mult, counts, {"s_suppkey": "supplier"}
+        ),
+        "part": _replicate(read("part"), mult, counts, {"p_partkey": "part"}),
+        "orders": _replicate(
+            read("orders"),
+            mult,
+            counts,
+            {"o_orderkey": "orders", "o_custkey": "customer"},
+        ),
+        "lineitem": _replicate(
+            read("lineitem"),
+            mult,
+            counts,
+            {
+                "l_orderkey": "orders",
+                "l_partkey": "part",
+                "l_suppkey": "supplier",
+            },
+        ),
+        "documents": _chimera_docs(
+            read("documents"), mult, counts["documents"]
+        ),
+        "embeddings": _rotated_embeddings(
+            read("embeddings"), mult, counts["embeddings"]
+        ),
+        "events": _replicate(
+            read("events"),
+            mult,
+            counts,
+            {"event_id": "events", "user_id": "events"},
+        ),
+    }
+    for name, df in plans.items():
+        df.coalesce(max(1, mult // 2)).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{name}.parquet")
+        )
+        print(f"{name}: {spark.read.parquet(os.path.join(dst, f'{name}.parquet')).count()} rows")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
