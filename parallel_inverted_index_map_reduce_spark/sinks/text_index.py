@@ -38,6 +38,14 @@ def write_index_text(index: DataFrame, out_dir: str) -> None:
     Parallel write partitioned by letter (each letter sorted by rank via
     a per-partition sort — no global shuffle), then a driver-side rename
     pass for reference-identical file names + empty-letter files.
+
+    This is the REFERENCE-PARITY sink: "exactly a.txt..z.txt" forces the
+    driver-side per-letter concatenation below, which is inherently
+    single-node. Non-parity users at scale want
+    :func:`..sinks.partitioned.write_partitioned` instead — the
+    hive-partitioned parquet sink with bounded file counts and
+    PartitionFilters pruning; this sink exists to byte-match
+    /root/reference/src/main.cpp:298-320's output contract.
     """
     lines = format_index_lines(index)
     staged = os.path.join(out_dir, "_staged")
