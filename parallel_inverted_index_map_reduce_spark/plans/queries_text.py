@@ -63,8 +63,18 @@ t5 AS (SELECT doc_id,
               (count(*) - count(DISTINCT g)) * 1.0 / count(*) AS f
        FROM g5 GROUP BY doc_id),
 runs AS (
+    -- gaps-and-islands over the DENSE post-filter rank, not the raw
+    -- split position: dropping an empty token (consecutive whitespace)
+    -- leaves a gap in pos, and the engine's array fold treats the
+    -- survivors as adjacent — "x  x" is a run of 2. Raw-pos arithmetic
+    -- here silently split such runs; caught by the round-8 sf1
+    -- spot-check (chimera docs splice mid-whitespace), invisible at
+    -- sf0.01 because the fixture has no consecutive whitespace. Every
+    -- other part of this oracle already uses lead() over the filtered
+    -- rows, which is gap-immune by construction.
     SELECT doc_id, tok,
-           pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
     FROM tokpos
 ), rl AS (SELECT doc_id, count(*) AS n FROM runs GROUP BY doc_id, tok, grp),
 mr AS (SELECT doc_id, max(n) AS max_token_run FROM rl GROUP BY doc_id),

@@ -57,3 +57,49 @@ def test_repetition_stats_plan_has_no_shuffle(spark):
     docs = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
     plan = repetition_stats(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert "Aggregate" not in plan and "Window" not in plan, plan
+
+
+def test_max_token_run_oracle_matches_engine_on_collapsed_whitespace(spark):
+    """Round-8 regression lock for the divergence the sf1 spot-check
+    caught: consecutive whitespace drops an empty token, the engine's
+    array fold treats the survivors as ADJACENT ("x  x" is a run of
+    2), and the oracle's gaps-and-islands must rank positions densely
+    after the empty filter or it silently splits such runs (it used
+    raw split positions until round 8). Runs the FULL text_quality
+    oracle in DuckDB over a synthetic corpus built of exactly these
+    edge shapes and compares max_token_run per doc."""
+    import duckdb
+
+    from parallel_inverted_index_map_reduce_spark.plans.registry import (
+        all_specs,
+    )
+
+    texts = [
+        (0, "a  a   a b"),   # run of 3 across double+triple spaces
+        (1, "x  x"),         # the minimal split-run shape
+        (2, "q q  q q"),     # run of 4 with an interior double space
+        (3, "y z  z y"),     # run of 2 not at the text edges
+        (4, "lone"),         # no runs > 1
+    ]
+    got = {
+        r.doc_id: r.max_token_run
+        for r in repetition_stats(
+            spark.createDataFrame(texts, ["doc_id", "text"])
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+        "lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, 'en', 't', 0)", texts
+    )
+    rel = con.sql(all_specs()["text_quality"].oracle)
+    cols = rel.columns
+    want = {
+        row[cols.index("doc_id")]: row[cols.index("max_token_run")]
+        for row in rel.fetchall()
+    }
+    assert got == {0: 3, 1: 2, 2: 4, 3: 2, 4: 1}
+    assert want == got
