@@ -27,11 +27,65 @@ def _kv(df: DataFrame, metric, value) -> DataFrame:
     )
 
 
+def disc_quantiles(vals: DataFrame, col: str, ps: dict[str, float]) -> DataFrame:
+    """EXACT discrete quantiles as (metric, value) rows — the smallest
+    element whose cumulative count reaches ceil(p * n), which is
+    DuckDB's ``quantile_disc`` rule (calibrated empirically, round 8).
+
+    Round-8 replacement for percentile_approx here: the approx sketch
+    is only exact while n stays under its accuracy parameter (10,000
+    by default) — the sf1 spot-check caught quality_p50 drifting at
+    50,000 docs, the exact failure mode of a bound the driver's sf0.01
+    fixture can never reach.
+
+    Scale shape: ONE groupBy collapses the corpus to its distinct
+    VALUES, and everything after runs on that value-domain-sized frame
+    — doc lengths (bounded by the longest document) and 6-decimal
+    scores in [0, 1] (at most ~10^6 values) stay tiny however many
+    rows the corpus has. The single-partition cumulative window is
+    over THAT bounded frame, never corpus rows — the same bounded-
+    domain argument as the 26-letter sink, not a scale leak. All
+    requested quantiles come out of ONE aggregation over it.
+    """
+    from pyspark.sql import Window
+
+    counts = vals.groupBy(col).agg(F.count("*").alias("c"))
+    w_cum = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        F.col(col),
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    picks = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(p) * F.col("n")),
+                    F.col(col),
+                )
+            ).alias(m)
+            for m, p in ps.items()
+        ]
+    )
+    labels = list(ps)
+    return picks.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(m) for m in labels]).alias("m"),
+                F.array(*[F.col(m).cast("string") for m in labels]).alias(
+                    "v"
+                ),
+            )
+        ).alias("z")
+    ).select(F.col("z.m").alias("metric"), F.col("z.v").alias("value"))
+
+
 def corpus_report(docs: DataFrame) -> DataFrame:
     """(metric, value) rows profiling the corpus.
 
     Metrics: n_docs, n_tokens, n_distinct_words, exact_dup_docs,
-    len_p25/p50/p75/p95 (token-length quantiles via approx_percentile),
+    len_p25/p50/p75/p95 (EXACT token-length quantiles via the
+    value-domain cumulative pass — see :func:`disc_quantiles`),
     quality_p50, share per language (lang=<x>) and per source
     (source=<x>) when those columns exist.
     """
@@ -67,43 +121,26 @@ def corpus_report(docs: DataFrame) -> DataFrame:
         ),
     ]
 
-    # All four quantiles in ONE aggregation (percentile_approx takes an
-    # array of percentages), exploded into labeled rows.
-    qs = (25, 50, 75, 95)
+    # All four length quantiles from the value-domain cumulative pass
+    # (EXACT at any corpus size — see disc_quantiles).
     parts.append(
-        doclen.agg(
-            F.percentile_approx(
-                "dl", F.array(*[F.lit(q / 100.0) for q in qs])
-            ).alias("vals")
-        )
-        .select(
-            F.explode(
-                F.arrays_zip(
-                    F.array(*[F.lit(f"len_p{q}") for q in qs]).alias("m"),
-                    F.col("vals").alias("v"),
-                )
-            ).alias("z")
-        )
-        .select(
-            F.col("z.m").alias("metric"),
-            F.col("z.v").cast("string").alias("value"),
+        disc_quantiles(
+            doclen, "dl", {f"len_p{q}": q / 100.0 for q in (25, 50, 75, 95)}
         )
     )
 
     # quantile over the DECIMAL(18,6) score, not the double: the disc
-    # percentile returns an actual element, and a fixed-scale decimal
+    # quantile returns an actual element, and a fixed-scale decimal
     # element renders identically in every engine (plans/exprs.py) —
     # double would re-enter the cross-engine cast minefield for zero
     # benefit.
     parts.append(
-        _kv(
-            quality_scores(docs).agg(
-                F.percentile_approx(
-                    F.col("quality_score").cast("decimal(18,6)"), 0.5
-                ).alias("v")
+        disc_quantiles(
+            quality_scores(docs).select(
+                F.col("quality_score").cast("decimal(18,6)").alias("q6")
             ),
-            F.lit("quality_p50"),
-            F.col("v"),
+            "q6",
+            {"quality_p50": 0.5},
         )
     )
 

@@ -324,10 +324,13 @@ FROM hlle
     "'report'/'check'/'diff' parts driver-verify the corpus-audit "
     "family a pipeline runs before committing compute: corpus_report "
     "(operators/report.py — doc/token/vocab counts, exact-dup count, "
-    "token-length quantiles from ONE percentile_approx over a pinned "
-    "doclen frame, disc-median quality score as a fixed-scale decimal, "
-    "per-lang and per-source shares; the oracle's quantile_disc "
-    "reproduces the uncompressed Greenwald-Khanna sketch exactly), "
+    "token-length quantiles and the disc-median quality score via the "
+    "EXACT value-domain cumulative pass (report.py disc_quantiles — "
+    "one groupBy to distinct values, then ceil(p*n) picks over that "
+    "bounded frame; replaced percentile_approx in round 8 after the "
+    "sf1 spot-check caught its 10k-row accuracy envelope drifting the "
+    "quality median at 50k docs), per-lang and per-source shares; the "
+    "oracle's quantile_disc implements the same ceil(p*n) rule), "
     "corpus_checks (report.py — the five data-quality gates as ONE "
     "conditional-count aggregation + the duplicate-id groupBy), and "
     "corpus_diff (operators/maintenance.py — added/removed/changed/"
