@@ -123,6 +123,13 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count()}]")
         .config("spark.sql.shuffle.partitions", str(os.cpu_count()))
+        # a wide-multiplier lineitem write OOMs the 1g default (many
+        # concurrent parquet writer buffers); this is a generator tool,
+        # take a real heap
+        .config(
+            "spark.driver.memory",
+            os.environ.get("GEN_SF_DRIVER_MEM", "8g"),
+        )
         .config("spark.ui.enabled", "false")
         .appName("gen-sf-scale")
         .getOrCreate()
