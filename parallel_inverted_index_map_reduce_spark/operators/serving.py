@@ -738,6 +738,58 @@ def stored_term_postings(
     return _with_df_letter(idx).select("letter", "word", "df", "postings")
 
 
+# Above this many matched vocabulary terms, the stored suffix/fuzzy
+# paths stop collecting the match set to the driver (the literal IN
+# list is what feeds bucket/partition pruning — worth it for the
+# common neighborhood-sized case) and switch to a distributed semi-join
+# (a 1-char suffix over a 10^8-word vocabulary must never driver-OOM).
+VOCAB_INLINE_CAP = 1024
+
+
+def stored_postings_for_matched(
+    spark: SparkSession,
+    base: str,
+    matched: DataFrame,
+    cap: int = VOCAB_INLINE_CAP,
+) -> DataFrame:
+    """(letter, word, df, postings) for a matched-vocabulary FRAME
+    (single ``word`` column), row-identical to
+    ``stored_term_postings(spark, base, collected_words)`` on every
+    input by construction (same source tables, same reassembly tails;
+    pinned by tests/test_vocab_search.py's branch-identity tests):
+
+    - at most ``cap`` matches (the common case — fuzzy neighborhoods,
+      real suffixes): collect the words and route through
+      :func:`stored_term_postings`, whose literal IN list prunes
+      buckets and pushes into the scan (PushedFilters) — per-query cost
+      bounded by the match set, flat in corpus size;
+    - above ``cap``: NEVER collect — broadcast semi-join the matched
+      frame (with its derived letter, so the join lands on the
+      partition key) against the chunks table, or the positions table
+      when a deferred extend left chunks stale. Scan cost is then the
+      table's, not the driver's memory — unconditionally scale-safe.
+    """
+    head = [r["word"] for r in matched.limit(cap + 1).collect()]
+    if len(head) <= cap:
+        return stored_term_postings(spark, base, sorted(head))
+    keys = F.broadcast(
+        matched.select(
+            F.substring("word", 1, 1).alias("letter"), "word"
+        ).distinct()
+    )
+    if chunks_current(spark, base):
+        return assemble_term_chunks(
+            spark.table(f"{base}_chunks").join(keys, ["letter", "word"], "left_semi")
+        )
+    idx = (
+        spark.table(f"{base}_positions")
+        .join(keys, ["letter", "word"], "left_semi")
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("postings"))
+    )
+    return _with_df_letter(idx).select("letter", "word", "df", "postings")
+
+
 def prefix_search_stored(
     spark: SparkSession, base: str, prefix: str
 ) -> DataFrame:
@@ -764,7 +816,11 @@ def prefix_search_stored(
 
 
 def fuzzy_term_search_stored(
-    spark: SparkSession, base: str, term: str, max_dist: int = 1
+    spark: SparkSession,
+    base: str,
+    term: str,
+    max_dist: int = 1,
+    cap: int = VOCAB_INLINE_CAP,
 ) -> DataFrame:
     """(letter, word, df, postings): index.py fuzzy_term_search served
     from the stored layout. Two stored reads, each pruned its own way:
@@ -773,10 +829,10 @@ def fuzzy_term_search_stored(
        positions when chunks are stale), distinct, through the SymSpell
        deletion-neighborhood filter + levenshtein verify; vocabulary-
        scale, postings never read.
-    2. postings fetch — the verified matches (a neighborhood-bounded
-       handful, collected as the driver-scalar probe list, same pattern
-       as the ANN probe ids) go through :func:`stored_term_postings`,
-       i.e. a static word-IN lookup that prunes buckets/partitions.
+    2. postings fetch — through :func:`stored_postings_for_matched`:
+       a neighborhood-bounded match set (the common case) collects to
+       a driver-scalar IN list that prunes buckets/partitions; a match
+       set above ``cap`` never collects and semi-joins instead.
 
     Row-identical to the corpus-scan form by construction (same
     candidate relation, same verify predicate, same postings source of
@@ -794,8 +850,7 @@ def fuzzy_term_search_stored(
         .distinct()
         .where(F.levenshtein(F.col("word"), F.lit(q)) <= max_dist)
     )
-    words = sorted(r["word"] for r in matched.collect())
-    return stored_term_postings(spark, base, words)
+    return stored_postings_for_matched(spark, base, matched, cap=cap)
 
 
 def norms_current(spark: SparkSession, base: str) -> bool:
@@ -1731,15 +1786,17 @@ def suffix_matched_words(
 
 
 def suffix_search_stored(
-    spark: SparkSession, base: str, suffix: str
+    spark: SparkSession, base: str, suffix: str, cap: int = VOCAB_INLINE_CAP
 ) -> DataFrame:
     """(letter, word, df, postings): index.py suffix_search served from
     the stored layout. The vocabulary pass goes through
     :func:`suffix_matched_words` (directory-pruned via the ``_rwords``
     reversed-word companion on v5 stores; column-pruned scan fallback
     on older layouts), then the postings fetch goes through
-    :func:`stored_term_postings` (bucket-pruned, staleness-aware)."""
+    :func:`stored_postings_for_matched` (bucket-pruned IN list up to
+    ``cap`` matches, collect-free semi-join above it — a short suffix
+    over a huge vocabulary must never pull the match set to the
+    driver); staleness-aware on both branches."""
     sfx = _normalize_single_term(suffix, "suffix")
     matched = suffix_matched_words(spark, base, sfx)
-    words = sorted(r["word"] for r in matched.collect())
-    return stored_term_postings(spark, base, words)
+    return stored_postings_for_matched(spark, base, matched, cap=cap)

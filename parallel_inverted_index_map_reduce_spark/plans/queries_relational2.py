@@ -120,8 +120,15 @@ _SAMPLE_T = 268_435_456  # 2^32 / 16
 _HP = sql_stable_hash32("CAST(l_partkey AS VARCHAR)")
 # HLL uses the WIDER 48-bit hash (functions/hashing.py stable_hash48):
 # 32 bits collide materially above ~10^8 distinct keys, and the whole
-# point of a distinct sketch at 100 TB is 10^9+ keys. KMV stays 32-bit
-# (its threshold _KMV_T is calibrated to the 2^32 space).
+# point of a distinct sketch at 100 TB is 10^9+ keys. KMV DELIBERATELY
+# stays 32-bit: its keep probability IS _KMV_T / 2^32 (= 1/64), so
+# "widening the hash" without re-deriving _KMV_T from the new space
+# would silently collapse the keep rate to ~0 and the estimate to 0.
+# Calibrated envelope: collision undercount (~n/2^33) stays below the
+# sampler's own noise (RSE ~ 8/sqrt(n)) up to n ~ 2^24 distinct keys,
+# and stays under 1% absolute to n ~ 10^8 — the right trade for a
+# fixed-rate sample whose job is also feeding the sampled percentile;
+# unbounded-cardinality estimation is HLL's job, not KMV's.
 _HP48 = sql_stable_hash48("CAST(l_partkey AS VARCHAR)")
 _HO = sql_stable_hash32("CAST(l_orderkey AS VARCHAR)")
 _HR = sql_stable_hash32("l_orderkey || '-' || l_linenumber")

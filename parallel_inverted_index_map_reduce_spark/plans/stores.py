@@ -57,6 +57,18 @@ def session_store(kind: str, key: str, build: Callable[[str], str]) -> str:
         return store
 
 
+# tuned_shuffle is reference-counted: session_store deliberately lets
+# DIFFERENT-key builds run concurrently, so a naive save/restore would
+# let the first build's exit reset the conf to 200 mid-flight of an
+# overlapping build (reintroducing the 200-wide stateful-stage slowdown
+# the helper exists to fix — perf only, content is partition-invariant).
+# The ORIGINAL value is captured by the first entrant and restored by
+# the last exiter; one session per process, like everything here.
+_TUNE_GUARD = threading.Lock()
+_TUNE_DEPTH = 0
+_TUNE_SAVED: str | None = None
+
+
 @contextmanager
 def tuned_shuffle(spark, n: int | None = None):
     """Temporarily pin spark.sql.shuffle.partitions to the machine's
@@ -66,26 +78,35 @@ def tuned_shuffle(spark, n: int | None = None):
     a streaming micro-batch then runs every stateful stage (join state
     stores, window state, HDFS-backed providers) 200-wide over
     kilobytes of data — measured 100 s vs ~20 s for the stream-joins
-    build at sf0.01. The override is scoped and restored: it applies
-    to queries STARTED inside the block (each build uses its own fresh
-    checkpoint, so the state-store partition count baked into it is
-    consistent), and partition count never changes result CONTENT
-    (pinned by tests/test_determinism.py's shuffle-partition matrix).
+    build at sf0.01. The override is scoped and RESTORED BY THE LAST
+    ACTIVE BLOCK (reference-counted — concurrent different-key builds
+    overlap, see _TUNE_GUARD note): it applies to queries STARTED
+    inside the block (each build uses its own fresh checkpoint, so the
+    state-store partition count baked into it is consistent), and
+    partition count never changes result CONTENT (pinned by
+    tests/test_determinism.py's shuffle-partition matrix).
     """
+    global _TUNE_DEPTH, _TUNE_SAVED
     key = "spark.sql.shuffle.partitions"
     n = n if n is not None else spark.sparkContext.defaultParallelism
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
-    spark.conf.set(key, str(n))
+    with _TUNE_GUARD:
+        if _TUNE_DEPTH == 0:
+            try:
+                _TUNE_SAVED = spark.conf.get(key)
+            except Exception:
+                _TUNE_SAVED = None
+        _TUNE_DEPTH += 1
+        spark.conf.set(key, str(n))
     try:
         yield
     finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+        with _TUNE_GUARD:
+            _TUNE_DEPTH -= 1
+            if _TUNE_DEPTH == 0:
+                if _TUNE_SAVED is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, _TUNE_SAVED)
 
 
 def drain(query, what: str, timeout_sec: int = 600) -> None:

@@ -19,9 +19,18 @@ Design choices, so the scaled workload measures what sf1 WOULD:
   (quadratic candidate blow-up) instead of a corpus that is simply 10x
   bigger; two chimeras share at most one half (~1/3 Jaccard, under the
   0.8 threshold), so the near-dup rate stays the base corpus's.
-- embeddings rotate each vector's components by the replica index —
-  norm-preserving but direction-changing, so cosine top-k at 10x
-  ranks 10x real candidates instead of 10 identical copies of each.
+- embeddings apply a PER-REPLICA-DISTINCT norm-preserving transform
+  (component rotation composed with a sign mask drawn from the
+  replica index's bits), so cosine top-k at any multiplier ranks real
+  candidates instead of byte-identical copies. Rotation alone is NOT
+  injective (it cycles every dim-1 replicas — at mult > dim-1 each
+  embedding would reappear verbatim under different vec_ids); the
+  2^dim distinct sign masks make the transform injective for any
+  practical mult.
+- replication offsets keys by replica * base-cardinality, which is
+  collision-free ONLY for dense 0..N-1 key domains — these fixtures'
+  shape, ASSERTED before replicating. Sparse keys (real TPC-H
+  o_orderkey runs ~4x count) would silently alias across replicas.
 - events offset event_id/user_id and keep ts: the stream's event-time
   span is part of its semantics (windows per hour), so scaling adds
   events per window, not more calendar.
@@ -51,6 +60,29 @@ def _offset(df: DataFrame, i: int, counts: dict[str, int], cols: dict[str, str])
     for col, table in cols.items():
         out = out.withColumn(col, F.col(col) + F.lit(i * counts[table]))
     return out
+
+
+def _assert_dense_keys(
+    df: DataFrame, name: str, counts: dict[str, int], cols: dict[str, str]
+) -> None:
+    """Offset-by-count replication is collision-free only when every
+    offset column's values live in [0, count(its base table)) — true
+    for these dense-keyed fixtures, silently key-aliasing otherwise
+    (sparse domains like real TPC-H o_orderkey need offset by
+    max(key)+1 instead). Fail loudly before writing anything."""
+    aggs = []
+    for col in cols:
+        aggs += [F.min(col).alias(f"min_{col}"), F.max(col).alias(f"max_{col}")]
+    row = df.agg(*aggs).first()
+    for col, table in cols.items():
+        lo, hi = row[f"min_{col}"], row[f"max_{col}"]
+        if lo is None or lo < 0 or hi >= counts[table]:
+            raise SystemExit(
+                f"{name}.{col}: values [{lo}, {hi}] not within "
+                f"[0, {counts[table]}) of base table '{table}' — "
+                "offset-by-count replication would alias keys across "
+                "replicas; this tool requires dense 0..N-1 key domains"
+            )
 
 
 def _replicate(df: DataFrame, mult: int, counts, cols) -> DataFrame:
@@ -98,17 +130,30 @@ def _chimera_docs(docs: DataFrame, mult: int, n: int) -> DataFrame:
     return out
 
 
-def _rotated_embeddings(emb: DataFrame, mult: int, n: int) -> DataFrame:
+def _rotated_embeddings(emb: DataFrame, mult: int, n: int, dim: int) -> DataFrame:
+    """Replica ``i`` applies rotate(1 + i % (dim-1)) COMPOSED WITH the
+    sign mask of i's bits (component p multiplied by (-1)^bit_p(i)) —
+    norm-preserving, and injective per replica: rotation alone cycles
+    every dim-1 replicas, but no two replicas i != j < 2^dim share a
+    sign mask, so no embedding ever reappears byte-identically under a
+    different vec_id at any practical multiplier."""
     parts = [emb]
     for i in range(1, mult):
-        dim_rot = 1 + (i % 7)
+        dim_rot = 1 + (i % (dim - 1))
+        signs = [-1.0 if (i >> p) & 1 else 1.0 for p in range(dim)]
+        rotated = F.concat(
+            F.expr(f"slice(embedding, {dim_rot + 1}, size(embedding))"),
+            F.expr(f"slice(embedding, 1, {dim_rot})"),
+        )
+        masked = F.zip_with(
+            rotated,
+            F.array(*[F.lit(s) for s in signs]),
+            lambda x, s: (x * s).cast("float"),
+        )
         parts.append(
             emb.select(
                 (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
-                F.concat(
-                    F.expr(f"slice(embedding, {dim_rot + 1}, size(embedding))"),
-                    F.expr(f"slice(embedding, 1, {dim_rot})"),
-                ).alias("embedding"),
+                masked.alias("embedding"),
                 "label",
             )
         )
@@ -144,46 +189,63 @@ def main() -> None:
         for t in ("customer", "supplier", "part", "orders", "documents",
                   "embeddings", "events", "lineitem")
     }
+    # every offset column must be dense in its base table's [0, count)
+    # (see _assert_dense_keys) — checked up front, before any writes
+    offset_cols: dict[str, dict[str, str]] = {
+        "customer": {"c_custkey": "customer"},
+        "supplier": {"s_suppkey": "supplier"},
+        "part": {"p_partkey": "part"},
+        "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+        "lineitem": {
+            "l_orderkey": "orders",
+            "l_partkey": "part",
+            "l_suppkey": "supplier",
+        },
+        "documents": {"doc_id": "documents"},
+        "embeddings": {"vec_id": "embeddings"},
+        "events": {"event_id": "events", "user_id": "events"},
+    }
+    for table, cols in offset_cols.items():
+        _assert_dense_keys(read(table), table, counts, cols)
+    # the sign-mask transform needs one uniform embedding dim (a
+    # dim-length mask zip_with'd over a shorter array would null-pad)
+    dims = [
+        r[0]
+        for r in read("embeddings").select(F.size("embedding")).distinct().collect()
+    ]
+    if len(dims) != 1:
+        raise SystemExit(f"embeddings must share one dim, found sizes {sorted(dims)}")
+    dim = dims[0]
     plans: dict[str, DataFrame] = {
         "region": read("region"),
         "nation": read("nation"),
         "customer": _replicate(
-            read("customer"), mult, counts, {"c_custkey": "customer"}
+            read("customer"), mult, counts, offset_cols["customer"]
         ),
         "supplier": _replicate(
-            read("supplier"), mult, counts, {"s_suppkey": "supplier"}
+            read("supplier"), mult, counts, offset_cols["supplier"]
         ),
-        "part": _replicate(read("part"), mult, counts, {"p_partkey": "part"}),
-        "orders": _replicate(
-            read("orders"),
-            mult,
-            counts,
-            {"o_orderkey": "orders", "o_custkey": "customer"},
-        ),
+        "part": _replicate(read("part"), mult, counts, offset_cols["part"]),
+        "orders": _replicate(read("orders"), mult, counts, offset_cols["orders"]),
         "lineitem": _replicate(
-            read("lineitem"),
-            mult,
-            counts,
-            {
-                "l_orderkey": "orders",
-                "l_partkey": "part",
-                "l_suppkey": "supplier",
-            },
+            read("lineitem"), mult, counts, offset_cols["lineitem"]
         ),
         "documents": _chimera_docs(
             read("documents"), mult, counts["documents"]
         ),
         "embeddings": _rotated_embeddings(
-            read("embeddings"), mult, counts["embeddings"]
+            read("embeddings"), mult, counts["embeddings"], dim
         ),
         "events": _replicate(
-            read("events"),
-            mult,
-            counts,
-            {"event_id": "events", "user_id": "events"},
+            read("events"), mult, counts, offset_cols["events"]
         ),
     }
     for name, df in plans.items():
+        if df.schema != read(name).schema:
+            raise SystemExit(
+                f"{name}: scaled schema {df.schema.simpleString()} drifted "
+                f"from base {read(name).schema.simpleString()}"
+            )
         df.coalesce(max(1, mult // 2)).write.mode("overwrite").parquet(
             os.path.join(dst, f"{name}.parquet")
         )

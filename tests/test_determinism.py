@@ -56,3 +56,24 @@ def test_result_invariant_to_shuffle_partitions(spark, name):
     first = results[0]
     for n, got in zip(PARTITION_COUNTS[1:], results[1:]):
         assert got == first, f"{name}: output changed at shuffle.partitions={n}"
+
+
+def test_tuned_shuffle_is_reference_counted(spark):
+    """Concurrent store builds overlap tuned_shuffle blocks: the FIRST
+    exit must NOT restore the session default mid-flight of another
+    active block; the LAST exit restores the original value."""
+    from parallel_inverted_index_map_reduce_spark.plans import stores
+
+    key = "spark.sql.shuffle.partitions"
+    original = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "200")
+        with stores.tuned_shuffle(spark, 8):
+            assert spark.conf.get(key) == "8"
+            with stores.tuned_shuffle(spark, 4):
+                assert spark.conf.get(key) == "4"
+            # inner exit: an outer block is still active -> no restore
+            assert spark.conf.get(key) == "4"
+        assert spark.conf.get(key) == "200"
+    finally:
+        spark.conf.set(key, original)

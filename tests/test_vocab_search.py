@@ -586,3 +586,71 @@ def test_bigram_lm_partition_invariance(spark):
         map(tuple, bigram_lm_scores(docs.repartition(9, "doc_id")).collect())
     )
     assert a == b and len(a) > 0
+
+
+# --- vocabulary-collect cap (stored_postings_for_matched) ----------------
+
+
+def _plan_of(df):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_vocab_cap_semi_join_branch_row_identical(spark, vocab_store):
+    """cap=0 forces the collect-free semi-join fallback; it must be
+    row-identical to the literal-IN fast path for suffix AND fuzzy, on
+    a current-chunks store."""
+    base, _ = vocab_store
+    for sfx in ("er", "s"):
+        assert _rows(srv.suffix_search_stored(spark, base, sfx, cap=0)) == _rows(
+            srv.suffix_search_stored(spark, base, sfx)
+        ), sfx
+    for term, d in (("sow", 1), ("sprk", 2)):
+        assert _rows(
+            srv.fuzzy_term_search_stored(spark, base, term, max_dist=d, cap=0)
+        ) == _rows(srv.fuzzy_term_search_stored(spark, base, term, max_dist=d)), term
+
+
+def test_vocab_cap_semi_join_branch_follows_staleness(spark):
+    """The fallback must route to the positions table while a deferred
+    extend leaves chunks stale — identical rows to the literal path
+    over the FULL extended corpus."""
+    base = "voccap"
+    docs = _docs(spark)
+    srv.store_search_index(docs, base, n_buckets=4, chunk_size=16)
+    new = load_table(spark, SF_ORACLE, "documents").where(
+        (F.col("doc_id") >= 60) & (F.col("doc_id") < 90)
+    )
+    srv.extend_search_index(spark, base, new, defer_chunks=True)
+    assert not srv.chunks_current(spark, base)
+    assert _rows(srv.suffix_search_stored(spark, base, "er", cap=0)) == _rows(
+        srv.suffix_search_stored(spark, base, "er")
+    )
+    assert _rows(
+        srv.fuzzy_term_search_stored(spark, base, "sow", cap=0)
+    ) == _rows(srv.fuzzy_term_search_stored(spark, base, "sow"))
+
+
+def test_vocab_cap_common_case_still_prunes(spark, vocab_store):
+    """Below the cap the postings fetch must keep the literal IN list
+    (the predicate that feeds bucket pruning and PushedFilters); above
+    it the plan must carry the broadcast semi-join instead of any
+    driver-collected literal list."""
+    base, _ = vocab_store
+    fast = _plan_of(srv.suffix_search_stored(spark, base, "er"))
+    assert "In(word" in fast.replace(" ", ""), fast
+    slow = _plan_of(srv.suffix_search_stored(spark, base, "er", cap=0))
+    compact = slow.replace(" ", "")
+    assert "LeftSemi" in slow and "Broadcast" in slow, slow
+    assert "In(word" not in compact, slow
+
+
+def test_vocab_cap_empty_match_stays_empty(spark, vocab_store):
+    base, _ = vocab_store
+    assert srv.suffix_search_stored(spark, base, "zzzq", cap=0).count() == 0
+    assert srv.fuzzy_term_search_stored(spark, base, "zzzzqqq", cap=0).count() == 0
