@@ -501,7 +501,7 @@ def _streamed_prep_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> s
     near-dup suppression runs against the persistent signature store
     the earlier batches committed."""
     from ..streaming import pipeline as spipe
-    from .stores import drain, session_store, tuned_shuffle
+    from .stores import drain, input_key, session_store, tuned_shuffle
 
     def build(tmp: str) -> str:
         src = os.path.join(tmp, "src")
@@ -529,7 +529,7 @@ def _streamed_prep_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> s
                 )
         return out
 
-    return session_store("prep_stream", sf_dir, build)
+    return session_store("prep_stream", input_key(sf_dir, docs), build)
 
 
 def _batch_prep_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
@@ -539,7 +539,7 @@ def _batch_prep_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
     (session-memoized — plans/stores.py); the part reads what actually
     LANDED, so a stage-reorder regression turns the driver row red."""
     from .. import pipeline as bpipe
-    from .stores import session_store, tuned_shuffle
+    from .stores import input_key, session_store, tuned_shuffle
 
     def build(tmp: str) -> str:
         out = os.path.join(tmp, "landed")
@@ -549,7 +549,7 @@ def _batch_prep_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
             )
         return out
 
-    return session_store("prep_batch", sf_dir, build)
+    return session_store("prep_batch", input_key(sf_dir, docs), build)
 
 
 def _sql_salted_unit_hash(salt: str) -> str:

@@ -100,7 +100,7 @@ def _streamed_serving_store(
     path (batch 0 builds, batches 1-2 exercise the incremental merge),
     and the caller serves from the latest committed snapshot."""
     from ..streaming import serving_stream as svs
-    from .stores import drain, session_store, tuned_shuffle
+    from .stores import drain, input_key, session_store, tuned_shuffle
 
     def build(tmp: str) -> str:
         src = os.path.join(tmp, "docs_in")
@@ -117,7 +117,7 @@ def _streamed_serving_store(
                   "streamed serving build")
         return store
 
-    return session_store("serving_stream", sf_dir, build)
+    return session_store("serving_stream", input_key(sf_dir, docs), build)
 
 
 def _streamed_index_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
@@ -135,7 +135,7 @@ def _streamed_index_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> 
     needs no determinism (unlike the prep pipeline's cross-batch
     suppression, which is order-sensitive and slices by doc_id)."""
     from ..streaming import index_stream as sidx
-    from .stores import drain, session_store, tuned_shuffle
+    from .stores import drain, input_key, session_store, tuned_shuffle
 
     def build(tmp: str) -> str:
         src = os.path.join(tmp, "docs_in")
@@ -156,7 +156,7 @@ def _streamed_index_store(spark: SparkSession, sf_dir: str, docs: DataFrame) -> 
             )
         return out
 
-    return session_store("index_stream", sf_dir, build)
+    return session_store("index_stream", input_key(sf_dir, docs), build)
 
 
 @register(

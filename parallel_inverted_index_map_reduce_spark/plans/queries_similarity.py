@@ -67,7 +67,7 @@ def _streamed_ann_store(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str
     lists with decimal scores so the served ranks equal brute force
     whatever the centroids."""
     from ..streaming import ann_stream as avs
-    from .stores import drain, session_store, tuned_shuffle
+    from .stores import drain, input_key, session_store, tuned_shuffle
 
     def build(tmp: str) -> str:
         src = os.path.join(tmp, "emb_in")
@@ -88,7 +88,7 @@ def _streamed_ann_store(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str
             )
         return store
 
-    return session_store("ann_stream", sf_dir, build)
+    return session_store("ann_stream", input_key(sf_dir, emb), build)
 
 
 def _ann_serving_base(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:

@@ -35,7 +35,7 @@ def _stateful_totals_store(
     (unlike the prep pipeline)."""
     from ..streaming import sinks as eo
     from ..streaming import stateful
-    from .stores import drain, session_store, tuned_shuffle
+    from .stores import drain, input_key, session_store, tuned_shuffle
 
     def build(tmp: str) -> str:
         src = os.path.join(tmp, "events_in")
@@ -62,7 +62,7 @@ def _stateful_totals_store(
             )
         return out
 
-    return session_store("stateful_totals", sf_dir, build)
+    return session_store("stateful_totals", input_key(sf_dir, events), build)
 
 
 # stateful_totals oracle envelope: DuckDB's CAST(round(value,6) AS
@@ -221,7 +221,7 @@ def _stream_joins_store(
     provably carries across its three batches) sinks."""
     from ..streaming import joins as sjn
     from ..streaming import sinks as eo
-    from .stores import drain, session_store, tuned_shuffle
+    from .stores import drain, input_key, session_store, tuned_shuffle
 
     def build(tmp: str) -> str:
         src = os.path.join(tmp, "events_in")
@@ -273,7 +273,7 @@ def _stream_joins_store(
             )
         return tmp
 
-    return session_store("stream_joins", sf_dir, build)
+    return session_store("stream_joins", input_key(sf_dir, events), build)
 
 
 @register(

@@ -161,3 +161,30 @@ def test_streamed_index_converges_to_batch_build(spark, tmp_path):
         .collect()
     }
     assert streamed_top == top_words
+
+
+def test_session_store_key_tracks_input_content(spark, tmp_path):
+    """The session-memoized stream stores key on (path, CONTENT
+    fingerprint) — regenerating the input table at the SAME path within
+    one session must trigger a rebuild, never serve the stale snapshot;
+    unchanged content must still hit the memo."""
+    from parallel_inverted_index_map_reduce_spark.plans.queries_index import (
+        _streamed_index_store,
+    )
+
+    path = str(tmp_path / "docs.parquet")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    rows = [
+        (0, "spark query engine", "en", "t", 18),
+        (1, "hash join probe side", "en", "t", 20),
+        (2, "sort merge join build", "en", "t", 21),
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(path)
+    s1 = _streamed_index_store(spark, path, spark.read.parquet(path))
+    # unchanged content -> memo hit (no second stream build)
+    assert _streamed_index_store(spark, path, spark.read.parquet(path)) == s1
+    # regenerated AT THE SAME PATH with different content -> rebuild
+    rows2 = rows + [(3, "bloom filter pushdown", "en", "t", 21)]
+    spark.createDataFrame(rows2, schema).write.mode("overwrite").parquet(path)
+    s2 = _streamed_index_store(spark, path, spark.read.parquet(path))
+    assert s2 != s1
