@@ -51,6 +51,44 @@ buckets AS (
 """
 
 
+# The semdedup anchors and the near-dup entry are DELIBERATELY
+# quadratic (global or in-bucket all-pairs) — that is what lets a plain
+# brute-force oracle prove the scalable machinery lossless. At registry
+# scale that is the whole point; above it the quadratic anchor (and its
+# oracle) would dominate any sweep, so BOTH sides anchor over the same
+# deterministic md5-ordered subset of the corpus. The cap covers sf0.01
+# (500 vecs) and sf0.1 (2,000) ENTIRELY — driver rows are byte-identical
+# to the uncapped formulation there — and bounds the pair count at any
+# larger scale (2048^2/2 ~ 2M pairs at sf1's 20k vectors instead of
+# 200M). The production paths (banded LSH, cluster-local SemDedup, IVF
+# probes) stay uncapped — only the all-pairs ANCHORS are scale-capped.
+_ANCHOR_CAP = 2048
+
+_UNIV_CTE = f"""
+univ AS (
+    SELECT vec_id FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {_ANCHOR_CAP}
+)
+"""
+
+
+def _capped_emb(emb: DataFrame, cap: int = _ANCHOR_CAP) -> DataFrame:
+    """The md5-ordered first ``cap`` vectors — _UNIV_CTE's twin (same
+    hash of the same decimal string, same binary collation, same
+    vec_id tiebreak, so the subset is identical across engines). The
+    rank-capped form keeps EVERYTHING while the corpus fits under the
+    cap (a fraction-keeping hash threshold would thin small corpora
+    too), which is what pins the driver rows at registry scale."""
+    top = (
+        emb.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(cap)
+        .select("vec_id")
+    )
+    return emb.join(F.broadcast(top), "vec_id", "left_semi")
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -116,11 +154,15 @@ def _ann_serving_base(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
     + COMP_CTE
     + ","
     + BUCKETS_CTE
+    + ","
+    + _UNIV_CTE
     + """,
 pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM buckets a JOIN buckets b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE a.vec_id IN (SELECT vec_id FROM univ)
+      AND b.vec_id IN (SELECT vec_id FROM univ)
 ),
 dots AS (
     SELECT p.vec_a, p.vec_b,
@@ -146,11 +188,17 @@ WHERE round(CAST(dot AS DOUBLE)
     "hyperplane sign-LSH buckets: the pair join is an equi-join on the "
     "4-bit bucket string — never a cross product — and the exact "
     "decimal cosine runs on in-bucket candidates only. The oracle "
-    "reproduces bucket assignment and verification bit-for-bit.",
+    "reproduces bucket assignment and verification bit-for-bit. With "
+    "only 16 buckets the in-bucket pair count is still quadratic in "
+    "corpus size, so the anchor runs over the md5-capped subset "
+    "(_ANCHOR_CAP — the whole corpus at registry/bench scale, a "
+    "bounded deterministic sample above it).",
 )
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.bucketed_near_dups(
-        _emb(spark, sf_dir), n_planes=_N_PLANES_NEAR_DUPS, threshold=0.35
+        _capped_emb(_emb(spark, sf_dir)),
+        n_planes=_N_PLANES_NEAR_DUPS,
+        threshold=0.35,
     )
 
 
@@ -158,6 +206,8 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_topk",
     oracle="WITH "
     + COMP_CTE
+    + ","
+    + _UNIV_CTE
     + """,
 dots AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -216,6 +266,8 @@ sdots AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            SUM(CAST(round(a.x * b.x, 7) AS DECIMAL(30,9))) AS dot
     FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+    WHERE a.vec_id IN (SELECT vec_id FROM univ)
+      AND b.vec_id IN (SELECT vec_id FROM univ)
     GROUP BY 1, 2
 ),
 scos AS (
@@ -231,7 +283,9 @@ sd_seeds AS (
     SELECT (row_number() OVER (ORDER BY h, vec_id)) - 1 AS j, embedding
     FROM (SELECT vec_id, embedding,
                  CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
-          FROM embeddings WHERE len(embedding) > 0)
+          FROM embeddings
+          WHERE len(embedding) > 0
+            AND vec_id IN (SELECT vec_id FROM univ))
     ORDER BY h, vec_id LIMIT 4
 ),
 sd_dist AS (
@@ -243,6 +297,7 @@ sd_dist AS (
              (acc, v) -> acc + v), 9) AS d
     FROM embeddings e CROSS JOIN sd_seeds s
     WHERE len(e.embedding) > 0
+      AND e.vec_id IN (SELECT vec_id FROM univ)
 ),
 sd_assign AS (
     SELECT vec_id, j AS list_id
@@ -315,7 +370,12 @@ FROM (
     "cluster-local keep rule, not just the degenerate anchor; the "
     "Lloyd mean update (n_iters>0) stays property-tested in "
     "tests/test_similarity.py (its decimal-division scale rules "
-    "differ across engines). "
+    "differ across engines). Both semdedup anchors (and ONLY they — "
+    "the six ANN paths are query-bounded) run over the md5-capped "
+    "subset (_capped_emb / the univ CTE): the full corpus at "
+    "registry and bench scale, a deterministic bounded sample above "
+    "it, keeping the deliberately-quadratic anchor sweepable at any "
+    "sf. "
     "same pattern as boolean_search): 'exact' is the brute-force decimal "
     "cosine; 'ivf_full_probe' runs the full IVF coarse-quantizer path — "
     "deterministic RNG-free k-means fit, shuffle-free assignment, "
@@ -416,8 +476,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_list=1 anchors the cluster-local machinery at exact global
     # all-pairs, so the oracle is the brute-force formulation and the
     # hash match proves pair expansion + keep rule lossless; pruned
-    # multi-cluster behavior is property-tested in tests/test_similarity.py
-    sd = sim.semantic_dedup(emb, n_list=1, threshold=0.35, n_iters=1).select(
+    # multi-cluster behavior is property-tested in tests/test_similarity.py.
+    # Both semdedup anchors run over the md5-capped subset (the whole
+    # corpus at registry/bench scale — see _capped_emb) so the
+    # deliberately-quadratic anchor stays tractable above it.
+    sd_emb = _capped_emb(emb)
+    sd = sim.semantic_dedup(sd_emb, n_list=1, threshold=0.35, n_iters=1).select(
         F.lit("semdedup").alias("op"),
         F.col("vec_id").alias("vec_a"),
         F.col("kept_by").alias("vec_b"),
@@ -428,7 +492,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-ordered seeds, so the oracle can replay the Voronoi
     # assignment exactly (Lloyd's decimal-division mean has different
     # scale rules across engines and stays property-tested)
-    sd_k = sim.semantic_dedup(emb, n_list=4, threshold=0.35, n_iters=0).select(
+    sd_k = sim.semantic_dedup(sd_emb, n_list=4, threshold=0.35, n_iters=0).select(
         F.lit("semdedup_k").alias("op"),
         F.col("vec_id").alias("vec_a"),
         F.col("kept_by").alias("vec_b"),
