@@ -34,6 +34,12 @@ Design choices, so the scaled workload measures what sf1 WOULD:
 - events offset event_id/user_id and keep ts: the stream's event-time
   span is part of its semantics (windows per hour), so scaling adds
   events per window, not more calendar.
+- an optional trailing ``--skew FRAC`` argument redirects FRAC of the
+  fact rows to ONE hot key after replication (lineitem.l_suppkey -> 0,
+  orders.o_custkey -> 0, md5-selected rows) — PERF evidence tooling
+  for how the unsalted headline joins behave under real key skew (AQE
+  skew-split or not). Join RESULTS change, so a skew directory is for
+  benchmarking only, never for correctness sweeps.
 
 Only ~2x base memory is held at once (one table, narrow projections);
 everything else is Spark-side unions written straight back out.
@@ -163,8 +169,24 @@ def _rotated_embeddings(emb: DataFrame, mult: int, n: int, dim: int) -> DataFram
     return out
 
 
+def _skewed(df: DataFrame, key_col: str, id_expr, frac: float) -> DataFrame:
+    """Redirect ~frac of rows' ``key_col`` to hot key 0, selected by a
+    deterministic md5 over ``id_expr`` (the row's own identity, NOT the
+    key, so the hot rows spread over the whole table)."""
+    pct = F.conv(F.substring(F.md5(id_expr), 1, 8), 16, 10).cast("long") % 100
+    return df.withColumn(
+        key_col,
+        F.when(pct < int(round(frac * 100)), F.lit(0)).otherwise(F.col(key_col)),
+    )
+
+
 def main() -> None:
     src, dst, mult = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    skew = 0.0
+    if len(sys.argv) > 4:
+        if sys.argv[4] != "--skew":
+            raise SystemExit(f"unknown argument {sys.argv[4]} (expected --skew FRAC)")
+        skew = float(sys.argv[5])
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count()}]")
         .config("spark.sql.shuffle.partitions", str(os.cpu_count()))
@@ -240,6 +262,16 @@ def main() -> None:
             read("events"), mult, counts, offset_cols["events"]
         ),
     }
+    if skew > 0:
+        plans["lineitem"] = _skewed(
+            plans["lineitem"],
+            "l_suppkey",
+            F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")),
+            skew,
+        )
+        plans["orders"] = _skewed(
+            plans["orders"], "o_custkey", F.col("o_orderkey").cast("string"), skew
+        )
     for name, df in plans.items():
         if df.schema != read(name).schema:
             raise SystemExit(

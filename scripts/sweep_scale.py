@@ -1,0 +1,368 @@
+#!/usr/bin/env python
+"""Above-registry-scale correctness sweep: drive every __spark_entry__
+query at an arbitrary sf directory and verify against DuckDB.
+
+The grading driver checks sf0.01; this tool extends the same evidence
+to sf1/sf10-class directories (scripts/gen_sf_scale.py), where round 8
+proved latent bugs live. Three verification modes, chosen per entry:
+
+- verbatim (default): the registry oracle_sql string, driver-style
+  stringified sorted-row compare. With a tuned DuckDB connection
+  (threads=CPUs, a real memory_limit) the banded minhash oracles that
+  looked intractable in round 8 run in single-digit seconds at sf1.
+- checksum: for entries whose OUTPUT is too large to ship through the
+  Python driver (simhash_near_dups emits ~148M true pairs at sf1 —
+  the 32-bit fingerprint's 4-5-bit pigeonhole blocks saturate on a
+  50k-doc corpus), BOTH engines reduce the full result to
+  (count, xor of per-row md5, sum of per-row md5) over the SAME
+  canonical row rendering — full-content verification with O(1)
+  transfer. Only eligible when every output column renders identically
+  across engines (integers / strings / booleans).
+- twin: a scalable reformulation for oracles whose FORMULATION cannot
+  scale (dedup_clusters' recursive-CTE reachability closure enumerates
+  every (node, reachable-root) pair — quadratic in cluster size). The
+  twin resolves components by iterative neighbor-min label propagation
+  over temp tables, converging in O(diameter) joins. Twins must be
+  validated against the verbatim oracle at registry scale first:
+  --selftest runs twin vs verbatim at the given (small) sf and fails
+  on any divergence.
+
+Usage:
+  python scripts/sweep_scale.py /tmp/sf1 [--only a,b] [--skip a,b]
+  python scripts/sweep_scale.py /root/testdata/sf0.01 --selftest
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+# entries verified by in-engine checksum instead of row shipping (all
+# integer columns; output too large for the Python driver above sf0.1)
+CHECKSUM_ENTRIES = {"simhash_near_dups"}
+
+NULL_TOKEN = "@@NULL@@"
+
+
+def duck_connect(sf_dir: str):
+    import duckdb
+
+    conn = duckdb.connect()
+    conn.execute(f"PRAGMA threads={os.cpu_count()}")
+    conn.execute("SET memory_limit='80GB'")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+        conn.execute(f"CREATE VIEW {t} AS SELECT * FROM '{glob}'")
+    return conn
+
+
+def spark_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SWEEP_DRIVER_MEM", "12g"))
+        .config("spark.ui.enabled", "false")
+        .appName("sweep-scale")
+        .getOrCreate()
+    )
+
+
+# ---------------------------------------------------------------- checksum
+
+
+def _spark_checksum(sdf):
+    """(count, xor60, sum60) over md5 of the canonical row rendering:
+    columns sorted by name, each cast to string, nulls -> NULL_TOKEN,
+    joined with '|'. 15 hex chars = 60 bits per row; xor is
+    order-independent, the decimal sum catches xor-cancelling swaps."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(sdf.columns)
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit(NULL_TOKEN)) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    row = sdf.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(h), F.lit(0)).alias("x"),
+        F.coalesce(F.sum(h.cast("decimal(38,0)")), F.lit(0)).alias("s"),
+    ).first()
+    return int(row["n"]), int(row["x"]), int(row["s"])
+
+
+def _duck_checksum(conn, sql: str, cols: list[str]):
+    canon = " || '|' || ".join(
+        f"COALESCE(CAST({_q(c)} AS VARCHAR), '{NULL_TOKEN}')" for c in sorted(cols)
+    )
+    h = f"CAST('0x' || substr(md5({canon}), 1, 15) AS BIGINT)"
+    row = conn.sql(
+        f"SELECT count(*), COALESCE(bit_xor({h}), 0), "
+        f"COALESCE(sum(CAST({h} AS DECIMAL(38,0))), 0) FROM ({sql})"
+    ).fetchone()
+    return int(row[0]), int(row[1]), int(row[2])
+
+
+def _q(col: str) -> str:
+    return '"' + col.replace('"', '""') + '"'
+
+
+def _checksum_eligible(sdf) -> bool:
+    from pyspark.sql import types as T
+
+    ok = (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.StringType,
+          T.BooleanType)
+    return all(isinstance(f.dataType, ok) for f in sdf.schema.fields)
+
+
+# ------------------------------------------------------------------ twins
+
+
+def twin_dedup_clusters(conn):
+    """Scalable dedup_clusters oracle: SAME edge set as the verbatim
+    oracle (banded MinHash candidates among exact-dedup canonicals,
+    decimal-round-6 Jaccard >= 0.8 verify, plus exact-dup edges), but
+    components resolved by ITERATIVE neighbor-min label propagation
+    over temp tables — O(diameter) passes over the edge list — instead
+    of the recursive-CTE reachability closure, which materializes every
+    (node, reachable-root) pair and is quadratic in cluster size.
+    Returns (columns, rows). Validated equal to the verbatim oracle at
+    registry scale by --selftest."""
+    from parallel_inverted_index_map_reduce_spark.plans.queries_dedup import (
+        MINHASH_CTE,
+    )
+
+    conn.execute(
+        "CREATE OR REPLACE TEMP TABLE t_edges AS WITH "
+        + MINHASH_CTE
+        + """,
+canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+exact_groups AS (
+    SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY md5(text)
+),
+exact_edges AS (
+    SELECT g.keep AS a, d.doc_id AS b
+    FROM documents d JOIN exact_groups g ON md5(d.text) = g.h
+    WHERE d.doc_id <> g.keep
+),
+ccand AS (
+    SELECT c.doc_a, c.doc_b FROM cand c
+    JOIN canon ka ON ka.doc_id = c.doc_a
+    JOIN canon kb ON kb.doc_id = c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM ccand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle_hash = sa.shingle_hash
+    GROUP BY c.doc_a, c.doc_b
+),
+near_edges AS (
+    SELECT c.doc_a AS a, c.doc_b AS b
+    FROM ccand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    WHERE CAST(CAST(round(CAST(COALESCE(i.n_common, 0) * 1.0
+              / (za.n_sh + zb.n_sh - COALESCE(i.n_common, 0)) AS DECIMAL(28,12)), 6)
+              AS DECIMAL(18,6)) AS DOUBLE) >= 0.8
+),
+edges0 AS (
+    SELECT a, b FROM exact_edges UNION SELECT a, b FROM near_edges
+)
+SELECT a, b FROM edges0 UNION SELECT b AS a, a AS b FROM edges0"""
+    )
+    conn.execute(
+        "CREATE OR REPLACE TEMP TABLE t_lbl AS "
+        "SELECT DISTINCT a AS node, a AS comp FROM t_edges"
+    )
+    for _ in range(64):
+        conn.execute(
+            """CREATE OR REPLACE TEMP TABLE t_nxt AS
+SELECT l.node, least(l.comp, COALESCE(m.mn, l.comp)) AS comp
+FROM t_lbl l LEFT JOIN (
+    SELECT e.b AS node, min(l2.comp) AS mn
+    FROM t_edges e JOIN t_lbl l2 ON l2.node = e.a
+    GROUP BY e.b
+) m ON m.node = l.node"""
+        )
+        changed = conn.sql(
+            "SELECT count(*) FROM t_nxt n JOIN t_lbl l "
+            "ON l.node = n.node AND l.comp <> n.comp"
+        ).fetchone()[0]
+        conn.execute("CREATE OR REPLACE TEMP TABLE t_lbl AS SELECT * FROM t_nxt")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("dedup_clusters twin did not converge in 64 rounds")
+    rel = conn.sql(
+        """
+WITH clusters AS (
+    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN t_lbl c ON c.node = d.doc_id
+),
+best AS (
+    SELECT cluster_id, doc_id AS keep_doc_id FROM (
+        SELECT cl.cluster_id, cl.doc_id,
+               row_number() OVER (PARTITION BY cl.cluster_id
+                                  ORDER BY d.n_chars DESC, cl.doc_id ASC) AS r
+        FROM clusters cl JOIN documents d ON d.doc_id = cl.doc_id
+    ) WHERE r = 1
+)
+SELECT cl.doc_id, cl.cluster_id,
+       (cl.doc_id = b.keep_doc_id) AS keep
+FROM clusters cl JOIN best b ON b.cluster_id = cl.cluster_id"""
+    )
+    cols = list(rel.columns)
+    return cols, rel.fetchall()
+
+
+TWINS = {"dedup_clusters": twin_dedup_clusters}
+
+
+# ------------------------------------------------------------------ sweep
+
+
+def rows_of_spark(sdf):
+    cols = sorted(sdf.columns)
+    return cols, sorted(
+        tuple(str(r[c]) for c in cols) for r in sdf.collect()
+    )
+
+
+def rows_of_duck(rel):
+    cols = sorted(rel.columns)
+    idx = [rel.columns.index(c) for c in cols]
+    return cols, sorted(tuple(str(r[i]) for i in idx) for r in rel.fetchall())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("--only", default="")
+    ap.add_argument("--skip", default="")
+    ap.add_argument("--cpus", type=int, default=os.cpu_count())
+    ap.add_argument(
+        "--selftest",
+        action="store_true",
+        help="validate twins + checksum mode against the verbatim "
+        "oracle/rows at this (small) sf instead of sweeping Spark",
+    )
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+
+    q, o = entry.queries(), entry.oracle_sql()
+    only = {s for s in args.only.split(",") if s}
+    skip = {s for s in args.skip.split(",") if s}
+    names = [n for n in sorted(q) if (not only or n in only) and n not in skip]
+
+    conn = duck_connect(args.sf_dir)
+
+    if args.selftest:
+        fails = []
+        for name, twin in TWINS.items():
+            t0 = time.time()
+            tc, tr = twin(conn)
+            want = rows_of_duck(conn.sql(o[name]))
+            got = (sorted(tc), sorted(tuple(str(v) for v in _reorder(r, tc)) for r in tr))
+            ok = got == want
+            print(f"twin {name}: {'OK' if ok else 'DIVERGED'} "
+                  f"({len(got[1])} rows, {time.time()-t0:.1f}s)", flush=True)
+            if not ok:
+                fails.append(name)
+        for name in sorted(CHECKSUM_ENTRIES):
+            t0 = time.time()
+            rel = conn.sql(o[name])
+            cols = list(rel.columns)
+            n, x, s = _duck_checksum(conn, o[name], cols)
+            spark = spark_session(args.cpus)
+            spark.sparkContext.setLogLevel("ERROR")
+            sdf = q[name](spark, args.sf_dir)
+            assert _checksum_eligible(sdf), f"{name}: non-checksummable schema"
+            sn, sx, ss = _spark_checksum(sdf)
+            ok = (n, x, s) == (sn, sx, ss)
+            print(f"checksum {name}: {'OK' if ok else 'DIVERGED'} "
+                  f"(n={n} vs {sn}, {time.time()-t0:.1f}s)", flush=True)
+            if not ok:
+                fails.append(name)
+        print("SELFTEST FAILURES:", fails or "none")
+        sys.exit(1 if fails else 0)
+
+    spark = spark_session(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {}
+    fails: list[str] = []
+    t_sweep = time.time()
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = q[name](spark, args.sf_dir)
+            if name in CHECKSUM_ENTRIES and _checksum_eligible(sdf):
+                mode = "checksum"
+                sn, sx, ss = _spark_checksum(sdf)
+                t_spark = time.time() - t0
+                n, x, s = _duck_checksum(conn, o[name], sorted(sdf.columns))
+                ok, n_rows = (sn, sx, ss) == (n, x, s), sn
+            elif name in TWINS:
+                mode = "twin"
+                scols, srows = rows_of_spark(sdf)
+                t_spark = time.time() - t0
+                tc, tr = TWINS[name](conn)
+                dcols = sorted(tc)
+                drows = sorted(
+                    tuple(str(v) for v in _reorder(r, tc)) for r in tr
+                )
+                ok, n_rows = (scols, srows) == (dcols, drows), len(srows)
+            else:
+                mode = "verbatim"
+                scols, srows = rows_of_spark(sdf)
+                t_spark = time.time() - t0
+                dcols, drows = rows_of_duck(conn.sql(o[name]))
+                ok, n_rows = (scols, srows) == (dcols, drows), len(srows)
+            wall = time.time() - t0
+            results[name] = {
+                "ok": bool(ok), "mode": mode, "rows": n_rows,
+                "spark_sec": round(t_spark, 1), "wall_sec": round(wall, 1),
+            }
+            print(f"{name}: {'OK' if ok else 'FAIL'} [{mode}] rows={n_rows} "
+                  f"spark={t_spark:.1f}s wall={wall:.1f}s", flush=True)
+            if not ok:
+                fails.append(name)
+        except Exception as ex:  # noqa: BLE001 — sweep must report, not die
+            results[name] = {"ok": False, "mode": "error",
+                             "err": f"{type(ex).__name__}: {ex}"[:300]}
+            print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:200]}",
+                  flush=True)
+            fails.append(name)
+    print(json.dumps({
+        "sf_dir": args.sf_dir,
+        "total_sec": round(time.time() - t_sweep, 1),
+        "n": len(names),
+        "failures": fails,
+        "results": results,
+    }))
+    sys.exit(1 if fails else 0)
+
+
+def _reorder(row, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return tuple(row[i] for i in order)
+
+
+if __name__ == "__main__":
+    main()
