@@ -295,39 +295,52 @@ def _bucket_pairs(
     input subplan TWICE — broadcast-hash plans never reuse the shuffle
     exchange, and even SMJ reuse is plan-fragile — while this computes
     the input once and shuffles each (bucket, id) row once. Pair
-    expansion is a codegen higher-order function over the sorted
-    bucket membership, so each unordered pair is emitted exactly once
-    per bucket (doc_a < doc_b by construction); the cross-bucket
-    ``distinct`` is unavoidable in either formulation.
+    expansion emits each unordered pair exactly once per bucket
+    (doc_a < doc_b: the membership array is sorted), staged as
+    posexplode(member) -> slice(later members) -> explode: peak
+    per-row memory is ONE member's remaining-slice, never the bucket's
+    full pair set (a single flatten(transform(...)) materializes all
+    n^2/2 pair structs as one array value — ~150 MB per 3,000-member
+    bucket, measured OOMing a 12g heap on the saturated sf1 simhash
+    sweep). The cross-bucket ``distinct`` is unavoidable in either
+    formulation.
+
+    Width pin: the expansion runs in the groupBy's reduce stage, whose
+    input bytes are tiny (one row per (bucket, id)) — AQE coalesces it
+    to a handful of tasks and cannot know the pair OUTPUT explodes.
+    The explicit repartition(n, bucket_cols) pins the stage at the
+    session's configured shuffle width (explicit numPartitions is
+    exempt from AQE coalescing) and the groupBy reuses its exchange,
+    so it costs no extra shuffle — a few near-empty tasks at small
+    scale vs. 4-task serialization of a billion-pair expansion at
+    saturation.
 
     Scale guard: pair volume is quadratic per bucket in ANY
-    formulation, and the membership array lives in one aggregation
-    buffer. Exact dedup upstream collapses the classic degenerate case
-    (byte-identical documents colliding in every band); ``max_bucket``
-    is the belt-and-braces cap for the rest (e.g. thousands of
-    near-empty docs sharing a band signature): buckets beyond it are
-    EXCLUDED from expansion — before their member array is ever built
-    (see :func:`_cap_buckets`) — and surface in
+    formulation. Exact dedup upstream collapses the classic degenerate
+    case (byte-identical documents colliding in every band);
+    ``max_bucket`` is the belt-and-braces cap for the rest (e.g.
+    thousands of near-empty docs sharing a band signature): buckets
+    beyond it are EXCLUDED from expansion — before their member array
+    is ever built (see :func:`_cap_buckets`) — and surface in
     :func:`bucket_overflow`, which capped callers must materialize so
     the drop is visible, not silent. Default None preserves the
     lossless candidate set.
     """
     if max_bucket is not None:
         keyed = _cap_buckets(keyed, bucket_cols, max_bucket)
+    width = int(keyed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        keyed.groupBy(*bucket_cols)
+        keyed.repartition(width, *bucket_cols)
+        .groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") >= 2)
+        .select("ids", F.posexplode("ids").alias("i", "doc_a"))
         .select(
+            "doc_a",
             F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
-                )
-            ).alias("p")
+                F.expr("slice(ids, i + 2, size(ids) - i - 1)")
+            ).alias("doc_b"),
         )
-        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -527,36 +540,47 @@ def simhash_near_dups(
     for it.
     """
     keyed = _simhash_keyed(docs, max_hamming)
-    # Same bucket-local expansion as _bucket_pairs (one aggregation, no
-    # self-join — the join form computes the fingerprint pipeline twice),
-    # carrying each member's fingerprint through the pair struct so the
-    # Hamming verify needs no join back. sort_array orders by doc_id
-    # (first struct field), so doc_a < doc_b by construction.
+    # Same bucket-local expansion shape as _bucket_pairs (one
+    # aggregation, no self-join — the join form computes the
+    # fingerprint pipeline twice), carrying each member's fingerprint
+    # through the pair so the Hamming verify needs no join back.
+    # sort_array orders by doc_id (first struct field), so
+    # doc_a < doc_b by construction. Like _bucket_pairs: explicit
+    # repartition pins the expansion width against AQE's input-byte
+    # coalescing, and the staged posexplode -> slice -> explode bounds
+    # peak memory at one member's slice (see _bucket_pairs docstring —
+    # the single-flatten form OOM'd a 12g heap on the saturated sf1
+    # fingerprint space: 50k docs in 32 bits -> ~3,000-member blocks).
     if max_bucket is not None:
         keyed = _cap_buckets(keyed, ["block_id", "block_val"], max_bucket)
-    cand = (
-        keyed.groupBy("block_id", "block_val")
+    width = int(keyed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return (
+        keyed.repartition(width, "block_id", "block_val")
+        .groupBy("block_id", "block_val")
         .agg(
             F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms")
         )
         .where(F.size("ms") >= 2)
+        .select("ms", F.posexplode("ms").alias("i", "x"))
         .select(
+            "x",
             F.explode(
-                F.expr(
-                    "flatten(transform(ms, (x, i) -> "
-                    "transform(slice(ms, i + 2, size(ms) - i - 1), "
-                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-                    "x.simhash AS sa, y.simhash AS sb))))"
-                )
-            ).alias("p")
+                F.expr("slice(ms, i + 2, size(ms) - i - 1)")
+            ).alias("y"),
         )
-        .select("p.doc_a", "p.doc_b", "p.sa", "p.sb")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        # Hamming-verify BEFORE the cross-block distinct: candidates
+        # that fail the threshold never enter the dedup shuffle (at
+        # block saturation that is roughly half the pair stream).
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -249,6 +249,29 @@ def rows_of_duck(rel):
     return cols, sorted(tuple(str(r[i]) for i in idx) for r in rel.fetchall())
 
 
+def respawn_session(old, cpus: int):
+    """Replace a session whose JVM died (executor OOM in local mode
+    kills the whole process). PySpark caches the py4j gateway and the
+    active context/session module-globally; all of it must be cleared
+    or getOrCreate keeps handing back proxies to the dead JVM."""
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    try:
+        old.stop()
+    except Exception:  # noqa: BLE001 — it is already dead
+        pass
+    with SparkContext._lock:
+        SparkContext._active_spark_context = None
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+    spark = spark_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir")
@@ -309,6 +332,16 @@ def main() -> None:
     fails: list[str] = []
     t_sweep = time.time()
     for name in names:
+        # a prior entry OOM-killing the JVM must not poison the rest of
+        # the sweep: rebuild the session if the context died
+        try:
+            dead = spark._jsc.sc().isStopped()
+        except Exception:  # noqa: BLE001 — dead gateway counts as dead
+            dead = True
+        if dead:
+            print(f"(SparkContext died — rebuilding session before {name})",
+                  flush=True)
+            spark = respawn_session(spark, args.cpus)
         t0 = time.time()
         try:
             sdf = q[name](spark, args.sf_dir)
