@@ -562,27 +562,42 @@ def _grouped_pairs_cosine(enriched: DataFrame, key: str) -> DataFrame:
     (vec_id, embedding, norm_sq, <key>) — the one-shuffle candidate
     shape shared by sign-LSH near-dups (key = LSH bucket) and SemDedup
     (key = k-means list_id). Each pair exists in exactly one group, so
-    no distinct is needed."""
+    no distinct is needed.
+
+    Same expansion staging as dedup._bucket_pairs (see its docstring):
+    posexplode(member) -> slice -> explode bounds peak per-row memory
+    at one member's remaining slice instead of the group's whole pair
+    set — pair structs here carry FULL embeddings (~0.5 KB each at
+    dim 64), so a single flatten of a 3,000-member group would
+    materialize ~2 GB as one array value — and the explicit
+    repartition pins the expansion width against AQE coalescing the
+    tiny-input reduce stage under a quadratic output (exchange reused
+    by the groupBy: no extra shuffle)."""
+    width = int(enriched.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     pairs = (
-        enriched.groupBy(key)
+        enriched.repartition(width, key)
+        .groupBy(key)
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("vec_id", "embedding", "norm_sq"))
             ).alias("ms")
         )
         .where(F.size("ms") >= 2)
+        .select("ms", F.posexplode("ms").alias("i", "x"))
         .select(
+            "x",
             F.explode(
-                F.expr(
-                    "flatten(transform(ms, (x, i) -> "
-                    "transform(slice(ms, i + 2, size(ms) - i - 1), "
-                    "y -> struct(x.vec_id AS vec_a, y.vec_id AS vec_b, "
-                    "x.embedding AS ea, y.embedding AS eb, "
-                    "x.norm_sq AS na, y.norm_sq AS nb))))"
-                )
-            ).alias("p")
+                F.expr("slice(ms, i + 2, size(ms) - i - 1)")
+            ).alias("y"),
         )
-        .select("p.*")
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.col("x.embedding").alias("ea"),
+            F.col("y.embedding").alias("eb"),
+            F.col("x.norm_sq").alias("na"),
+            F.col("y.norm_sq").alias("nb"),
+        )
     )
     return pairs.select(
         "vec_a",
