@@ -284,6 +284,16 @@ def main() -> None:
         help="validate twins + checksum mode against the verbatim "
         "oracle/rows at this (small) sf instead of sweeping Spark",
     )
+    ap.add_argument(
+        "--checksum-auto",
+        action="store_true",
+        help="use in-engine checksum compare for EVERY entry whose "
+        "output schema is checksum-eligible (int/string/bool only), "
+        "not just CHECKSUM_ENTRIES — full-content verification with "
+        "O(1) transfer for multi-million-row outputs at sf10-class "
+        "directories. Twins still take precedence (their verbatim "
+        "oracle is the thing that cannot scale).",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -345,7 +355,11 @@ def main() -> None:
         t0 = time.time()
         try:
             sdf = q[name](spark, args.sf_dir)
-            if name in CHECKSUM_ENTRIES and _checksum_eligible(sdf):
+            if (
+                name not in TWINS
+                and (name in CHECKSUM_ENTRIES or args.checksum_auto)
+                and _checksum_eligible(sdf)
+            ):
                 mode = "checksum"
                 sn, sx, ss = _spark_checksum(sdf)
                 t_spark = time.time() - t0
