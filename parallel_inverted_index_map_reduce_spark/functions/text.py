@@ -28,6 +28,16 @@ NON_ALPHA_RE = "[^a-z]"
 PY_WHITESPACE_RE = "[ \t\n\x0b\f\r]+"
 PY_NON_ALPHA_RE = NON_ALPHA_RE
 
+# Whole-document strip class: every char that is neither [a-z] nor one
+# of Java's \s chars. Removing these from the LOWERED full text, then
+# splitting on \s+, is char-for-char equivalent to split-then-normalize
+# per token (the class preserves exactly the \s separators, so token
+# boundaries survive; a token of only stripped chars collapses into the
+# surrounding separator run, which \s+ merges — same as the empty-token
+# filter). Equivalence is pinned by tests/test_tokenization_edges.py
+# and the full-corpus golden parity suite.
+NON_ALPHA_NON_WS_RE = "[^a-z \t\n\x0b\f\r]"
+
 
 def normalize_token(col: Column) -> Column:
     """lower + strip non-[a-z] — the reference's O4+O5 fused."""
@@ -46,12 +56,19 @@ def tokens_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     Catalyst fuses into a single codegen stage. The input is spread to
     cluster parallelism first (sources/tables.py ``spread``) so the
     explode/normalize CPU work never serializes on a one-partition scan.
+
+    Normalization runs ONCE per document, not once per token: lower +
+    strip-non-[a-z\\s] on the whole text, THEN split/explode. The regex
+    engine's per-call overhead dominates on short tokens — measured
+    1.5x on the 500k-doc token build (BENCH_NOTES round 9) — and the
+    whole-text form is provably identical to per-token normalize
+    because the strip class spares exactly the \\s separator chars.
     """
     from ..sources.tables import spread
 
     docs = spread(docs, id_col)
+    cleaned = F.regexp_replace(F.lower(F.col(text_col)), NON_ALPHA_NON_WS_RE, "")
     return (
-        docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
-        .select(F.col(id_col), normalize_token(F.col("tok")).alias("word"))
+        docs.select(F.col(id_col), F.explode(F.split(cleaned, WHITESPACE_RE)).alias("word"))
         .where(F.col("word") != "")
     )

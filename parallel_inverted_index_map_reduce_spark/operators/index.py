@@ -513,15 +513,21 @@ def positional_tokens(docs: DataFrame) -> DataFrame:
     sequential positions — token i and token i+1 were adjacent in the
     normalized stream, which is the adjacency phrase search needs.
 
-    Built as a narrow array pipeline (normalize + filter inside the
-    token array, then posexplode), so position assignment costs no
-    window re-rank shuffle; the whole thing fuses into the scan stage.
+    Built as a narrow array pipeline (whole-text normalize, split,
+    filter, then posexplode), so position assignment costs no window
+    re-rank shuffle; the whole thing fuses into the scan stage. Like
+    ``tokens_df``, normalization runs once per DOCUMENT (the strip
+    class spares exactly the \\s separators, so the filtered token
+    sequence — and therefore every post-filter position — is identical
+    to per-token normalize; boundary empties from leading/trailing
+    whitespace are dropped by the same filter).
     """
-    from ..functions.text import normalize_token, tokenize
+    from ..functions.text import NON_ALPHA_NON_WS_RE, WHITESPACE_RE
     from ..sources.tables import spread
 
+    cleaned = F.regexp_replace(F.lower(F.col("text")), NON_ALPHA_NON_WS_RE, "")
     arr = F.filter(
-        F.transform(tokenize(F.col("text")), normalize_token),
+        F.split(cleaned, WHITESPACE_RE),
         lambda w: w != F.lit(""),
     )
     return spread(docs).select(

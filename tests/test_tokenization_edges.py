@@ -65,3 +65,66 @@ def test_whitespace_variants(spark):
     idx = _index(spark, [(1, "a\tb\nc   d")])
     assert set(idx) == {"a", "b", "c", "d"}
     assert all(v == (1, [1]) for v in idx.values())
+
+
+def test_whole_text_normalize_equals_per_token(spark):
+    """tokens_df and positional_tokens normalize once per DOCUMENT
+    (lower + strip-[^a-z\\s] on the full text, then split). This pins
+    the equivalence with the definitional per-token form on the nasty
+    cases: separators adjacent to stripped chars, punct-only tokens
+    between separators, boundary whitespace, vertical tab (in Java \\s)
+    vs NBSP (not in Java \\s), and Greek final-sigma context-sensitive
+    lowercasing (maps to non-ASCII either way, so the strip erases any
+    context difference)."""
+    from pyspark.sql import functions as F
+
+    from parallel_inverted_index_map_reduce_spark.functions.text import (
+        normalize_token,
+        tokenize,
+        tokens_df,
+    )
+    from parallel_inverted_index_map_reduce_spark.operators.index import (
+        positional_tokens,
+    )
+
+    rows = [
+        (1, "  leading and trailing  "),
+        (2, "..a..b.. \x0b ...  c4d  nbsp\xa0glued e"),
+        (3, "ΑΣ. ΣΙΓΜΑ fooΣ bar\tBAZ\n1832 ===== x--y"),
+        (4, ""),
+        (5, "...."),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    per_token = (
+        docs.select(
+            "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+        )
+        .select("doc_id", normalize_token(F.col("tok")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    got = tokens_df(docs)
+    assert (
+        got.exceptAll(per_token).count() == 0
+        and per_token.exceptAll(got).count() == 0
+    )
+
+    # positional: the post-filter sequence (and so every position) must
+    # match the per-token definition applied then filtered in order
+    per_tok_pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(
+                    F.transform(tokenize(F.col("text")), normalize_token),
+                    lambda w: w != F.lit(""),
+                )
+            ).alias("npos", "word"),
+        )
+    )
+    got_pos = positional_tokens(docs).select("doc_id", "npos", "word")
+    assert (
+        got_pos.exceptAll(per_tok_pos).count() == 0
+        and per_tok_pos.exceptAll(got_pos).count() == 0
+    )
