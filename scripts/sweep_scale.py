@@ -119,6 +119,51 @@ def _q(col: str) -> str:
     return '"' + col.replace('"', '""') + '"'
 
 
+class _Watchdog:
+    """Per-entry wall-clock bound: after ``seconds``, cancel every
+    running Spark job AND interrupt the DuckDB connection, so a single
+    pathological entry (an unforeseen saturation regime at a new sf)
+    surfaces as a recorded timeout instead of eating the sweep's wall.
+    Cancellation raises inside the blocked action; the sweep's per-entry
+    except records it and moves on. ``fired`` disambiguates a genuine
+    engine error from the watchdog's own cancellation."""
+
+    def __init__(self, spark, conn, seconds: float):
+        import threading
+
+        self.fired = False
+        self._stop = threading.Event()
+
+        def run():
+            if self._stop.wait(seconds):
+                return
+            # keep cancelling until the entry's frame exits:
+            # cancelAllJobs/interrupt only hit work that is RUNNING at
+            # call time, and an entry is a sequence of jobs/queries —
+            # a one-shot fire would let every later job through.
+            self.fired = True
+            while not self._stop.is_set():
+                try:
+                    spark.sparkContext.cancelAllJobs()
+                except Exception:  # noqa: BLE001 — context may be dead
+                    pass
+                try:
+                    conn.interrupt()
+                except Exception:  # noqa: BLE001 — older duckdb/closed
+                    pass
+                self._stop.wait(2)
+
+        self._t = threading.Thread(target=run, daemon=True)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        return False
+
+
 def _checksum_eligible(sdf) -> bool:
     from pyspark.sql import types as T
 
@@ -294,6 +339,16 @@ def main() -> None:
         "directories. Twins still take precedence (their verbatim "
         "oracle is the thing that cannot scale).",
     )
+    ap.add_argument(
+        "--entry-timeout",
+        type=float,
+        default=0,
+        help="per-entry wall bound in seconds (0 = none): on expiry the "
+        "watchdog cancels all Spark jobs and interrupts DuckDB, the "
+        "entry is recorded as 'timeout', and the sweep continues — for "
+        "sf10-class runs where one saturation regime must not stall "
+        "the tally.",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -353,7 +408,14 @@ def main() -> None:
                   flush=True)
             spark = respawn_session(spark, args.cpus)
         t0 = time.time()
+        wd = (
+            _Watchdog(spark, conn, args.entry_timeout)
+            if args.entry_timeout
+            else None
+        )
         try:
+            if wd is not None:
+                wd.__enter__()
             sdf = q[name](spark, args.sf_dir)
             if (
                 name not in TWINS
@@ -391,11 +453,15 @@ def main() -> None:
             if not ok:
                 fails.append(name)
         except Exception as ex:  # noqa: BLE001 — sweep must report, not die
-            results[name] = {"ok": False, "mode": "error",
+            kind = "timeout" if (wd is not None and wd.fired) else "error"
+            results[name] = {"ok": False, "mode": kind,
                              "err": f"{type(ex).__name__}: {ex}"[:300]}
-            print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:200]}",
-                  flush=True)
+            print(f"{name}: {kind.upper()} {type(ex).__name__}: "
+                  f"{str(ex)[:200]}", flush=True)
             fails.append(name)
+        finally:
+            if wd is not None:
+                wd.__exit__(None, None, None)
     print(json.dumps({
         "sf_dir": args.sf_dir,
         "total_sec": round(time.time() - t_sweep, 1),
