@@ -202,7 +202,7 @@ newdocs AS (
            CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
     FROM documents WHERE doc_id % 7 <> 0
     UNION ALL
-    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 11 = 0
+    SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id % 11 = 0
 ),
 oldh AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
 newh AS (SELECT doc_id, md5(text) AS new_hash FROM newdocs),
@@ -409,8 +409,14 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # corpus v2: a deterministic perturbation of the same table —
     # removals (id % 7), content changes (id % 5), additions (id % 11
-    # re-keyed past the id space) — so the diff exercises all four
-    # statuses with an exact SQL twin.
+    # re-keyed to -(id+1)) — so the diff exercises all four statuses
+    # with an exact SQL twin. The NEGATED re-key keeps added ids
+    # disjoint from the corpus at ANY scale (testdata ids are dense
+    # non-negative): a fixed literal offset (+100000 before round 9)
+    # silently collided once the corpus outgrew it, handing the SCD1
+    # merge a duplicate-keyed source — ill-defined audit counts, caught
+    # by the sf10 sweep (Spark counted source rows with a match,
+    # the EXISTS oracle counted target rows with a match).
     changed = F.when(
         F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
     ).otherwise(F.col("text"))
@@ -419,7 +425,7 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", changed.alias("text"))
         .unionByName(
             docs.where(F.col("doc_id") % 11 == 0).select(
-                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+                (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
             )
         )
     )
