@@ -305,15 +305,16 @@ def _bucket_pairs(
     sweep). The cross-bucket ``distinct`` is unavoidable in either
     formulation.
 
-    Width pin: the expansion runs in the groupBy's reduce stage, whose
-    input bytes are tiny (one row per (bucket, id)) — AQE coalesces it
-    to a handful of tasks and cannot know the pair OUTPUT explodes.
-    The explicit repartition(n, bucket_cols) pins the stage at the
-    session's configured shuffle width (explicit numPartitions is
-    exempt from AQE coalescing) and the groupBy reuses its exchange,
-    so it costs no extra shuffle — a few near-empty tasks at small
-    scale vs. 4-task serialization of a billion-pair expansion at
-    saturation.
+    Width management is SIZE-SPLIT (see :func:`_expand_pairs_adaptive`):
+    buckets of <= _SMALL_BUCKET members expand inside the AQE-coalesced
+    reduce stage — their pair volume per input byte is bounded by
+    construction, so coalescing can never serialize an explosion —
+    while bigger buckets route through a width-pinned round-robin
+    exchange that AQE cannot coalesce. At small scale the big branch
+    is empty and the operator runs at nopin speed (an unconditional
+    pre-groupBy pin measured +0.3 s on the sf0.1 bench — pure task
+    overhead); at fingerprint saturation the heavy buckets still get
+    one task each at full width.
 
     Scale guard: pair volume is quadratic per bucket in ANY
     formulation. Exact dedup upstream collapses the classic degenerate
@@ -328,20 +329,59 @@ def _bucket_pairs(
     """
     if max_bucket is not None:
         keyed = _cap_buckets(keyed, bucket_cols, max_bucket)
-    width = int(keyed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return (
-        keyed.repartition(width, *bucket_cols)
-        .groupBy(*bucket_cols)
+    aggd = (
+        keyed.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") >= 2)
-        .select("ids", F.posexplode("ids").alias("i", "doc_a"))
-        .select(
-            "doc_a",
-            F.explode(
-                F.expr("slice(ids, i + 2, size(ids) - i - 1)")
-            ).alias("doc_b"),
-        )
+        .select("ids")
+    )
+    return (
+        _expand_pairs_adaptive(aggd, "ids")
+        .select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
         .distinct()
+    )
+
+
+# Buckets at or under this size expand inside the AQE-coalesced stage:
+# <= n*(n-1)/2 = 120 pairs per member array, so the pair volume of any
+# coalesced task is bounded by a constant multiple of its input bytes —
+# AQE's byte-based coalescing stays safe BY CONSTRUCTION however many
+# small buckets exist. Above it, one bucket's expansion is big enough
+# that input bytes no longer predict output work, so those rows are
+# pinned to full width (round-robin: few rows spread evenly, no hash
+# clumping).
+_SMALL_BUCKET = 16
+
+
+def _expand_pairs_adaptive(aggd: DataFrame, arr: str) -> DataFrame:
+    """One row per unordered in-bucket pair, as element columns (x, y),
+    from an aggregated frame carrying a sorted member array ``arr``
+    (size >= 2 pre-filtered; callers drop the bucket key first).
+
+    Expansion is staged posexplode(member) -> slice(later members) ->
+    explode, bounding peak per-row memory at one member's remaining
+    slice (a single flatten(transform(...)) materializes the whole
+    n^2/2 pair set as ONE array value — measured OOMing a 12g heap at
+    sf1 fingerprint saturation). Width is size-split: small buckets
+    stay in the AQE-coalesced stage (their pair volume per input byte
+    is bounded — see _SMALL_BUCKET), big buckets go through an
+    explicit width-pinned round-robin exchange AQE cannot coalesce.
+    The two branches share the aggregation's shuffle exchange (map
+    runs once; the cheap reduce runs per branch); at small scale the
+    big branch is empty and costs only its empty stages.
+    """
+    width = int(aggd.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    small = aggd.where(F.size(arr) <= _SMALL_BUCKET)
+    big = aggd.where(F.size(arr) > _SMALL_BUCKET).repartition(width)
+    return (
+        small.unionByName(big)
+        .select(arr, F.posexplode(arr).alias("i", "x"))
+        .select(
+            "x",
+            F.explode(
+                F.expr(f"slice({arr}, i + 2, size({arr}) - i - 1)")
+            ).alias("y"),
+        )
     )
 
 
@@ -545,30 +585,24 @@ def simhash_near_dups(
     # fingerprint pipeline twice), carrying each member's fingerprint
     # through the pair so the Hamming verify needs no join back.
     # sort_array orders by doc_id (first struct field), so
-    # doc_a < doc_b by construction. Like _bucket_pairs: explicit
-    # repartition pins the expansion width against AQE's input-byte
-    # coalescing, and the staged posexplode -> slice -> explode bounds
-    # peak memory at one member's slice (see _bucket_pairs docstring —
-    # the single-flatten form OOM'd a 12g heap on the saturated sf1
+    # doc_a < doc_b by construction. Expansion shape and width policy
+    # come from _expand_pairs_adaptive (staged memory-bounded
+    # generators; size-split AQE-coalesced vs width-pinned — the
+    # single-flatten form OOM'd a 12g heap on the saturated sf1
     # fingerprint space: 50k docs in 32 bits -> ~3,000-member blocks).
     if max_bucket is not None:
         keyed = _cap_buckets(keyed, ["block_id", "block_val"], max_bucket)
-    width = int(keyed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
-    return (
-        keyed.repartition(width, "block_id", "block_val")
-        .groupBy("block_id", "block_val")
+    aggd = (
+        keyed.groupBy("block_id", "block_val")
         .agg(
             F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms")
         )
         .where(F.size("ms") >= 2)
-        .select("ms", F.posexplode("ms").alias("i", "x"))
-        .select(
-            "x",
-            F.explode(
-                F.expr("slice(ms, i + 2, size(ms) - i - 1)")
-            ).alias("y"),
-        )
+        .select("ms")
+    )
+    return (
+        _expand_pairs_adaptive(aggd, "ms")
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),

@@ -564,32 +564,29 @@ def _grouped_pairs_cosine(enriched: DataFrame, key: str) -> DataFrame:
     (key = k-means list_id). Each pair exists in exactly one group, so
     no distinct is needed.
 
-    Same expansion staging as dedup._bucket_pairs (see its docstring):
+    Expansion shape and width policy come from
+    dedup._expand_pairs_adaptive (see its docstring): staged
     posexplode(member) -> slice -> explode bounds peak per-row memory
     at one member's remaining slice instead of the group's whole pair
     set — pair structs here carry FULL embeddings (~0.5 KB each at
     dim 64), so a single flatten of a 3,000-member group would
-    materialize ~2 GB as one array value — and the explicit
-    repartition pins the expansion width against AQE coalescing the
-    tiny-input reduce stage under a quadratic output (exchange reused
-    by the groupBy: no extra shuffle)."""
-    width = int(enriched.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    pairs = (
-        enriched.repartition(width, key)
-        .groupBy(key)
+    materialize ~2 GB as one array value — and the size-split keeps
+    small groups in the AQE-coalesced stage while groups past
+    _SMALL_BUCKET go through a width-pinned exchange."""
+    from .dedup import _expand_pairs_adaptive
+
+    aggd = (
+        enriched.groupBy(key)
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("vec_id", "embedding", "norm_sq"))
             ).alias("ms")
         )
         .where(F.size("ms") >= 2)
-        .select("ms", F.posexplode("ms").alias("i", "x"))
-        .select(
-            "x",
-            F.explode(
-                F.expr("slice(ms, i + 2, size(ms) - i - 1)")
-            ).alias("y"),
-        )
+        .select("ms")
+    )
+    pairs = (
+        _expand_pairs_adaptive(aggd, "ms")
         .select(
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
