@@ -157,3 +157,40 @@ SELECT doc_id FROM bx"""
     )
     assert con.execute(broken).fetchall() == [(1568,)]
     con.close()
+
+
+def test_expand_pairs_adaptive_branches_and_completeness(spark):
+    """_expand_pairs_adaptive must emit exactly the unordered pair set
+    of every bucket regardless of which side of the _SMALL_BUCKET
+    size-split the bucket lands on, and the physical plan must carry
+    the width-pinned exchange ONLY on the big branch (the small branch
+    staying AQE-managed is the whole point of the split)."""
+    from itertools import combinations
+
+    from parallel_inverted_index_map_reduce_spark.operators.dedup import (
+        _SMALL_BUCKET,
+        _expand_pairs_adaptive,
+    )
+
+    # bucket sizes straddling the threshold: 2, threshold, threshold+1, 40
+    sizes = [2, _SMALL_BUCKET, _SMALL_BUCKET + 1, 40]
+    rows, want = [], set()
+    base = 0
+    for b, n in enumerate(sizes):
+        members = list(range(base, base + n))
+        rows.append((b, sorted(members)))
+        want |= {(a, c) for a, c in combinations(sorted(members), 2)}
+        base += n
+    aggd = spark.createDataFrame(
+        rows, "bucket int, ids array<int>"
+    ).select("ids")
+
+    got = {
+        (r["x"], r["y"])
+        for r in _expand_pairs_adaptive(aggd, "ids").collect()
+    }
+    assert got == want
+
+    plan = _expand_pairs_adaptive(aggd, "ids")._jdf.queryExecution().toString()
+    # exactly one user repartition exchange: the big branch's
+    assert plan.count("REPARTITION_BY_NUM") == 1
