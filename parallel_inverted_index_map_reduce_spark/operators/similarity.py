@@ -27,49 +27,50 @@ from ..functions.hashing import stable_hash32
 DEC = "decimal(30,9)"
 
 
-def components(emb: DataFrame) -> DataFrame:
-    """(vec_id, i, x): exploded double components."""
-    return emb.select(
-        "vec_id", F.posexplode("embedding").alias("i", "xf")
-    ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
-
-
-def _decimal_dot(xcol: Column, ycol: Column) -> Column:
-    return F.sum(F.round(xcol * ycol, 7).cast(DEC))
-
-
 def norms(emb: DataFrame) -> DataFrame:
-    comp = components(emb)
-    return comp.groupBy("vec_id").agg(
-        _decimal_dot(F.col("x"), F.col("x")).alias("norm_sq")
+    """(vec_id, norm_sq): exact decimal ||v||^2 per non-empty vector —
+    a per-row array fold (:func:`norm_sq_expr`), zero shuffles. Empty
+    embeddings emit no row, mirroring the oracle's exploded
+    formulation where a zero-component vector contributes nothing."""
+    return emb.where(F.size("embedding") > 0).select(
+        "vec_id", norm_sq_expr(F.col("embedding")).alias("norm_sq")
     )
 
 
 def pairwise_cosine(emb: DataFrame, max_query_id: int | None = None) -> DataFrame:
     """(vec_a, vec_b, cosine): exact cross-engine cosine for all pairs
-    (optionally only queries with vec_id < max_query_id on the left)."""
-    comp = components(emb)
-    nrm = norms(emb)
-    left = comp.withColumnsRenamed({"vec_id": "vec_a", "x": "xa"})
-    if max_query_id is not None:
-        left = left.where(F.col("vec_a") < max_query_id)
-    right = comp.withColumnsRenamed({"vec_id": "vec_b", "x": "xb"})
-    dots = (
-        left.join(right, "i")
-        .where(F.col("vec_a") != F.col("vec_b"))
-        .groupBy("vec_a", "vec_b")
-        .agg(_decimal_dot(F.col("xa"), F.col("xb")).alias("dot"))
+    (optionally only queries with vec_id < max_query_id on the left).
+
+    Dot products and norms are per-pair array folds
+    (:func:`decimal_dot_expr` — per-component products rounded at 7
+    decimals, summed as decimals; decimal addition is exact and
+    associative, so the fold equals the oracle's exploded
+    SUM(CAST(round(x*y,7) AS DECIMAL)) bit-for-bit). The previous
+    component-exploded formulation joined 64-wide unnested frames on
+    the component INDEX — a 64-distinct-key join whose re-aggregation
+    shuffled |queries| x |corpus| x dim rows (640M at sf10, with a
+    straggling tail) — where this is one broadcast of the query side
+    and a single corpus scan, no shuffle before top-k selection."""
+    q = emb.where(F.size("embedding") > 0).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("qe"),
+        norm_sq_expr(F.col("embedding")).alias("na"),
     )
-    na = nrm.select(F.col("vec_id").alias("vec_a"), F.col("norm_sq").alias("na"))
-    nb = nrm.select(F.col("vec_id").alias("vec_b"), F.col("norm_sq").alias("nb"))
+    if max_query_id is not None:
+        q = F.broadcast(q.where(F.col("vec_a") < max_query_id))
+    c = emb.where(F.size("embedding") > 0).select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("ce"),
+        norm_sq_expr(F.col("embedding")).alias("nb"),
+    )
     return (
-        dots.join(F.broadcast(na), "vec_a")
-        .join(F.broadcast(nb), "vec_b")
+        q.crossJoin(c)
+        .where(F.col("vec_a") != F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
             F.round(
-                F.col("dot").cast("double")
+                decimal_dot_expr(F.col("qe"), F.col("ce")).cast("double")
                 / (
                     F.sqrt(F.col("na").cast("double"))
                     * F.sqrt(F.col("nb").cast("double"))
