@@ -56,8 +56,14 @@ def pairwise_cosine(emb: DataFrame, max_query_id: int | None = None) -> DataFram
         F.col("embedding").alias("qe"),
         norm_sq_expr(F.col("embedding")).alias("na"),
     )
+    # the query side broadcasts in EVERY path: with max_query_id it is
+    # a bounded prefix; without, the caller is asking for all-pairs and
+    # an unhinted cross join would shuffle both sides — broadcasting q
+    # keeps it a single corpus scan (callers without the cap are tests
+    # and capped oracle anchors; at scale, always pass max_query_id).
     if max_query_id is not None:
-        q = F.broadcast(q.where(F.col("vec_a") < max_query_id))
+        q = q.where(F.col("vec_a") < max_query_id)
+    q = F.broadcast(q)
     c = emb.where(F.size("embedding") > 0).select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("ce"),
@@ -349,14 +355,21 @@ def decimal_dot_expr(a: Column, b: Column) -> Column:
     """Cross-engine-exact dot product of two array<float> columns as a
     single array fold: per-component products rounded at 7 decimals and
     summed as decimals, bit-identical to the oracle's exploded
-    SUM(CAST(round(x*y, 7) AS DECIMAL)) — with no explode, no shuffle."""
+    SUM(CAST(round(x*y, 7) AS DECIMAL)) — with no explode, no shuffle.
+
+    Null-safe per component: ``zip_with`` pads the shorter of two
+    length-mismatched arrays with null, and an un-coalesced fold would
+    turn the whole dot NULL; coalescing each padded product to 0 makes
+    ragged inputs contribute exactly their index INTERSECTION — the
+    same semantics as the exploded-join oracle formulation (where a
+    missing component simply has no row). A no-op for uniform dims."""
     return _decimal_fold(
         F.zip_with(
             a,
             b,
-            lambda x, y: F.round(x.cast("double") * y.cast("double"), 7).cast(
-                _FOLD_DEC
-            ),
+            lambda x, y: F.coalesce(
+                F.round(x.cast("double") * y.cast("double"), 7), F.lit(0.0)
+            ).cast(_FOLD_DEC),
         )
     )
 

@@ -78,12 +78,22 @@ def main() -> None:
             )
 
     qs = sorted(set(mins["base"]) | set(mins["head"]))
+    both = [q for q in qs if q in mins["base"] and q in mins["head"]]
     print(f"\n{'query':28s} {'base':>8s} {'head':>8s}  delta")
     for q in qs:
         b, h = mins["base"].get(q), mins["head"].get(q)
-        d = (h - b) / b * 100 if b and h else float("nan")
-        print(f"{q:28s} {b:8.3f} {h:8.3f}  {d:+.1f}%")
-    bt, ht = sum(mins["base"].values()), sum(mins["head"].values())
+        bs = f"{b:8.3f}" if b is not None else f"{'n/a':>8s}"
+        hs = f"{h:8.3f}" if h is not None else f"{'n/a':>8s}"
+        ds = f"{(h - b) / b * 100:+.1f}%" if b and h else "n/a"
+        print(f"{q:28s} {bs} {hs}  {ds}")
+    # composite over the INTERSECTION only: a query present on one side
+    # (e.g. the base ref predates a bench query added later) would skew
+    # the sums asymmetrically.
+    one_sided = [q for q in qs if q not in both]
+    if one_sided:
+        print(f"(one-sided queries excluded from composite: {one_sided})")
+    bt = sum(mins["base"][q] for q in both)
+    ht = sum(mins["head"][q] for q in both)
     print(f"{'COMPOSITE (sum of mins)':28s} {bt:8.3f} {ht:8.3f}  "
           f"{(ht - bt) / bt * 100:+.1f}%")
 

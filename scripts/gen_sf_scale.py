@@ -47,6 +47,7 @@ everything else is Spark-side unions written straight back out.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -272,6 +273,7 @@ def main() -> None:
         plans["orders"] = _skewed(
             plans["orders"], "o_custkey", F.col("o_orderkey").cast("string"), skew
         )
+    written: dict[str, int] = {}
     for name, df in plans.items():
         if df.schema != read(name).schema:
             raise SystemExit(
@@ -281,7 +283,31 @@ def main() -> None:
         df.coalesce(max(1, mult // 2)).write.mode("overwrite").parquet(
             os.path.join(dst, f"{name}.parquet")
         )
-        print(f"{name}: {spark.read.parquet(os.path.join(dst, f'{name}.parquet')).count()} rows")
+        written[name] = spark.read.parquet(
+            os.path.join(dst, f"{name}.parquet")
+        ).count()
+        print(f"{name}: {written[name]} rows")
+    # provenance sidecar: sweep_scale.py echoes this in its log header,
+    # so a future ad-hoc regeneration can't silently change the corpus
+    # under previously recorded tallies (the stores.py input_key
+    # discipline, applied to the scale directories themselves)
+    with open(os.path.join(dst, "_PROVENANCE.json"), "w") as f:
+        json.dump(
+            {
+                "generator": "scripts/gen_sf_scale.py",
+                "argv": sys.argv[1:],
+                "src": src,
+                "mult": mult,
+                "skew": skew,
+                "base_counts": counts,
+                "written_counts": written,
+                "dense_key_assertion": "passed for "
+                + ", ".join(sorted(offset_cols)),
+                "embedding_dim": dim,
+            },
+            f,
+            indent=1,
+        )
     spark.stop()
 
 

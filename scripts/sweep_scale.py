@@ -161,6 +161,12 @@ class _Watchdog:
 
     def __exit__(self, *exc):
         self._stop.set()
+        # join before returning: a fired watchdog loops cancel/interrupt
+        # every 2s, and an iteration already in flight (or blocked inside
+        # interrupt()) would otherwise land on the NEXT entry's jobs,
+        # falsely recording a healthy entry as error. The loop observes
+        # the stop event within one 2s wait.
+        self._t.join()
         return False
 
 
@@ -278,6 +284,29 @@ FROM clusters cl JOIN best b ON b.cluster_id = cl.cluster_id"""
 TWINS = {"dedup_clusters": twin_dedup_clusters}
 
 
+def _print_provenance_header(conn, sf_dir: str) -> None:
+    """Pin WHAT corpus this sweep ran against, in the log itself: the
+    generator's _PROVENANCE.json sidecar (scripts/gen_sf_scale.py
+    records argv + dense-key assertion there) plus a LIVE per-table
+    row count and order-independent content fingerprint
+    (bit_xor of per-row hash). A future ad-hoc regeneration of
+    /tmp/sfN can then never silently change the corpus under
+    previously recorded tallies — the fingerprints won't match."""
+    prov = os.path.join(sf_dir, "_PROVENANCE.json")
+    if os.path.exists(prov):
+        with open(prov) as f:
+            print(f"PROVENANCE {prov}: {json.dumps(json.load(f))}", flush=True)
+    else:
+        print(f"PROVENANCE {prov}: absent (pre-r10 generation)", flush=True)
+    parts = []
+    for t in TABLES:
+        n, x = conn.sql(
+            f"SELECT count(*), COALESCE(bit_xor(hash(t)), 0) FROM {t} t"
+        ).fetchone()
+        parts.append(f"{t}=n{n}x{int(x) & 0xFFFFFFFFFFFFFFFF:016x}")
+    print(f"FINGERPRINT {sf_dir}: {' '.join(parts)}", flush=True)
+
+
 # ------------------------------------------------------------------ sweep
 
 
@@ -359,6 +388,7 @@ def main() -> None:
     names = [n for n in sorted(q) if (not only or n in only) and n not in skip]
 
     conn = duck_connect(args.sf_dir)
+    _print_provenance_header(conn, args.sf_dir)
 
     if args.selftest:
         fails = []
