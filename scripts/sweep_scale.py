@@ -60,6 +60,8 @@ def duck_connect(sf_dir: str):
     conn = duckdb.connect()
     conn.execute(f"PRAGMA threads={os.cpu_count()}")
     conn.execute("SET memory_limit='80GB'")
+    os.makedirs("/tmp/duckspill", exist_ok=True)
+    conn.execute("SET temp_directory='/tmp/duckspill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         glob = f"{p}/*.parquet" if os.path.isdir(p) else p
@@ -178,6 +180,101 @@ def _checksum_eligible(sdf) -> bool:
     return all(isinstance(f.dataType, ok) for f in sdf.schema.fields)
 
 
+# ---------------------------------------------------------- staged replay
+
+
+def _split_with_block(sql: str):
+    """Parse ``WITH a AS (...), b(x,y) AS (...) <final>`` into
+    ([(name, collist|None, body), ...], final). Balanced-paren scan
+    that skips single-quoted string literals (SQL's '' escape), so
+    regex patterns containing parens can't derail the depth count."""
+    import re
+
+    s = sql.strip()
+    m = re.match(r"WITH\s+(RECURSIVE\s+)?", s, re.I)
+    if not m:
+        raise ValueError("oracle has no WITH block")
+    i = m.end()
+    head = re.compile(
+        r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\(([^)]*)\))?\s+AS\s+"
+        r"(?:MATERIALIZED\s+)?\(",
+        re.I,
+    )
+    ctes = []
+    while True:
+        m = head.match(s, i)
+        if not m:
+            raise ValueError(f"cannot parse CTE header at ...{s[i:i+80]!r}")
+        name, collist = m.group(1), m.group(2)
+        j = m.end()
+        depth, k, in_str = 1, j, False
+        while depth:
+            ch = s[k]
+            if in_str:
+                if ch == "'":
+                    if s[k + 1 : k + 2] == "'":
+                        k += 1  # escaped quote, stay in string
+                    else:
+                        in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            k += 1
+        ctes.append((name, collist, s[j : k - 1]))
+        i = k
+        while i < len(s) and s[i].isspace():
+            i += 1
+        if i < len(s) and s[i] == ",":
+            i += 1
+            continue
+        return ctes, s[i:]
+
+
+def staged_replay(conn, oracle_sql: str):
+    """Land every CTE of ``oracle_sql`` as a temp table, in order, and
+    return (final_select, created_names). Each later CTE's references
+    to earlier names resolve to the just-created temp tables, so this
+    is the VERBATIM oracle computed stage by stage: bit-identical
+    output (selftest-pinned), but each stage is a bounded query DuckDB
+    can plan and spill independently — where the one-shot form at
+    sf10 recomputes inlined CTE chains and exhausted 77 GB of temp
+    disk (round 9's minhash_near_dups / pipeline_hygiene exclusions),
+    the staged form lands the same tables in seconds. Callers must
+    drop ``created_names`` afterwards (names may shadow other oracles'
+    CTEs only until then — a CTE always shadows a same-named table)."""
+    ctes, final = _split_with_block(oracle_sql)
+    created = []
+    for name, collist, body in ctes:
+        if collist:
+            q = (
+                f"CREATE OR REPLACE TEMP TABLE {name} AS "
+                f"SELECT * FROM ({body}) AS _t({collist})"
+            )
+        else:
+            q = f"CREATE OR REPLACE TEMP TABLE {name} AS {body}"
+        conn.execute(q)
+        created.append(name)
+    return final, created
+
+
+def _drop_staged(conn, names) -> None:
+    for n in reversed(names):
+        try:
+            conn.execute(f"DROP TABLE IF EXISTS {n}")
+        except Exception:  # noqa: BLE001 — cleanup must not mask results
+            pass
+
+
+# entries whose verbatim oracle is correct but whose ONE-SHOT evaluation
+# cannot scale (CTE-inlining recomputation + monolithic spill): replayed
+# stage-by-stage through temp tables instead. Output compare mode is
+# then chosen exactly like a verbatim entry (checksum-auto eligible).
+STAGED = {"minhash_near_dups", "pipeline_hygiene"}
+
+
 # ------------------------------------------------------------------ twins
 
 
@@ -189,16 +286,28 @@ def twin_dedup_clusters(conn):
     over temp tables — O(diameter) passes over the edge list — instead
     of the recursive-CTE reachability closure, which materializes every
     (node, reachable-root) pair and is quadratic in cluster size.
+    The candidate/intersection tables come from a staged replay of the
+    minhash_near_dups oracle (same MINHASH_CTE chain), so the edge
+    inputs are stage-bounded too — the round-9 sf10 exclusion was the
+    INLINE recomputation of that chain spilling 77 GB, not the closure.
     Returns (columns, rows). Validated equal to the verbatim oracle at
     registry scale by --selftest."""
-    from parallel_inverted_index_map_reduce_spark.plans.queries_dedup import (
-        MINHASH_CTE,
-    )
+    import __spark_entry__ as entry
 
+    staged = []
+    try:
+        _, staged = staged_replay(conn, entry.oracle_sql()["minhash_near_dups"])
+        return _label_prop_clusters(conn)
+    finally:
+        _drop_staged(conn, staged)
+        _drop_staged(conn, ["t_edges", "t_lbl", "t_nxt"])
+
+
+def _label_prop_clusters(conn):
+    """Edge construction (over the staged cand/inter/sizes tables) +
+    label-propagation closure + the verbatim oracle's final projection."""
     conn.execute(
-        "CREATE OR REPLACE TEMP TABLE t_edges AS WITH "
-        + MINHASH_CTE
-        + """,
+        """CREATE OR REPLACE TEMP TABLE t_edges AS WITH
 canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
 exact_groups AS (
     SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY md5(text)
@@ -212,14 +321,6 @@ ccand AS (
     SELECT c.doc_a, c.doc_b FROM cand c
     JOIN canon ka ON ka.doc_id = c.doc_a
     JOIN canon kb ON kb.doc_id = c.doc_b
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
-inter AS (
-    SELECT c.doc_a, c.doc_b, count(*) AS n_common
-    FROM ccand c
-    JOIN shingles sa ON sa.doc_id = c.doc_a
-    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle_hash = sa.shingle_hash
-    GROUP BY c.doc_a, c.doc_b
 ),
 near_edges AS (
     SELECT c.doc_a AS a, c.doc_b AS b
@@ -402,6 +503,20 @@ def main() -> None:
                   f"({len(got[1])} rows, {time.time()-t0:.1f}s)", flush=True)
             if not ok:
                 fails.append(name)
+        for name in sorted(STAGED):
+            t0 = time.time()
+            staged = []
+            try:
+                final, staged = staged_replay(conn, o[name])
+                got = rows_of_duck(conn.sql(final))
+            finally:
+                _drop_staged(conn, staged)
+            want = rows_of_duck(conn.sql(o[name]))
+            ok = got == want
+            print(f"staged {name}: {'OK' if ok else 'DIVERGED'} "
+                  f"({len(got[1])} rows, {time.time()-t0:.1f}s)", flush=True)
+            if not ok:
+                fails.append(name)
         for name in sorted(CHECKSUM_ENTRIES):
             t0 = time.time()
             rel = conn.sql(o[name])
@@ -452,10 +567,16 @@ def main() -> None:
                 and (name in CHECKSUM_ENTRIES or args.checksum_auto)
                 and _checksum_eligible(sdf)
             ):
-                mode = "checksum"
+                mode = "staged+checksum" if name in STAGED else "checksum"
                 sn, sx, ss = _spark_checksum(sdf)
                 t_spark = time.time() - t0
-                n, x, s = _duck_checksum(conn, o[name], sorted(sdf.columns))
+                dsql, staged_names = o[name], []
+                try:
+                    if name in STAGED:
+                        dsql, staged_names = staged_replay(conn, o[name])
+                    n, x, s = _duck_checksum(conn, dsql, sorted(sdf.columns))
+                finally:
+                    _drop_staged(conn, staged_names)
                 ok, n_rows = (sn, sx, ss) == (n, x, s), sn
             elif name in TWINS:
                 mode = "twin"
@@ -468,10 +589,16 @@ def main() -> None:
                 )
                 ok, n_rows = (scols, srows) == (dcols, drows), len(srows)
             else:
-                mode = "verbatim"
+                mode = "staged" if name in STAGED else "verbatim"
                 scols, srows = rows_of_spark(sdf)
                 t_spark = time.time() - t0
-                dcols, drows = rows_of_duck(conn.sql(o[name]))
+                dsql, staged_names = o[name], []
+                try:
+                    if name in STAGED:
+                        dsql, staged_names = staged_replay(conn, o[name])
+                    dcols, drows = rows_of_duck(conn.sql(dsql))
+                finally:
+                    _drop_staged(conn, staged_names)
                 ok, n_rows = (scols, srows) == (dcols, drows), len(srows)
             wall = time.time() - t0
             results[name] = {
