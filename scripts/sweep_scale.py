@@ -408,6 +408,53 @@ def _print_provenance_header(conn, sf_dir: str) -> None:
     print(f"FINGERPRINT {sf_dir}: {' '.join(parts)}", flush=True)
 
 
+def _simhash_capped(spark, conn, sf_dir: str, cap: int):
+    """EXTRA evidence row for simhash_near_dups at saturation scales:
+    both engines restricted to the SAME deterministic md5-ordered
+    ``cap``-doc subset (the _capped_emb anchor rule from
+    plans/queries_similarity.py, applied to documents), then the usual
+    in-engine checksum compare. The registry entry itself stays
+    uncapped and excluded above sf1 — 32-bit fingerprint saturation
+    makes TRUE pairs quadratic in the corpus — but this runs the
+    operator's real banding/verify path against the target directory's
+    own corpus, so the scaled path has direct evidence at any sf.
+    Returns (ok, n_rows, spark_sec)."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from parallel_inverted_index_map_reduce_spark.operators import dedup as dd
+    from parallel_inverted_index_map_reduce_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        docs.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(cap)
+        .select("doc_id")
+    )
+    capped = docs.join(F.broadcast(top), "doc_id", "left_semi")
+    sdf = dd.simhash_near_dups(capped, max_hamming=6)
+    t0 = time.time()
+    sn, sx, ss = _spark_checksum(sdf)
+    t_spark = time.time() - t0
+    # the oracle's ONLY base-table reference is TOKS_POS_CTE's
+    # "FROM documents": swap in the identical md5-ordered subset
+    sub = (
+        "(SELECT * FROM documents "
+        f"ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {cap})"
+    )
+    osql = entry.oracle_sql()["simhash_near_dups"].replace(
+        "FROM documents", "FROM " + sub
+    )
+    n, x, s = _duck_checksum(conn, osql, sorted(sdf.columns))
+    return (sn, sx, ss) == (n, x, s), sn, t_spark
+
+
+# ------------------------------------------------------------------ sweep
+
+
 # ------------------------------------------------------------------ sweep
 
 
@@ -468,6 +515,16 @@ def main() -> None:
         "O(1) transfer for multi-million-row outputs at sf10-class "
         "directories. Twins still take precedence (their verbatim "
         "oracle is the thing that cannot scale).",
+    )
+    ap.add_argument(
+        "--simhash-cap",
+        type=int,
+        default=0,
+        help="additionally verify simhash_near_dups over the "
+        "md5-ordered first N documents (both engines, checksum mode) — "
+        "direct evidence for the operator's scaled path at saturation "
+        "scales where the uncapped entry's true-pair count is "
+        "quadratic (see _simhash_capped).",
     )
     ap.add_argument(
         "--entry-timeout",
@@ -607,6 +664,40 @@ def main() -> None:
             }
             print(f"{name}: {'OK' if ok else 'FAIL'} [{mode}] rows={n_rows} "
                   f"spark={t_spark:.1f}s wall={wall:.1f}s", flush=True)
+            if not ok:
+                fails.append(name)
+        except Exception as ex:  # noqa: BLE001 — sweep must report, not die
+            kind = "timeout" if (wd is not None and wd.fired) else "error"
+            results[name] = {"ok": False, "mode": kind,
+                             "err": f"{type(ex).__name__}: {ex}"[:300]}
+            print(f"{name}: {kind.upper()} {type(ex).__name__}: "
+                  f"{str(ex)[:200]}", flush=True)
+            fails.append(name)
+        finally:
+            if wd is not None:
+                wd.__exit__(None, None, None)
+    if args.simhash_cap:
+        name = f"simhash_near_dups@cap{args.simhash_cap}"
+        t0 = time.time()
+        wd = (
+            _Watchdog(spark, conn, args.entry_timeout)
+            if args.entry_timeout
+            else None
+        )
+        try:
+            if wd is not None:
+                wd.__enter__()
+            ok, n_rows, t_spark = _simhash_capped(
+                spark, conn, args.sf_dir, args.simhash_cap
+            )
+            wall = time.time() - t0
+            results[name] = {
+                "ok": bool(ok), "mode": "checksum", "rows": n_rows,
+                "spark_sec": round(t_spark, 1), "wall_sec": round(wall, 1),
+            }
+            print(f"{name}: {'OK' if ok else 'FAIL'} [checksum] "
+                  f"rows={n_rows} spark={t_spark:.1f}s "
+                  f"wall={wall:.1f}s", flush=True)
             if not ok:
                 fails.append(name)
         except Exception as ex:  # noqa: BLE001 — sweep must report, not die
