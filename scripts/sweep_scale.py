@@ -245,9 +245,30 @@ def staged_replay(conn, oracle_sql: str):
     the staged form lands the same tables in seconds. Callers must
     drop ``created_names`` afterwards (names may shadow other oracles'
     CTEs only until then — a CTE always shadows a same-named table)."""
+    import re
+
     ctes, final = _split_with_block(oracle_sql)
+    # liveness: drop each staged table right after its LAST textual
+    # reference (word-boundary match in a later body or the final
+    # select). pipeline_hygiene at sf10 stages ~90 CTEs totalling tens
+    # of GB; without pruning the dead ones (token/gram/BPE-round
+    # intermediates) stay resident and the final UNION ALL — itself
+    # dozens of concurrent arms — hits the memory limit. Column names
+    # shadowing a table name only make pruning more conservative
+    # (kept longer), never drop a live table.
+    last_use = {}
+    for i, (name, _c, _b) in enumerate(ctes):
+        pat = re.compile(rf"\b{re.escape(name)}\b")
+        last = len(ctes)  # sentinel: referenced by final (or never)
+        if not pat.search(final):
+            last = i
+            for j in range(len(ctes) - 1, i, -1):
+                if pat.search(ctes[j][2]):
+                    last = j
+                    break
+        last_use[name] = last
     created = []
-    for name, collist, body in ctes:
+    for i, (name, collist, body) in enumerate(ctes):
         if collist:
             q = (
                 f"CREATE OR REPLACE TEMP TABLE {name} AS "
@@ -257,6 +278,10 @@ def staged_replay(conn, oracle_sql: str):
             q = f"CREATE OR REPLACE TEMP TABLE {name} AS {body}"
         conn.execute(q)
         created.append(name)
+        for prior in list(created):
+            if last_use[prior] <= i:
+                conn.execute(f"DROP TABLE IF EXISTS {prior}")
+                created.remove(prior)
     return final, created
 
 

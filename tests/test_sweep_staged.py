@@ -63,8 +63,15 @@ SELECT total, n, (SELECT max(i) FROM sq) AS mx FROM agg"""
     want = conn.sql(sql).fetchall()
     final, created = sweep.staged_replay(conn, sql)
     got = conn.sql(final).fetchall()
-    assert created == ["base", "sq", "agg"]
+    # liveness pruning: 'base' is referenced only by 'sq', so it is
+    # dropped the moment 'sq' materializes; sq/agg survive because the
+    # final select reads them
+    assert created == ["sq", "agg"]
     assert got == want
+    assert conn.sql(
+        "SELECT count(*) FROM information_schema.tables "
+        "WHERE table_name = 'base'"
+    ).fetchone()[0] == 0
     sweep._drop_staged(conn, created)
     # tables are gone after cleanup
     assert conn.sql(
