@@ -297,7 +297,22 @@ def _drop_staged(conn, names) -> None:
 # cannot scale (CTE-inlining recomputation + monolithic spill): replayed
 # stage-by-stage through temp tables instead. Output compare mode is
 # then chosen exactly like a verbatim entry (checksum-auto eligible).
-STAGED = {"minhash_near_dups", "pipeline_hygiene"}
+# ann_topk's WITH block references the 64-wide exploded comp CTE from
+# ~8 arms — inlined, that is ~8 recomputations of a 12.8M-row unnest
+# at sf10; staged, comp lands once.
+STAGED = {"minhash_near_dups", "pipeline_hygiene", "ann_topk"}
+
+# multi-part union entries whose SPARK side must checksum PER PART at
+# big sf: one checksum job over the whole union evaluates every arm
+# CONCURRENTLY (measured ~3x the sequential parts' cost at sf10 — the
+# arms' shuffles/broadcasts are all live at once and spill), while a
+# constant filter on the part column prunes the other union arms at
+# plan time (each lit(op)=v branch folds to false and drops), so
+# per-part jobs run the arms one at a time. Per-part equality implies
+# whole-entry equality: the part column partitions the output rows.
+# Requires the entry to also be in STAGED (part values are read from
+# the staged oracle's temp tables for pennies).
+PARTED = {"ann_topk": "op"}
 
 
 # ------------------------------------------------------------------ twins
@@ -650,16 +665,48 @@ def main() -> None:
                 and _checksum_eligible(sdf)
             ):
                 mode = "staged+checksum" if name in STAGED else "checksum"
-                sn, sx, ss = _spark_checksum(sdf)
-                t_spark = time.time() - t0
                 dsql, staged_names = o[name], []
                 try:
+                    pc = PARTED.get(name) if name in STAGED else None
                     if name in STAGED:
                         dsql, staged_names = staged_replay(conn, o[name])
-                    n, x, s = _duck_checksum(conn, dsql, sorted(sdf.columns))
+                    if pc:
+                        mode += "/part"
+                        from pyspark.sql import functions as F
+
+                        vals = [
+                            r[0]
+                            for r in conn.sql(
+                                f"SELECT DISTINCT {_q(pc)} FROM ({dsql}) "
+                                "ORDER BY 1"
+                            ).fetchall()
+                        ]
+                        ok, n_rows = True, 0
+                        cols = sorted(sdf.columns)
+                        for v in vals:
+                            sn, sx, ss = _spark_checksum(
+                                sdf.where(F.col(pc) == v)
+                            )
+                            lit = str(v).replace("'", "''")
+                            n, x, s = _duck_checksum(
+                                conn,
+                                f"SELECT * FROM ({dsql}) "
+                                f"WHERE {_q(pc)} = '{lit}'",
+                                cols,
+                            )
+                            p_ok = (sn, sx, ss) == (n, x, s)
+                            print(f"  part {pc}={v}: "
+                                  f"{'ok' if p_ok else 'MISMATCH'} "
+                                  f"rows={sn} vs {n}", flush=True)
+                            ok, n_rows = ok and p_ok, n_rows + sn
+                        t_spark = time.time() - t0
+                    else:
+                        sn, sx, ss = _spark_checksum(sdf)
+                        t_spark = time.time() - t0
+                        n, x, s = _duck_checksum(conn, dsql, sorted(sdf.columns))
+                        ok, n_rows = (sn, sx, ss) == (n, x, s), sn
                 finally:
                     _drop_staged(conn, staged_names)
-                ok, n_rows = (sn, sx, ss) == (n, x, s), sn
             elif name in TWINS:
                 mode = "twin"
                 scols, srows = rows_of_spark(sdf)
@@ -672,16 +719,54 @@ def main() -> None:
                 ok, n_rows = (scols, srows) == (dcols, drows), len(srows)
             else:
                 mode = "staged" if name in STAGED else "verbatim"
-                scols, srows = rows_of_spark(sdf)
-                t_spark = time.time() - t0
                 dsql, staged_names = o[name], []
                 try:
-                    if name in STAGED:
+                    pc = PARTED.get(name) if name in STAGED else None
+                    if pc:
+                        # per-part row compare: same plan-time arm
+                        # pruning as the checksum variant; these
+                        # entries' outputs are top-k/anchor-bounded,
+                        # so per-part row shipping is cheap
+                        mode += "/part"
+                        from pyspark.sql import functions as F
+
                         dsql, staged_names = staged_replay(conn, o[name])
-                    dcols, drows = rows_of_duck(conn.sql(dsql))
+                        vals = [
+                            r[0]
+                            for r in conn.sql(
+                                f"SELECT DISTINCT {_q(pc)} FROM ({dsql}) "
+                                "ORDER BY 1"
+                            ).fetchall()
+                        ]
+                        ok, n_rows = True, 0
+                        for v in vals:
+                            scols, srows = rows_of_spark(
+                                sdf.where(F.col(pc) == v)
+                            )
+                            lit = str(v).replace("'", "''")
+                            dcols, drows = rows_of_duck(conn.sql(
+                                f"SELECT * FROM ({dsql}) "
+                                f"WHERE {_q(pc)} = '{lit}'"
+                            ))
+                            p_ok = (scols, srows) == (dcols, drows)
+                            print(f"  part {pc}={v}: "
+                                  f"{'ok' if p_ok else 'MISMATCH'} "
+                                  f"rows={len(srows)} vs {len(drows)}",
+                                  flush=True)
+                            ok, n_rows = ok and p_ok, n_rows + len(srows)
+                        t_spark = time.time() - t0
+                    else:
+                        scols, srows = rows_of_spark(sdf)
+                        t_spark = time.time() - t0
+                        if name in STAGED:
+                            dsql, staged_names = staged_replay(conn, o[name])
+                        dcols, drows = rows_of_duck(conn.sql(dsql))
+                        ok, n_rows = (
+                            (scols, srows) == (dcols, drows),
+                            len(srows),
+                        )
                 finally:
                     _drop_staged(conn, staged_names)
-                ok, n_rows = (scols, srows) == (dcols, drows), len(srows)
             wall = time.time() - t0
             results[name] = {
                 "ok": bool(ok), "mode": mode, "rows": n_rows,
