@@ -196,7 +196,10 @@ def _centroid_order(a: Column, centroids: list[list[float]]) -> Column:
 
 
 def ivf_fit(
-    emb: DataFrame, n_list: int = 16, n_iters: int = 2
+    emb: DataFrame,
+    n_list: int = 16,
+    n_iters: int = 2,
+    fit_fraction: float | None = None,
 ) -> list[list[float]]:
     """Deterministic coarse quantizer: k-means over the corpus.
 
@@ -207,7 +210,28 @@ def ivf_fit(
     via ONE groupBy using the exact decimal-sum pattern, so centroids —
     and therefore every downstream assignment — are independent of
     partition order. Only n_list * dim floats ever reach the driver.
+
+    ``fit_fraction`` (opt-in) fits on a DETERMINISTIC hash sample of
+    the corpus (salted md5 over vec_id — the sampling.py discipline,
+    stable across partitionings and engines) instead of every row: fit
+    cost is per-row x per-centroid, so at scale quantizer quality
+    saturates long before the full corpus is seen (measured at sf10 /
+    200k vectors, n_list=64: the full-corpus fit is ~590 s of the ANN
+    store build — BENCH_NOTES round 10). Assignment always covers the
+    FULL corpus; sampling moves centroids, so it is a new-store
+    decision, never a silent default — registry anchors and stored
+    layouts keep fit_fraction=None.
     """
+    if fit_fraction is not None and not 0.0 < fit_fraction <= 1.0:
+        raise ValueError(f"fit_fraction must be in (0, 1], got {fit_fraction}")
+    if fit_fraction is not None and fit_fraction < 1.0:
+        unit = (
+            stable_hash32(
+                F.concat_ws("\x1f", F.lit("ivf_fit"), F.col("vec_id").cast("string"))
+            )
+            / F.lit(float(2**32))
+        )
+        emb = emb.where(unit < F.lit(float(fit_fraction)))
     # zero-length embeddings are excluded from seeding: a degenerate
     # seed's distance to every vector would be NULL-ish (empty fold),
     # poisoning the argmin for the whole corpus — and every query path

@@ -290,3 +290,34 @@ def test_semantic_dedup_partition_invariant(spark):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_ivf_fit_sampled_deterministic_and_full_probe_exact(spark):
+    """fit_fraction fits the quantizer on a deterministic hash sample:
+    (a) two calls agree exactly (no RNG, no partitioning dependence),
+    (b) the sampled fit still yields n_list usable centroids, and
+    (c) full-probe ivf_topk under SAMPLED-fit centroids still equals
+    brute force — the full-probe anchor is invariant to WHERE the
+    centroids came from, which is precisely what makes sampling a safe
+    scale knob for fit cost (assignment always covers the full
+    corpus)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    c1 = sim.ivf_fit(emb, n_list=4, n_iters=1, fit_fraction=0.5)
+    c2 = sim.ivf_fit(
+        emb.repartition(7), n_list=4, n_iters=1, fit_fraction=0.5
+    )
+    assert c1 == c2
+    assert len(c1) == 4
+    full_corpus = sim.ivf_fit(emb, n_list=4, n_iters=1)
+    assert c1 != full_corpus  # the sample genuinely moved the fit
+    exact = {
+        (r.vec_a, r.rank): r.vec_b
+        for r in sim.ann_topk_fast(emb, k=3, n_queries=5).collect()
+    }
+    sampled_full_probe = {
+        (r.vec_a, r.rank): r.vec_b
+        for r in sim.ivf_topk(
+            emb, k=3, n_queries=5, n_list=4, nprobe=4, centroids=c1
+        ).collect()
+    }
+    assert exact == sampled_full_probe
