@@ -61,8 +61,22 @@ def pairwise_cosine(emb: DataFrame, max_query_id: int | None = None) -> DataFram
     # an unhinted cross join would shuffle both sides — broadcasting q
     # keeps it a single corpus scan (callers without the cap are tests
     # and capped oracle anchors; at scale, always pass max_query_id).
+    # With no cap the broadcast is the WHOLE input: past Spark's 8 GB
+    # broadcast limit that fails the job, so say so up front instead of
+    # letting an executor OOM explain it.
     if max_query_id is not None:
         q = q.where(F.col("vec_a") < max_query_id)
+    else:
+        import warnings
+
+        warnings.warn(
+            "pairwise_cosine(max_query_id=None) broadcasts the ENTIRE "
+            "input as the query side — intended for small/capped inputs "
+            "(tests, md5-capped oracle anchors). At scale pass "
+            "max_query_id, or pre-filter the input below broadcast size "
+            "(~8 GB hard limit).",
+            stacklevel=2,
+        )
     q = F.broadcast(q)
     c = emb.where(F.size("embedding") > 0).select(
         F.col("vec_id").alias("vec_b"),
@@ -244,6 +258,15 @@ def ivf_fit(
         .collect()
     )
     centroids = [[float(x) for x in r.embedding] for r in seeds]
+    if fit_fraction is not None and fit_fraction < 1.0 and len(centroids) < n_list:
+        # sampling silently shrinking the list count would hand
+        # downstream stores fewer lists than the caller asked for with
+        # no signal — fail loudly instead
+        raise ValueError(
+            f"fit_fraction={fit_fraction} sample yielded only "
+            f"{len(centroids)} non-empty seed vectors for n_list={n_list}; "
+            "raise fit_fraction (or fit on the full corpus)"
+        )
     # a corpus smaller than n_list fits fewer lists, not an IndexError
     n_list = len(centroids)
     for _ in range(n_iters):

@@ -172,6 +172,30 @@ class _Watchdog:
         return False
 
 
+def _part_values(sdf, conn, dsql: str, pc: str) -> list:
+    """UNION of both engines' DISTINCT part values, so an arm that
+    emits rows on one side only still gets compared (per-part equality
+    implies whole-entry equality only if the part-value sets match —
+    enumerating from the oracle alone would skip Spark-only values).
+    NULL part values would vanish from every ``= value`` filter on
+    both sides, so they fail loudly instead."""
+    o_vals = [
+        r[0]
+        for r in conn.sql(
+            f"SELECT DISTINCT {_q(pc)} FROM ({dsql}) ORDER BY 1"
+        ).fetchall()
+    ]
+    s_vals = [r[0] for r in sdf.select(pc).distinct().collect()]
+    if any(v is None for v in o_vals) or any(v is None for v in s_vals):
+        raise ValueError(
+            f"NULL {pc!r} part value (oracle has null: "
+            f"{any(v is None for v in o_vals)}, spark has null: "
+            f"{any(v is None for v in s_vals)}) — per-part compare "
+            "cannot see NULL-keyed rows"
+        )
+    return sorted(set(map(str, o_vals)) | set(map(str, s_vals)))
+
+
 def _checksum_eligible(sdf) -> bool:
     from pyspark.sql import types as T
 
@@ -207,17 +231,45 @@ def _split_with_block(sql: str):
             raise ValueError(f"cannot parse CTE header at ...{s[i:i+80]!r}")
         name, collist = m.group(1), m.group(2)
         j = m.end()
-        depth, k, in_str = 1, j, False
+        # the body scan must not count parens/quotes inside string
+        # literals ('' escape), double-quoted identifiers ("" escape),
+        # -- line comments, or /* */ block comments (text_quality's
+        # oracle carries -- comments); malformed input is a parse
+        # error, not an IndexError past the end
+        depth, k = 1, j
         while depth:
+            if k >= len(s):
+                raise ValueError(
+                    f"unbalanced parens in CTE {name!r} body "
+                    f"(depth {depth} at end of input)"
+                )
             ch = s[k]
-            if in_str:
-                if ch == "'":
-                    if s[k + 1 : k + 2] == "'":
-                        k += 1  # escaped quote, stay in string
-                    else:
-                        in_str = False
-            elif ch == "'":
-                in_str = True
+            if ch == "'" or ch == '"':
+                quote, k = ch, k + 1
+                while True:
+                    if k >= len(s):
+                        raise ValueError(
+                            f"unterminated {quote}-quoted token in CTE "
+                            f"{name!r} body"
+                        )
+                    if s[k] == quote:
+                        if s[k + 1 : k + 2] == quote:
+                            k += 2  # doubled quote, stay inside
+                            continue
+                        break
+                    k += 1
+            elif ch == "-" and s[k + 1 : k + 2] == "-":
+                while k < len(s) and s[k] != "\n":
+                    k += 1
+                continue
+            elif ch == "/" and s[k + 1 : k + 2] == "*":
+                end = s.find("*/", k + 2)
+                if end < 0:
+                    raise ValueError(
+                        f"unterminated block comment in CTE {name!r} body"
+                    )
+                k = end + 2
+                continue
             elif ch == "(":
                 depth += 1
             elif ch == ")":
@@ -674,13 +726,7 @@ def main() -> None:
                         mode += "/part"
                         from pyspark.sql import functions as F
 
-                        vals = [
-                            r[0]
-                            for r in conn.sql(
-                                f"SELECT DISTINCT {_q(pc)} FROM ({dsql}) "
-                                "ORDER BY 1"
-                            ).fetchall()
-                        ]
+                        vals = _part_values(sdf, conn, dsql, pc)
                         ok, n_rows = True, 0
                         cols = sorted(sdf.columns)
                         for v in vals:
@@ -731,13 +777,7 @@ def main() -> None:
                         from pyspark.sql import functions as F
 
                         dsql, staged_names = staged_replay(conn, o[name])
-                        vals = [
-                            r[0]
-                            for r in conn.sql(
-                                f"SELECT DISTINCT {_q(pc)} FROM ({dsql}) "
-                                "ORDER BY 1"
-                            ).fetchall()
-                        ]
+                        vals = _part_values(sdf, conn, dsql, pc)
                         ok, n_rows = True, 0
                         for v in vals:
                             scols, srows = rows_of_spark(

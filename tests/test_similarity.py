@@ -321,3 +321,31 @@ def test_ivf_fit_sampled_deterministic_and_full_probe_exact(spark):
         ).collect()
     }
     assert exact == sampled_full_probe
+
+
+def test_ivf_fit_sample_too_small_raises(spark):
+    """An aggressive fit_fraction that leaves fewer than n_list seed
+    vectors must fail loudly — silently returning a shorter centroid
+    list would hand downstream stores fewer lists than requested."""
+    import pytest
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").where(F.col("vec_id") < 40)
+    with pytest.raises(ValueError, match="raise fit_fraction"):
+        sim.ivf_fit(emb, n_list=16, n_iters=1, fit_fraction=0.05)
+
+
+def test_pairwise_cosine_uncapped_warns(spark):
+    """max_query_id=None broadcasts the whole input — allowed (tests
+    and md5-capped oracle anchors rely on it) but warned, so misuse at
+    scale fails with a message instead of an executor OOM."""
+    import warnings
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").where(F.col("vec_id") < 10)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sim.pairwise_cosine(emb)
+        assert any("max_query_id" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sim.pairwise_cosine(emb, max_query_id=5)
+        assert not any("max_query_id" in str(x.message) for x in w)

@@ -89,3 +89,49 @@ def test_staged_replay_handles_recursive_keyword_prefix(sweep):
     final, created = sweep.staged_replay(conn, sql)
     assert conn.sql(final).fetchall() == [(1,)]
     sweep._drop_staged(conn, created)
+
+
+def test_parser_skips_comments_and_quoted_identifiers(sweep):
+    # -- and /* */ comments may carry unbalanced parens and stray
+    # quotes (text_quality's oracle has -- comments); double-quoted
+    # identifiers likewise must not derail the depth count
+    sql = """WITH a AS (
+  SELECT 1 AS x  -- trailing ( unbalanced ' comment
+),
+b AS (SELECT /* ) ( ' */ x AS "we(ird"" name" FROM a)
+SELECT * FROM b"""
+    ctes, final = sweep._split_with_block(sql)
+    assert [n for n, _c, _b in ctes] == ["a", "b"]
+    assert final == "SELECT * FROM b"
+    conn = duckdb.connect()
+    f, created = sweep.staged_replay(conn, sql)
+    assert conn.sql(f).fetchall() == [(1,)]
+    sweep._drop_staged(conn, created)
+
+
+def test_parser_malformed_input_raises_value_error(sweep):
+    # unbalanced parens / unterminated tokens are parse errors with a
+    # message, never IndexError past the end of input
+    for bad in [
+        "WITH a AS (SELECT 1",
+        "WITH a AS (SELECT 'oops)",
+        'WITH a AS (SELECT "oops)',
+        "WITH a AS (SELECT 1 /* never closed )",
+    ]:
+        with pytest.raises(ValueError):
+            sweep._split_with_block(bad)
+
+
+def test_part_values_unions_both_sides_and_rejects_null(sweep, spark):
+    conn = duckdb.connect()
+    dsql = "SELECT * FROM (VALUES ('a', 1), ('b', 2)) t(op, v)"
+    sdf = spark.createDataFrame([("b", 2), ("c", 3)], ["op", "v"])
+    # Spark-only 'c' must be enumerated too, or a divergent Spark arm
+    # is silently skipped
+    assert sweep._part_values(sdf, conn, dsql, "op") == ["a", "b", "c"]
+    null_sdf = spark.createDataFrame([("b", 2), (None, 3)], ["op", "v"])
+    with pytest.raises(ValueError, match="NULL"):
+        sweep._part_values(null_sdf, conn, dsql, "op")
+    null_dsql = "SELECT * FROM (VALUES ('a', 1), (NULL, 2)) t(op, v)"
+    with pytest.raises(ValueError, match="NULL"):
+        sweep._part_values(sdf, conn, null_dsql, "op")
