@@ -259,6 +259,7 @@ def merge_index_chunked(
     chunk_size: int = 4096,
     one_based: bool = False,
     new_pairs: DataFrame | None = None,
+    delta_only: bool = False,
 ) -> DataFrame:
     """Incremental maintenance of the CHUNKED layout: fold new documents
     in while re-chunking ONLY the words they touch.
@@ -277,6 +278,13 @@ def merge_index_chunked(
     already derived the new documents' distinct (word, doc_id) frame
     (e.g. from a pinned positional-postings build) skip the
     re-tokenization.
+
+    ``delta_only`` returns ONLY the affected words' rebuilt rows and
+    skips the pass-through anti-join entirely — the streaming delta
+    protocol's write path (streaming/deltas.py): untouched words'
+    rows never move, so the per-batch write is O(affected vocabulary),
+    and last-writer-wins composition per word reconstructs exactly
+    ``untouched UNION rebuilt``.
     """
     if new_pairs is None:
         new_pairs = postings_flat(new_docs, one_based=one_based)
@@ -303,6 +311,8 @@ def merge_index_chunked(
         .withColumn("letter", F.substring("word", 1, 1))
         .select("letter", "word", "chunk_id", "df", "postings")
     )
+    if delta_only:
+        return rebuilt
     untouched = stored_chunks.join(affected, "word", "left_anti")
     return untouched.unionByName(rebuilt)
 

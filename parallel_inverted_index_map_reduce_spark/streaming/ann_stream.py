@@ -1,26 +1,30 @@
-"""Streamed maintenance of the ANN serving layout.
+"""Streamed maintenance of the ANN serving layout — delta versions.
 
 The similarity surface's streaming/serving_stream.py: embeddings arrive
 as a stream (new documents' vectors landing continuously in a training-
-data pipeline), and each micro-batch publishes a complete versioned
-snapshot (``batch_id=N/{vectors,centroids}``) under the streaming
-sinks' commit-marker protocol — a version is complete-or-invisible,
-readers always see the latest COMMITTED snapshot, and a crash between
-the data write and the marker leaves an ignored partial directory the
-replayed batch overwrites.
+data pipeline). Each micro-batch writes ONLY ITS OWN assigned vectors
+as a delta (``batch_id=N/vectors``, partitioned by list_id) plus the
+O(1) centroids table, and a ``_MANIFEST.json`` listing the live deltas
+that compose the version (streaming/deltas.py) — per-batch cost is
+O(batch), the same shape as operators/serving.py extend_ann_index,
+where the pre-round-11 protocol rewrote a complete snapshot per batch
+(O(store) per increment; 560 s of sf10 ann_topk was this rewrite).
+Commit-marker crash safety is unchanged: deltas + manifest land before
+the marker, a version is complete-or-invisible, and a replayed batch
+rebuilds from the latest COMMITTED manifest.
 
 Quantizer contract, same as operators/serving.py extend_ann_index: the
 FIRST non-empty batch fits the coarse quantizer (seed the stream with a
 representative batch); every later batch is assigned under those FIXED
-centroids and unioned in, so stored assignments never move. Re-fitting
-drifted centroids is a new-store decision, not a stream operation.
-Vec ids must be unique across the stream (append-only corpus).
+centroids, so committed deltas never move. Re-fitting drifted centroids
+is a new-store decision, not a stream operation. Vec ids must be unique
+across the stream (append-only corpus).
 
-Snapshots write vectors PARTITIONED BY list_id, so query-side probe
-pruning (PartitionFilters on the static IN) matches the stored-table
-path; queries run through the SAME frame-parameterized body
-(serving.ann_from_frames), so streamed answers are the stored path's
-answers by construction.
+Every delta writes vectors PARTITIONED BY list_id, so query-side probe
+pruning (PartitionFilters on the static IN) holds per delta scan,
+matching the stored-table path; queries run through the SAME
+frame-parameterized body (serving.ann_from_frames), so streamed answers
+are the stored path's answers by construction.
 """
 
 from __future__ import annotations
@@ -29,6 +33,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import deltas as dv
 from . import sinks as eo
 
 ARTIFACTS = {
@@ -37,35 +42,44 @@ ARTIFACTS = {
 }
 
 
+def _read_vectors_delta(spark: SparkSession):
+    from pyspark.errors import AnalysisException
+
+    def read_one(path: str) -> DataFrame:
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            # only the inference failure over a zero-row batch's empty
+            # directory falls back to the pinned schema; the normal
+            # read keeps the WRITTEN element type (float32 normally,
+            # float64 for a regenerated corpus — the schema-drift
+            # contract), which pinning here once made unreadable
+            return spark.read.schema(ARTIFACTS["vectors"]).parquet(path)
+
+    return read_one
+
+
 def read_ann_version(
     spark: SparkSession, store_dir: str
 ) -> dict[str, DataFrame] | None:
     """The latest COMMITTED ANN snapshot as {artifact: DataFrame}, or
-    None before the first commit. Vectors are read with their WRITTEN
-    schema (inference): the embedding element type follows the corpus
-    (float32 normally, float64 for a regenerated corpus — the
-    schema-drift contract), and pinning float here made a drifted
-    snapshot unreadable. The explicit ARTIFACTS schema remains the
-    fallback for a zero-row batch's empty directory, where inference
-    over no part files raises (the serving_stream lesson)."""
-    dirs = eo.committed_batch_dirs(store_dir)
-    if not dirs:
+    None before the first commit — ``vectors`` is the manifest-composed
+    union of the live deltas, ``centroids`` the version's own copy."""
+    latest = dv.latest_committed_dir(store_dir)
+    if latest is None:
         return None
-    latest = max(dirs, key=lambda d: int(d.rsplit("=", 1)[1]))
-    out = {}
-    from pyspark.errors import AnalysisException
-
-    for a, schema in ARTIFACTS.items():
-        path = os.path.join(latest, a)
-        try:
-            out[a] = spark.read.parquet(path)
-        except AnalysisException:
-            # only the inference failure over a zero-row batch's empty
-            # directory falls back to the pinned schema; a genuinely
-            # corrupt or partial snapshot must surface, not be re-read
-            # under a possibly wrong element type
-            out[a] = spark.read.schema(schema).parquet(path)
-    return out
+    man = dv.read_manifest(latest)
+    return {
+        "vectors": dv.read_artifact(
+            store_dir, man, "vectors", _read_vectors_delta(spark)
+        ),
+        "centroids": dv.read_artifact(
+            store_dir,
+            man,
+            "centroids",
+            lambda p: spark.read.schema(ARTIFACTS["centroids"]).parquet(p),
+        ),
+    }
 
 
 def _version_centroids(prev: dict[str, DataFrame]) -> list[list[float]]:
@@ -91,30 +105,53 @@ def start_incremental_ann(
             return  # replay of a committed batch: drop it
         spark = batch_emb.sparkSession
         batch = batch_emb.localCheckpoint()
-        prev = read_ann_version(spark, store_dir)
-        centroids = _version_centroids(prev) if prev is not None else []
+        prev_dir = dv.latest_committed_dir(store_dir)
+        prev_man = dv.read_manifest(prev_dir) if prev_dir else None
+        if prev_man is not None:
+            centroids = _version_centroids(
+                {
+                    "centroids": dv.read_artifact(
+                        store_dir,
+                        prev_man,
+                        "centroids",
+                        lambda p: spark.read.schema(
+                            ARTIFACTS["centroids"]
+                        ).parquet(p),
+                    )
+                }
+            )
+        else:
+            centroids = []
         if not centroids and batch.count() > 0:
             # first non-empty batch seeds the fixed quantizer
             centroids = ivf_fit(batch, n_list=n_list, n_iters=n_iters)
         if centroids:
-            assigned = ivf_assign(batch, centroids)
-            vectors = (
-                prev["vectors"].unionByName(assigned)
-                if prev is not None
-                else assigned
-            )
+            delta = ivf_assign(batch, centroids)
         else:
-            # empty stream prefix: publish an empty (but readable)
-            # snapshot so commit ordering stays dense
-            vectors = spark.createDataFrame([], ARTIFACTS["vectors"])
+            # empty stream prefix: an empty (but readable) delta keeps
+            # commit ordering dense
+            delta = spark.createDataFrame([], ARTIFACTS["vectors"])
         out = eo.batch_dir(store_dir, batch_id)
-        vectors.write.mode("overwrite").partitionBy("list_id").parquet(
+        rel = os.path.basename(out)
+        delta.write.mode("overwrite").partitionBy("list_id").parquet(
             os.path.join(out, "vectors")
         )
         rows = [(j, list(c)) for j, c in enumerate(centroids)]
         spark.createDataFrame(rows, ARTIFACTS["centroids"]).write.mode(
             "overwrite"
         ).parquet(os.path.join(out, "centroids"))
+        dv.write_manifest(
+            out,
+            batch_id,
+            {
+                "vectors": dv.extend_deltas(
+                    prev_man, "vectors", f"{rel}/vectors", "append"
+                ),
+                "centroids": dv.extend_deltas(
+                    prev_man, "centroids", f"{rel}/centroids", "full"
+                ),
+            },
+        )
         eo.commit(store_dir, batch_id)
 
     return (
@@ -123,6 +160,35 @@ def start_incremental_ann(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_ann_store(spark: SparkSession, store_dir: str) -> int:
+    """Offline maintenance (between stream runs, like version pruning):
+    rewrite the latest committed version's vector deltas as ONE
+    ``compact=V/vectors`` directory (same list_id partitioning), commit
+    the compact marker, and atomically repoint version V's manifest at
+    it — content-equal by construction, so readers see identical rows
+    before and after. Later batches inherit the compacted list through
+    the normal manifest chain; ``deltas.prune_versions`` then frees the
+    superseded per-batch directories. Returns V."""
+    latest = dv.latest_committed_dir(store_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no committed ANN version in {store_dir}")
+    version = int(latest.rsplit("=", 1)[1])
+    man = dv.read_manifest(latest)
+    vectors = dv.read_artifact(
+        store_dir, man, "vectors", _read_vectors_delta(spark)
+    )
+    cdir = dv.compact_dir(store_dir, version)
+    vectors.write.mode("overwrite").partitionBy("list_id").parquet(
+        os.path.join(cdir, "vectors")
+    )
+    dv.finish_compaction(
+        store_dir,
+        version,
+        {"vectors": f"{os.path.basename(cdir)}/vectors"},
+    )
+    return version
 
 
 def ann_search_version(

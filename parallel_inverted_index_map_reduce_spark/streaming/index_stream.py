@@ -1,47 +1,75 @@
-"""Incremental inverted-index maintenance from a document stream.
+"""Incremental inverted-index maintenance from a document stream —
+delta versions.
 
 The reference builds its index in one batch run over a fixed manifest
 (/root/reference/src/main.cpp:49-320, end-to-end); this maintains the
-SAME artifact incrementally: each micro-batch of new documents folds
-into the stored chunked index via
-:func:`operators.index.merge_index_chunked` (re-chunking only the words
-the batch touches), and each resulting index VERSION lands
-exactly-once under the commit-marker protocol (streaming/sinks.py).
+SAME artifact incrementally: each micro-batch re-chunks ONLY the words
+it touches (:func:`operators.index.merge_index_chunked` with
+``delta_only=True``) and writes those words' complete new rows as its
+DELTA, plus a ``_MANIFEST.json`` listing the live deltas that compose
+the version (streaming/deltas.py, mode ``lww`` keyed by word: a later
+delta's rows supersede every earlier row for the same word). Per-batch
+write cost is O(affected vocabulary) — never O(index) — which is the
+shape a 100 TB daily ingest needs; the pre-round-11 protocol rewrote
+the full chunk table every batch.
 
-Consistency story: a version directory is complete-or-invisible — a
-crash between the data write and the marker leaves an uncommitted
-directory that readers ignore and the replayed batch overwrites; the
-reader always sees the LATEST COMMITTED version, which is by
-construction a full, consistent index of every committed batch's
+Consistency story is unchanged (streaming/sinks.py): deltas + manifest
+land before the commit marker, so a version is complete-or-invisible —
+a crash mid-write leaves an uncommitted directory that readers ignore
+and the replayed batch overwrites; the reader always sees the LATEST
+COMMITTED version, a full, consistent index of every committed batch's
 documents. Re-ingested doc_ids are idempotent at the postings level
 (per-word ids are distinct-merged).
 
-Space trade, stated plainly: each version is a full snapshot —
-at 100 TB you retain the latest few and call
-:func:`prune_index_versions` from the same maintenance cadence that
-compacts small files; the merge itself only RECOMPUTES affected words,
-the snapshot write is what a table format with copy-on-write file
-reuse would amortize.
+Compaction (:func:`compact_index_store`) and pruning
+(:func:`prune_index_versions`) are the offline maintenance pair: the
+compactor materializes the latest version's composition into one
+``compact=V`` directory and atomically repoints V's manifest at it;
+pruning then deletes any directory no retained manifest references.
 """
 
 from __future__ import annotations
 
-import shutil
+import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import index as ix
+from . import deltas as dv
 from . import sinks as eo
+
+# every delta reads under one pinned schema: a zero-row batch's empty
+# directory has no part files to infer from, and LWW composition needs
+# type-identical deltas (doc ids normalize to long on the way in — the
+# schema-drift contract)
+CHUNK_SCHEMA = (
+    "letter string, word string, chunk_id bigint, df bigint, "
+    "postings array<bigint>"
+)
+
+
+def _read_delta(spark: SparkSession):
+    def read_one(path: str) -> DataFrame:
+        return spark.read.schema(CHUNK_SCHEMA).parquet(path)
+
+    return read_one
+
+
+def _compose_version(
+    spark: SparkSession, index_dir: str, man: dict
+) -> DataFrame:
+    return dv.read_artifact(index_dir, man, "index", _read_delta(spark))
 
 
 def read_index_version(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    """The latest COMMITTED index version, or None before the first
-    commit. Uncommitted (crash-partial) versions are never visible."""
-    dirs = eo.committed_batch_dirs(index_dir)
-    if not dirs:
+    """The latest COMMITTED index version (manifest-composed), or None
+    before the first commit. Uncommitted (crash-partial) versions are
+    never visible."""
+    latest = dv.latest_committed_dir(index_dir)
+    if latest is None:
         return None
-    latest = max(dirs, key=lambda d: int(d.rsplit("=", 1)[1]))
-    return spark.read.parquet(latest)
+    return _compose_version(spark, index_dir, dv.read_manifest(latest))
 
 
 def start_incremental_index(
@@ -57,14 +85,30 @@ def start_incremental_index(
         if eo.is_committed(index_dir, batch_id):
             return  # replay of a committed batch: drop it
         spark = batch_docs.sparkSession
-        prev = read_index_version(spark, index_dir)
-        if prev is None:
-            new_index = ix.build_index_chunked(batch_docs, chunk_size=chunk_size)
+        batch = batch_docs.withColumn("doc_id", F.col("doc_id").cast("long"))
+        prev_dir = dv.latest_committed_dir(index_dir)
+        prev_man = dv.read_manifest(prev_dir) if prev_dir else None
+        if prev_man is None:
+            delta = ix.build_index_chunked(batch, chunk_size=chunk_size)
         else:
-            new_index = ix.merge_index_chunked(
-                prev, batch_docs, chunk_size=chunk_size
+            delta = ix.merge_index_chunked(
+                _compose_version(spark, index_dir, prev_man),
+                batch,
+                chunk_size=chunk_size,
+                delta_only=True,
             )
-        new_index.write.mode("overwrite").parquet(eo.batch_dir(index_dir, batch_id))
+        out = eo.batch_dir(index_dir, batch_id)
+        delta.write.mode("overwrite").parquet(out)
+        dv.write_manifest(
+            out,
+            batch_id,
+            {
+                "index": dv.extend_deltas(
+                    prev_man, "index", os.path.basename(out), "lww",
+                    key="word",
+                )
+            },
+        )
         eo.commit(index_dir, batch_id)
 
     return (
@@ -75,31 +119,31 @@ def start_incremental_index(
     )
 
 
-def prune_index_versions(index_dir: str, keep: int = 1) -> int:
-    """Delete all but the newest ``keep`` committed versions; uncommitted
-    directories are left for their replaying batch. Returns the number
-    of versions removed.
-
-    Deletion order is the invariant: the MARKER goes first, the data
-    directory second. A crash between the two then leaves an
-    uncommitted (invisible) directory — the state the protocol already
-    tolerates — instead of a marker without data, which would make
-    ``is_committed`` lie and let the replay guard silently drop a
-    redelivered batch.
-    """
-    import os
-
-    dirs = sorted(
-        eo.committed_batch_dirs(index_dir),
-        key=lambda d: int(d.rsplit("=", 1)[1]),
+def compact_index_store(spark: SparkSession, index_dir: str) -> int:
+    """Offline maintenance: materialize the latest committed version's
+    LWW composition as one ``compact=V`` directory, commit its marker,
+    and atomically repoint version V's manifest at it (content-equal by
+    construction). Returns V; follow with :func:`prune_index_versions`
+    to free the superseded per-batch deltas."""
+    latest = dv.latest_committed_dir(index_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no committed index version in {index_dir}")
+    version = int(latest.rsplit("=", 1)[1])
+    man = dv.read_manifest(latest)
+    composed = _compose_version(spark, index_dir, man)
+    cdir = dv.compact_dir(index_dir, version)
+    composed.write.mode("overwrite").parquet(cdir)
+    dv.finish_compaction(
+        index_dir, version, {"index": os.path.basename(cdir)}
     )
-    removed = 0
-    for d in dirs[:-keep] if keep else dirs:
-        bid = int(d.rsplit("=", 1)[1])
-        try:
-            os.remove(eo.marker_path(index_dir, bid))
-        except FileNotFoundError:
-            pass
-        shutil.rmtree(d, ignore_errors=True)
-        removed += 1
-    return removed
+    return version
+
+
+def prune_index_versions(index_dir: str, keep: int = 1) -> int:
+    """Delete committed directories no retained version's manifest
+    references (streaming/deltas.py's rule: markers first, data second,
+    uncommitted directories left for their replaying batch). Under the
+    delta protocol a delta stays live while any retained manifest lists
+    it — run :func:`compact_index_store` first to supersede old deltas,
+    then prune to actually free them. Returns directories removed."""
+    return dv.prune_versions(index_dir, keep=keep)

@@ -1,32 +1,46 @@
-"""Streamed maintenance of the full SERVING layout.
+"""Streamed maintenance of the full SERVING layout — delta versions.
 
 streaming/index_stream.py maintains the chunked index incrementally;
 this module maintains everything a QUERY needs — positional postings,
-doclen, chunks, and the BM25 stats row — so the streamed artifact can
-serve bm25/phrase/boolean/NEAR directly, with no batch job in between.
+doclen, docterms, chunks, and the BM25 stats row — so the streamed
+artifact can serve bm25/phrase/boolean/NEAR directly, with no batch
+job in between.
 
-Consistency is the same commit-marker protocol (streaming/sinks.py):
-each micro-batch writes a complete versioned snapshot directory
-(``batch_id=N/{positions,doclen,chunks,stats}``) and then its marker,
-so a version is complete-or-invisible; readers always see the latest
-COMMITTED version, which is by construction a full, consistent serving
-layout of every committed batch's documents. A crash between the data
-write and the marker leaves an ignored partial directory that the
-replayed batch overwrites — proven by the crash-injection test.
+Since round 11 versions are LOGICAL (streaming/deltas.py): each
+micro-batch writes ONLY its own contribution —
 
-Space trade, same as index_stream: each version is a full snapshot
-(prune with :func:`index_stream.prune_index_versions` pointed at this
-directory — the layout matches); the chunk merge only RECOMPUTES
-affected words, and the positions/doclen parts of the snapshot are
-pass-through unions of already-written parquet. Doc ids must be unique
-across the stream (append-only corpus), the same contract as
-operators/serving.py extend_search_index.
+- ``positions`` / ``doclen`` / ``docterms``: append-mode deltas (every
+  row belongs to exactly one batch forever, so composition is a plain
+  union of the live deltas),
+- ``chunks``: an lww-mode delta keyed by word
+  (:func:`operators.index.merge_index_chunked` with ``delta_only=True``
+  re-chunks ONLY the words the batch touches; composition takes each
+  word's rows from the LAST delta that wrote them),
+- ``stats``: a full (O(1)) per-version row, maintained INCREMENTALLY —
+  (n_docs, n_dl, sum_dl) fold the batch's own doclen delta into the
+  previous version's counters, and avgdl = sum_dl / n_dl reproduces
+  AVG over the composed doclen exactly (integer sums are exact in
+  double far past any corpus size, so the division is the same IEEE
+  operation either way)
 
-The snapshot's positions are letter-partitioned parquet, so the
-query-side pruning (PartitionFilters + pushed word IN) matches the
-stored-table path; queries run through the SAME frame-parameterized
-bodies (serving.bm25_from_frames / phrase_from_frames), so streamed
-answers are the stored path's answers by construction.
+— and a ``_MANIFEST.json`` naming the live deltas per artifact. The
+per-batch write cost is O(batch + affected vocabulary), the same shape
+as operators/serving.py's batch extend path, where the pre-round-11
+protocol rewrote the complete layout every micro-batch (O(store) per
+increment). Commit-marker crash safety is unchanged: deltas + manifest
+land before the marker, a version is complete-or-invisible, and a
+replayed batch rebuilds from the latest COMMITTED manifest — proven by
+the crash-injection test. Doc ids must be unique across the stream
+(append-only corpus), the same contract as extend_search_index.
+
+Every positions/chunks delta is letter-partitioned parquet, so the
+query-side pruning (PartitionFilters + pushed word IN) holds per delta
+scan, matching the stored-table path; queries run through the SAME
+frame-parameterized bodies (serving.bm25_from_frames /
+phrase_from_frames), so streamed answers are the stored path's answers
+by construction. :func:`compact_serving_store` +
+``deltas.prune_versions`` are the offline maintenance pair that bounds
+the live-delta count.
 """
 
 from __future__ import annotations
@@ -38,12 +52,13 @@ from pyspark.sql import functions as F
 
 from ..operators import index as ix
 from ..operators.index import positional_postings
+from . import deltas as dv
 from . import sinks as eo
 
-# artifact -> explicit read schema: a committed snapshot of an EMPTY
-# corpus prefix has directories with no part files, where schema
-# inference raises — explicit schemas keep every committed version
-# readable (the same empty-directory lesson as sinks.py's reader)
+# artifact -> explicit read schema: a committed delta of a zero-row
+# batch has a directory with no part files, where schema inference
+# raises — explicit schemas keep every committed version readable (the
+# same empty-directory lesson as sinks.py's reader)
 ARTIFACTS = {
     "positions": "word string, doc_id bigint, positions array<int>, letter string",
     "doclen": "doc_id long, dl bigint",
@@ -52,22 +67,41 @@ ARTIFACTS = {
         "word string, chunk_id bigint, df bigint, "
         "postings array<bigint>, letter string"
     ),
-    "stats": "n_docs long, avgdl double",
+    "stats": "n_docs long, avgdl double, n_dl long, sum_dl long",
 }
+
+# which deltas compose by union vs last-writer-wins; stats is the O(1)
+# per-version row
+MODES = {
+    "positions": ("append", None),
+    "doclen": ("append", None),
+    "docterms": ("append", None),
+    "chunks": ("lww", "word"),
+    "stats": ("full", None),
+}
+
+
+def _read_one(spark: SparkSession, artifact: str):
+    schema = ARTIFACTS[artifact]
+
+    def read(path: str) -> DataFrame:
+        return spark.read.schema(schema).parquet(path)
+
+    return read
 
 
 def read_serving_version(
     spark: SparkSession, store_dir: str
 ) -> dict[str, DataFrame] | None:
-    """The latest COMMITTED serving snapshot as {artifact: DataFrame},
-    or None before the first commit."""
-    dirs = eo.committed_batch_dirs(store_dir)
-    if not dirs:
+    """The latest COMMITTED serving snapshot as {artifact: DataFrame}
+    (manifest-composed), or None before the first commit."""
+    latest = dv.latest_committed_dir(store_dir)
+    if latest is None:
         return None
-    latest = max(dirs, key=lambda d: int(d.rsplit("=", 1)[1]))
+    man = dv.read_manifest(latest)
     return {
-        a: spark.read.schema(schema).parquet(os.path.join(latest, a))
-        for a, schema in ARTIFACTS.items()
+        a: dv.read_artifact(store_dir, man, a, _read_one(spark, a))
+        for a in ARTIFACTS
     }
 
 
@@ -85,16 +119,16 @@ def start_incremental_serving(
             return  # replay of a committed batch: drop it
         spark = batch_docs.sparkSession
         batch = batch_docs.localCheckpoint()
-        prev = read_serving_version(spark, store_dir)
+        prev_dir = dv.latest_committed_dir(store_dir)
+        prev_man = dv.read_manifest(prev_dir) if prev_dir else None
 
         # ONE tokenization of the batch: the pinned positional frame
-        # feeds positions, doclen, AND the chunk build/merge pairs
+        # feeds positions, doclen, docterms, AND the chunk merge
         new_pos = (
             positional_postings(batch)
             # a regenerated corpus can carry int32 doc ids (the
-            # schema-drift contract); normalize to the snapshot's
-            # declared bigint so every committed version reads under
-            # the one ARTIFACTS schema
+            # schema-drift contract); normalize to the delta's declared
+            # bigint so every delta composes under the one schema
             .withColumn("doc_id", F.col("doc_id").cast("long"))
             .withColumn("letter", F.substring("word", 1, 1))
             .localCheckpoint(eager=False)
@@ -107,45 +141,67 @@ def start_incremental_serving(
             "doc_id", "word", F.size("positions").cast("long").alias("tf")
         )
         n_batch = batch.count()
-        if prev is None:
-            pos, dl, dt = new_pos, new_dl, new_dt
-            chunks = ix.chunk_pairs(new_pairs, chunk_size=chunk_size)
-            n_docs = n_batch
+        if prev_man is None:
+            chunks_delta = ix.chunk_pairs(new_pairs, chunk_size=chunk_size)
+            prev_stats = {"n_docs": 0, "n_dl": 0, "sum_dl": 0}
         else:
-            pos = prev["positions"].unionByName(new_pos)
-            dl = prev["doclen"].unionByName(new_dl)
-            dt = prev["docterms"].unionByName(new_dt)
-            chunks = ix.merge_index_chunked(
-                prev["chunks"], batch, chunk_size=chunk_size,
-                new_pairs=new_pairs,
+            prev_chunks = dv.read_artifact(
+                store_dir, prev_man, "chunks", _read_one(spark, "chunks")
             )
-            n_docs = int(prev["stats"].first()["n_docs"]) + n_batch
+            chunks_delta = ix.merge_index_chunked(
+                prev_chunks, batch, chunk_size=chunk_size,
+                new_pairs=new_pairs, delta_only=True,
+            )
+            prev_stats = dv.read_artifact(
+                store_dir, prev_man, "stats", _read_one(spark, "stats")
+            ).first().asDict()
 
         out = eo.batch_dir(store_dir, batch_id)
-        pos.write.mode("overwrite").partitionBy("letter").parquet(
+        rel = os.path.basename(out)
+        new_pos.write.mode("overwrite").partitionBy("letter").parquet(
             os.path.join(out, "positions")
         )
-        dl.write.mode("overwrite").parquet(os.path.join(out, "doclen"))
-        # doc-major transpose, a pass-through union like doclen — norms
-        # are NOT snapshotted: they bake idf, which every batch moves,
-        # so the streamed MLT recomputes them at query time (the same
+        new_dl.write.mode("overwrite").parquet(os.path.join(out, "doclen"))
+        # doc-major transpose, an append delta like doclen — norms are
+        # NOT maintained: they bake idf, which every batch moves, so
+        # the streamed MLT recomputes them at query time (the same
         # stale-norms fallback the batch store uses between compactions)
-        dt.write.mode("overwrite").parquet(os.path.join(out, "docterms"))
-        chunks.write.mode("overwrite").partitionBy("letter").parquet(
+        new_dt.write.mode("overwrite").parquet(os.path.join(out, "docterms"))
+        chunks_delta.write.mode("overwrite").partitionBy("letter").parquet(
             os.path.join(out, "chunks")
         )
-        # stats from the WRITTEN doclen (reading it back avoids
-        # re-executing the union plan a second time); the EXPLICIT
-        # schema keeps a zero-row batch's empty directory readable —
-        # schema inference over no part files raises, which would wedge
-        # the stream on every replay of that batch
-        stats = spark.read.schema(ARTIFACTS["doclen"]).parquet(
-            os.path.join(out, "doclen")
-        ).agg(
-            F.lit(n_docs).cast("long").alias("n_docs"),
-            F.coalesce(F.avg("dl"), F.lit(1.0)).alias("avgdl"),
+        # fold the WRITTEN doclen delta into the previous counters
+        # (reading it back avoids re-executing the tokenize plan; the
+        # explicit schema keeps a zero-row batch's empty directory
+        # readable). Integer sums stay exact in double, so
+        # sum_dl / n_dl IS AVG(dl) over the composed doclen.
+        d = (
+            spark.read.schema(ARTIFACTS["doclen"])
+            .parquet(os.path.join(out, "doclen"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+            )
+            .first()
         )
-        stats.write.mode("overwrite").parquet(os.path.join(out, "stats"))
+        n_docs = int(prev_stats["n_docs"]) + n_batch
+        n_dl = int(prev_stats["n_dl"]) + int(d["n"])
+        sum_dl = int(prev_stats["sum_dl"]) + int(d["s"])
+        avgdl = (sum_dl / n_dl) if n_dl else 1.0
+        spark.createDataFrame(
+            [(n_docs, avgdl, n_dl, sum_dl)], ARTIFACTS["stats"]
+        ).write.mode("overwrite").parquet(os.path.join(out, "stats"))
+
+        dv.write_manifest(
+            out,
+            batch_id,
+            {
+                a: dv.extend_deltas(
+                    prev_man, a, f"{rel}/{a}", MODES[a][0], key=MODES[a][1]
+                )
+                for a in ARTIFACTS
+            },
+        )
         eo.commit(store_dir, batch_id)
 
     return (
@@ -154,6 +210,31 @@ def start_incremental_serving(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_serving_store(spark: SparkSession, store_dir: str) -> int:
+    """Offline maintenance: materialize the latest committed version's
+    composition of every delta-chained artifact into one ``compact=V``
+    directory (same letter partitioning for positions/chunks), commit
+    the compact marker, and atomically repoint version V's manifest —
+    content-equal by construction. Returns V; follow with
+    ``deltas.prune_versions`` to free superseded per-batch deltas."""
+    latest = dv.latest_committed_dir(store_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no committed serving version in {store_dir}")
+    version = int(latest.rsplit("=", 1)[1])
+    man = dv.read_manifest(latest)
+    cdir = dv.compact_dir(store_dir, version)
+    rewrites = {}
+    for a in ("positions", "doclen", "docterms", "chunks"):
+        composed = dv.read_artifact(store_dir, man, a, _read_one(spark, a))
+        writer = composed.write.mode("overwrite")
+        if a in ("positions", "chunks"):
+            writer = writer.partitionBy("letter")
+        writer.parquet(os.path.join(cdir, a))
+        rewrites[a] = f"{os.path.basename(cdir)}/{a}"
+    dv.finish_compaction(store_dir, version, rewrites)
+    return version
 
 
 def bm25_search_version(
@@ -202,8 +283,8 @@ def mlt_search_version(
     """More-like-this served from the latest committed streamed
     snapshot — the same frame-parameterized body as the stored-table
     path (serving.mlt_from_frames); norms recompute from the docterms
-    snapshot at query time (idf moves every batch, so a norms snapshot
-    would be stale the moment the next batch lands)."""
+    composition at query time (idf moves every batch, so a norms
+    artifact would be stale the moment the next batch lands)."""
     from ..operators.serving import mlt_from_frames
 
     v = read_serving_version(spark, store_dir)

@@ -119,7 +119,17 @@ def test_streamed_index_converges_to_batch_build(spark, tmp_path):
     assert q2.awaitTermination(420)
     assert len(ixs.eo.committed_batch_dirs(index_dir)) == 3
 
-    # prune to the latest version; the surviving index is still complete
+    # under the delta protocol every delta the latest manifest lists is
+    # LIVE: pruning alone must refuse to remove them
+    assert ixs.prune_index_versions(index_dir, keep=1) == 0
+    assert len(ixs.eo.committed_batch_dirs(index_dir)) == 3
+    assert _rows(ixs.read_index_version(spark, index_dir)) == _rows(want)
+
+    # compact (content-equal rewrite, atomic manifest repoint), THEN
+    # prune frees the superseded per-batch deltas; the surviving
+    # version is still complete
+    assert ixs.compact_index_store(spark, index_dir) == 2
+    assert _rows(ixs.read_index_version(spark, index_dir)) == _rows(want)
     removed = ixs.prune_index_versions(index_dir, keep=1)
     assert removed == 2
     assert len(ixs.eo.committed_batch_dirs(index_dir)) == 1
