@@ -1057,7 +1057,10 @@ def store_ann_index(
     except FileNotFoundError:
         pass
     centroids = ivf_fit(emb, n_list=n_list, n_iters=n_iters)
-    assigned = ivf_assign(emb, centroids)
+    # store builds take the Arrow-batched assignment: the layout's
+    # correctness anchor (full probe) is assignment-invariant, and the
+    # equivalence test pins the two forms equal anyway
+    assigned = ivf_assign(emb, centroids, vectorized=True)
     if quantize:
         assigned = _quantized_assignment(assigned)
     write_partitioned_table(assigned, f"{base}_vectors", ("list_id",))
@@ -1233,7 +1236,9 @@ def extend_ann_index(
     from .similarity import ivf_assign
 
     meta = _read_ann_meta(spark, base)
-    assigned = ivf_assign(new_emb, load_stored_centroids(spark, base))
+    assigned = ivf_assign(
+        new_emb, load_stored_centroids(spark, base), vectorized=True
+    )
     if meta.get("quantized"):
         assigned = _quantized_assignment(assigned)
     assigned = assigned.localCheckpoint()

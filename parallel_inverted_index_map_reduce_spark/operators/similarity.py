@@ -193,6 +193,74 @@ def _sq_dist(a: Column, centroid: list[float]) -> Column:
     )
 
 
+def assign_lists_vectorized(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """``emb`` plus ``list_id`` — the batched-numpy twin of
+    ``element_at(_centroid_order(...), 1)``.
+
+    The interpreted-HOF argmin costs ~3 ms/vector at n_list=64 (590 s
+    for a 200k-vector fit, BENCH_NOTES round 10) because Spark
+    evaluates the per-centroid lambda folds row-at-a-time; this is the
+    same arithmetic as ONE Arrow-batched numpy pass, vectorized over
+    rows but looping dims so every (row, centroid) accumulates
+    ``acc + (x_k - c_k)^2`` in exactly the fold's component order —
+    each step one IEEE double op, bit-identical to the expression fold.
+    Rounding to 9 decimals uses scaled-binary half-up
+    (``floor(d*1e9 + 0.5)/1e9``), which agrees with F.round's
+    decimal-string HALF_UP everywhere d*1e9 is not within an ulp of a
+    half-integer; ``np.argmin`` returns the FIRST minimal index — the
+    expression's lower-id tie-break. Equality against the expression
+    path over the whole test corpus is pinned by
+    tests/test_similarity.py; rows whose embedding length differs from
+    the centroid dim (empty vectors) get list_id 0, matching the
+    expression's empty-fold behaviour, and contribute nothing
+    downstream (no components to explode, excluded by every size>0
+    guard).
+
+    Per-row results are independent of Arrow batch boundaries and
+    partitioning, so the assignment is deterministic on any cluster —
+    the same contract as the expression path.
+    """
+    from pyspark.sql import types as T
+
+    cents = [[float(x) for x in c] for c in centroids]
+    # a FRESH StructType: DataFrame.schema returns the frame's cached
+    # object and StructType.add mutates in place — appending to it
+    # would corrupt the input frame's own schema
+    out_schema = T.StructType(
+        list(emb.schema.fields)
+        + [T.StructField("list_id", T.IntegerType(), False)]
+    )
+
+    def assign(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(list_id=np.array([], dtype="int32"))
+                continue
+            C = np.asarray(cents, dtype=np.float64)
+            dim = C.shape[1]
+            lens = pdf["embedding"].map(len).to_numpy()
+            lid = np.zeros(len(pdf), dtype=np.int64)
+            ok = lens == dim
+            if ok.any():
+                X = np.stack(
+                    [
+                        np.asarray(e, dtype=np.float64)
+                        for e in pdf["embedding"][ok]
+                    ]
+                )
+                acc = np.zeros((X.shape[0], C.shape[0]))
+                for k in range(dim):
+                    diff = X[:, k][:, None] - C[None, :, k]
+                    acc += diff * diff
+                dr = np.floor(acc * 1e9 + 0.5) / 1e9
+                lid[ok] = np.argmin(dr, axis=1)
+            yield pdf.assign(list_id=lid.astype("int32"))
+
+    return emb.mapInPandas(assign, schema=out_schema)
+
+
 def _centroid_order(a: Column, centroids: list[list[float]]) -> Column:
     """list ids ordered by distance from the vector (ties -> lower id).
     Distances are rounded so the ordering is stable across runs."""
@@ -214,6 +282,7 @@ def ivf_fit(
     n_list: int = 16,
     n_iters: int = 2,
     fit_fraction: float | None = None,
+    vectorized: bool = True,
 ) -> list[list[float]]:
     """Deterministic coarse quantizer: k-means over the corpus.
 
@@ -270,12 +339,22 @@ def ivf_fit(
     # a corpus smaller than n_list fits fewer lists, not an IndexError
     n_list = len(centroids)
     for _ in range(n_iters):
-        assigned = emb.select(
-            F.element_at(_centroid_order(F.col("embedding"), centroids), 1).alias(
-                "list_id"
-            ),
-            F.posexplode("embedding").alias("i", "xf"),
-        )
+        # the Lloyd distance pass is the fit's entire cost at scale;
+        # the vectorized path computes the same per-component fold in
+        # one Arrow batch per task (~50-100x; see
+        # assign_lists_vectorized), the expression path remains as the
+        # oracle-replayable twin the equivalence test pins it against
+        if vectorized:
+            assigned = assign_lists_vectorized(emb, centroids).select(
+                "list_id", F.posexplode("embedding").alias("i", "xf")
+            )
+        else:
+            assigned = emb.select(
+                F.element_at(
+                    _centroid_order(F.col("embedding"), centroids), 1
+                ).alias("list_id"),
+                F.posexplode("embedding").alias("i", "xf"),
+            )
         means = (
             assigned.groupBy("list_id", "i")
             .agg(
@@ -298,9 +377,26 @@ def ivf_fit(
     return centroids
 
 
-def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vectorized: bool = False,
+) -> DataFrame:
     """(vec_id, embedding, list_id): nearest-centroid assignment, one
-    shuffle-free corpus pass."""
+    shuffle-free corpus pass.
+
+    The default stays the fold-expression form — it is what the
+    registry oracles replay verbatim in DuckDB (semdedup's
+    list_reduce Voronoi twin). ``vectorized=True`` routes through
+    :func:`assign_lists_vectorized` (same arithmetic, one Arrow batch
+    per task instead of row-at-a-time lambda folds) — the store-build
+    path, where the correctness anchor (full probe) is
+    assignment-layout-invariant and the equivalence test pins the two
+    forms equal anyway."""
+    if vectorized:
+        return assign_lists_vectorized(
+            emb.select("vec_id", "embedding"), centroids
+        )
     return emb.select(
         "vec_id",
         "embedding",

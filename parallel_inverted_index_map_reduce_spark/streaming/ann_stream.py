@@ -126,7 +126,7 @@ def start_incremental_ann(
             # first non-empty batch seeds the fixed quantizer
             centroids = ivf_fit(batch, n_list=n_list, n_iters=n_iters)
         if centroids:
-            delta = ivf_assign(batch, centroids)
+            delta = ivf_assign(batch, centroids, vectorized=True)
         else:
             # empty stream prefix: an empty (but readable) delta keeps
             # commit ordering dense

@@ -349,3 +349,35 @@ def test_pairwise_cosine_uncapped_warns(spark):
         warnings.simplefilter("always")
         sim.pairwise_cosine(emb, max_query_id=5)
         assert not any("max_query_id" in str(x.message) for x in w)
+
+
+def test_vectorized_assignment_equals_expression_fold(spark):
+    """The Arrow-batched numpy assignment must agree with the
+    fold-expression argmin row for row — same component accumulation
+    order, same rounding, same lower-id tie-break — including empty
+    embeddings (list 0, the empty fold) and across partitionings."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    cents = sim.ivf_fit(emb, n_list=16, n_iters=0)
+    expr = {
+        (r.vec_id, r.list_id)
+        for r in sim.ivf_assign(emb, cents).collect()
+    }
+    fast = {
+        (r.vec_id, r.list_id)
+        for r in sim.ivf_assign(emb, cents, vectorized=True).collect()
+    }
+    assert fast == expr and len(fast) == emb.count()
+    repart = {
+        (r.vec_id, r.list_id)
+        for r in sim.ivf_assign(
+            emb.repartition(11), cents, vectorized=True
+        ).collect()
+    }
+    assert repart == expr
+
+
+def test_ivf_fit_vectorized_lloyd_matches_expression_lloyd(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    fast = sim.ivf_fit(emb, n_list=8, n_iters=2)
+    slow = sim.ivf_fit(emb, n_list=8, n_iters=2, vectorized=False)
+    assert fast == slow
