@@ -59,7 +59,27 @@ def duck_connect(sf_dir: str):
 
     conn = duckdb.connect()
     conn.execute(f"PRAGMA threads={os.cpu_count()}")
-    conn.execute("SET memory_limit='80GB'")
+    # ONE memory budget for the whole process: the Spark driver heap
+    # and DuckDB coexist in it, so a fixed 80GB DuckDB limit under a
+    # 48g driver oversubscribes a 128G box — DuckDB then dies on a raw
+    # std::bad_alloc ('failed to allocate block') instead of spilling,
+    # and the round-11 single-session sf10 sweep lost pipeline_hygiene
+    # exactly that way. Default duck limit = total - driver - 16G
+    # margin (clamped to [16, 80]); SWEEP_DUCK_MEM overrides.
+    duck_mem = os.environ.get("SWEEP_DUCK_MEM")
+    if not duck_mem:
+        total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") // (
+            1 << 30
+        )
+        driver_gb = int(
+            "".join(
+                c for c in os.environ.get("SWEEP_DRIVER_MEM", "12g") if c.isdigit()
+            )
+            or 12
+        )
+        duck_mem = f"{max(16, min(80, total_gb - driver_gb - 16))}GB"
+    print(f"DUCK memory_limit={duck_mem}", flush=True)
+    conn.execute(f"SET memory_limit='{duck_mem}'")
     os.makedirs("/tmp/duckspill", exist_ok=True)
     conn.execute("SET temp_directory='/tmp/duckspill'")
     for t in TABLES:
