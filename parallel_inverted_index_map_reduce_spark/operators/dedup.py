@@ -116,10 +116,11 @@ def minhash_table(docs: DataFrame) -> DataFrame:
     (doc, partition) — signature-width, not token-width.
     """
     sh = shingles(docs, distinct=False)
-    p = F.lit(MINHASH_P)
+    # one F.expr parse per aggregate instead of ~8 py4j round trips each
+    # (identical tree — sameSemantics pinned in tests/test_dedup_pipeline.py)
     aggs = [
-        F.min(
-            (F.lit(MINHASH_A[i]) * F.col("shingle_hash") + F.lit(MINHASH_B[i])) % p
+        F.expr(
+            f"min(({MINHASH_A[i]} * shingle_hash + {MINHASH_B[i]}) % {MINHASH_P})"
         ).alias(f"mh{i}")
         for i in range(NUM_PERM)
     ]
@@ -163,20 +164,18 @@ def _band_signatures(docs_or_table: DataFrame) -> DataFrame:
         mh = minhash_table(docs_or_table)
     else:
         raise ValueError("expected documents or minhash_table output")
-    bands = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    *[
-                        F.col(f"mh{b * LSH_ROWS + r}").alias(f"sig_{r}")
-                        for r in range(LSH_ROWS)
-                    ],
-                )
-                for b in range(LSH_BANDS)
-            ]
+    structs = ", ".join(
+        "named_struct("
+        + ", ".join(
+            [f"'band_id', {b}"]
+            + [f"'sig_{r}', mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
         )
-    ).alias("bs")
+        + ")"
+        for b in range(LSH_BANDS)
+    )
+    # single-parse explode (same tree as the struct-per-band Column
+    # build it replaces; the named_struct field list is identical)
+    bands = F.expr(f"explode(array({structs}))").alias("bs")
     return mh.select("doc_id", bands).select(
         "doc_id", *[f"bs.{c}" for c in _BAND_SIG_COLS]
     )
@@ -630,22 +629,21 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     toks = token_positions(docs).select(
         "doc_id", stable_hash32(F.col("tok")).alias("h")
     )
+    # one F.expr parse per bit instead of ~10 py4j calls each (the
+    # 32-bit fingerprint build cost ~0.5 s of driver wall as Columns)
     bit_sums = [
-        F.sum(
-            F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            )
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
     per_doc = toks.groupBy("doc_id").agg(*bit_sums)
-    fingerprint = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return per_doc.select("doc_id", fingerprint.alias("simhash"))
+    fingerprint = " + ".join(
+        f"CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
+        for j in range(SIMHASH_BITS)
+    )
+    return per_doc.select("doc_id", F.expr(fingerprint).alias("simhash"))
 
 
 def lsh_collision_probability(s: float, bands: int, rows: int) -> float:

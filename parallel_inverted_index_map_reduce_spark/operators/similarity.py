@@ -122,6 +122,21 @@ def _norm_expr(a: Column) -> Column:
     return F.sqrt(_dot_expr(a, a))
 
 
+def _sql_dot(a: str, b: str) -> str:
+    """SQL-text twin of :func:`_dot_expr` — identical tree (lambda
+    variable names canonicalize away; sameSemantics pinned in
+    tests/test_similarity.py), one parse instead of ~40 py4j calls."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return f"SQRT({_sql_dot(a, a)})"
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     """Whole-stage-codegen cosine over two array<float> columns."""
     return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
@@ -147,26 +162,24 @@ def ann_topk_fast(emb: DataFrame, k: int = 3, n_queries: int = 5) -> DataFrame:
     a single dot-product fold instead of three — same values as folding
     dot/(sqrt(n1)*sqrt(n2)) per pair, a third of the work.
     """
-    q = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("qe"),
-        _norm_expr(F.col("embedding")).alias("qn"),
+    q = emb.where(F.col("vec_id") < n_queries).selectExpr(
+        "vec_id AS vec_a",
+        "embedding AS qe",
+        f"{_sql_norm('embedding')} AS qn",
     )
-    c = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("ce"),
-        _norm_expr(F.col("embedding")).alias("cn"),
+    c = emb.selectExpr(
+        "vec_id AS vec_b",
+        "embedding AS ce",
+        f"{_sql_norm('embedding')} AS cn",
     )
     cos = (
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("vec_a") != F.col("vec_b"))
-        .select(
+        .selectExpr(
             "vec_a",
             "vec_b",
-            F.round(_dot_expr(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6).alias(
-                "cosine"
-            ),
+            f"round({_sql_dot('qe', 'ce')} / (qn * cn), 6) AS cosine",
         )
     )
     return _topk_by_cosine(cos, k)

@@ -54,19 +54,23 @@ GROUP BY l_returnflag, l_linestatus
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc * (1 + F.col("l_tax"))
+    # string-form aggregates: identical expression trees (sameSemantics
+    # pinned in tests/test_dsum_properties.py) built through one
+    # F.expr parse each instead of ~130 py4j calls — the wide Q1
+    # aggregate's build cost was comparable to its execution
+    disc = "l_extendedprice * (1 - l_discount)"
+    charge = f"({disc}) * (1 + l_tax)"
     return (
         l.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity"), "sum_qty"),
-            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
             dsum(disc, "sum_disc_price"),
             dsum(charge, "sum_charge"),
-            davg(F.col("l_quantity"), "avg_qty"),
-            davg(F.col("l_extendedprice"), "avg_price"),
-            davg(F.col("l_discount"), "avg_disc"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -128,7 +132,7 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     rollup = o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_rows"),
-        dsum(F.col("o_totalprice"), "sum_measure"),
+        dsum("o_totalprice", "sum_measure"),
         F.grouping("o_orderstatus").cast("long").alias("g1"),
         F.grouping("o_orderpriority").cast("long").alias("g2"),
     ).select(
@@ -139,7 +143,7 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cube = l.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_rows"),
-        dsum(F.col("l_quantity"), "sum_measure"),
+        dsum("l_quantity", "sum_measure"),
         F.grouping("l_returnflag").cast("long").alias("g1"),
         F.grouping("l_linestatus").cast("long").alias("g2"),
     ).select(
@@ -170,7 +174,7 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     buckets = (
         o.groupBy(bucket.alias("key1"))
-        .agg(F.count("*").alias("n_rows"), dsum(F.col("o_totalprice"), "sum_measure"))
+        .agg(F.count("*").alias("n_rows"), dsum("o_totalprice", "sum_measure"))
         .select(
             F.lit("orders_buckets").alias("source"),
             "key1",
@@ -249,7 +253,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(dsum_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum_dec("l_extendedprice * (1 - l_discount)").alias("revenue"))
     )
     # rank over the DECIMAL (numeric order); render as string at the end
     w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -298,8 +302,13 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = c.join(F.broadcast(dims), c.c_nationkey == dims.n_nationkey).select(
         "c_custkey", "c_nationkey"
     )
+    # n_name rides the supplier side (nationkey is the nation PK, so the
+    # name is functionally determined): the former third broadcast join
+    # of dims after the fact-fact join re-derived a value this row
+    # already carried — one BroadcastExchange build + join stage
+    # removed, rows identical.
     supp = s.join(F.broadcast(dims), s.s_nationkey == dims.n_nationkey).select(
-        "s_suppkey", "s_nationkey"
+        "s_suppkey", "s_nationkey", "n_name"
     )
     # Join order: reduce BOTH fact sides through the region-selective
     # dims BEFORE the fact-fact shuffle — only ~1/|regions| of lineitem
@@ -308,13 +317,11 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order is stated explicitly rather than left to reordering.
     l_asia = l.join(supp, l.l_suppkey == supp.s_suppkey)
     o_asia = o.join(cust, o.o_custkey == cust.c_custkey)
-    joined = (
-        l_asia.join(o_asia, l_asia.l_orderkey == o_asia.o_orderkey)
-        .where(F.col("s_nationkey") == F.col("c_nationkey"))
-        .join(F.broadcast(dims), F.col("c_nationkey") == dims.n_nationkey)
+    joined = l_asia.join(o_asia, l_asia.l_orderkey == o_asia.o_orderkey).where(
+        F.col("s_nationkey") == F.col("c_nationkey")
     )
     return joined.groupBy(F.col("n_name").alias("nation")).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+        dsum("l_extendedprice * (1 - l_discount)", "revenue")
     )
 
 
@@ -396,7 +403,7 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum_dec(F.col("l_quantity")).alias("total_qty"))
+        .agg(dsum_dec("l_quantity").alias("total_qty"))
         .where(F.col("total_qty") > 140)  # HAVING: filter on the decimal
         .withColumn("total_qty", as_str(F.col("total_qty")))
     )

@@ -33,6 +33,38 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table, memoizing the DataFrame per (session, file state).
+
+    ``spark.read.parquet`` costs 65-110 ms of driver work per call
+    (footer/schema read + source resolution) — measured as the single
+    largest query-construction cost at bench scale (a 6-table join
+    spends ~0.5 s per build just re-resolving unchanged files). The
+    returned DataFrame is an immutable plan, so reuse is safe; the
+    cache key carries the file's (mtime_ns, size) so any rewrite —
+    test fixtures, compaction — misses and re-resolves. Only
+    single-file tables memoize: a directory's mtime does not see
+    nested rewrites, so directory layouts (the 100 TB lake case) take
+    the fresh-read path every call, exactly as before.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = None
+    cache = getattr(spark, "_graft_table_cache", None)
+    if os.path.isfile(path):
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+        if cache is None:
+            cache = {}
+            spark._graft_table_cache = cache  # type: ignore[attr-defined]
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+    df = _read_table(spark, path, name)
+    if key is not None:
+        cache[key] = df  # type: ignore[index]
+    return df
+
+
+def _read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
         # rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw
@@ -44,11 +76,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return spark.read.parquet(path)
 
 
 def spread(

@@ -194,3 +194,83 @@ def test_expand_pairs_adaptive_branches_and_completeness(spark):
     plan = _expand_pairs_adaptive(aggd, "ids")._jdf.queryExecution().toString()
     # exactly one user repartition exchange: the big branch's
     assert plan.count("REPARTITION_BY_NUM") == 1
+
+
+def test_expr_string_builders_same_semantics(spark):
+    """The one-parse F.expr builders (minhash aggregates, band structs,
+    simhash bit sums/fingerprint) produce trees sameSemantics-equal to
+    the Column-API constructions they replaced."""
+    from parallel_inverted_index_map_reduce_spark.functions.hashing import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        NUM_PERM,
+        stable_hash32,
+    )
+    from parallel_inverted_index_map_reduce_spark.operators.dedup import (
+        SIMHASH_BITS,
+        _band_signatures,
+        _BAND_SIG_COLS,
+        minhash_table,
+        shingles,
+        simhash_fingerprints,
+        token_positions,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    # --- minhash_table vs the Column-API form --------------------------------
+    sh = shingles(docs, distinct=False)
+    p = F.lit(MINHASH_P)
+    old_aggs = [
+        F.min(
+            (F.lit(MINHASH_A[i]) * F.col("shingle_hash") + F.lit(MINHASH_B[i])) % p
+        ).alias(f"mh{i}")
+        for i in range(NUM_PERM)
+    ]
+    old_mh = sh.groupBy("doc_id").agg(*old_aggs)
+    assert minhash_table(docs).sameSemantics(old_mh)
+
+    # --- band signatures vs the struct-per-band Column form ------------------
+    old_bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    *[
+                        F.col(f"mh{b * LSH_ROWS + r}").alias(f"sig_{r}")
+                        for r in range(LSH_ROWS)
+                    ],
+                )
+                for b in range(LSH_BANDS)
+            ]
+        )
+    ).alias("bs")
+    old_sig = old_mh.select("doc_id", old_bands).select(
+        "doc_id", *[f"bs.{c}" for c in _BAND_SIG_COLS]
+    )
+    assert _band_signatures(docs).sameSemantics(old_sig)
+
+    # --- simhash fingerprints vs the Column-API form -------------------------
+    toks = token_positions(docs).select(
+        "doc_id", stable_hash32(F.col("tok")).alias("h")
+    )
+    old_bits = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*old_bits)
+    fingerprint = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    old_fp = per_doc.select("doc_id", fingerprint.alias("simhash"))
+    assert simhash_fingerprints(docs).sameSemantics(old_fp)

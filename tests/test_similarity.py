@@ -381,3 +381,43 @@ def test_ivf_fit_vectorized_lloyd_matches_expression_lloyd(spark):
     fast = sim.ivf_fit(emb, n_list=8, n_iters=2)
     slow = sim.ivf_fit(emb, n_list=8, n_iters=2, vectorized=False)
     assert fast == slow
+
+
+def test_ann_topk_fast_string_form_same_semantics(spark):
+    """ann_topk_fast's selectExpr build equals the Column-API build it
+    replaced (lambda variable names canonicalize away)."""
+    from pyspark.sql import functions as F
+
+    from parallel_inverted_index_map_reduce_spark.operators.similarity import (
+        _dot_expr,
+        _norm_expr,
+        _topk_by_cosine,
+        ann_topk_fast,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k, n_queries = 3, 5
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("qe"),
+        _norm_expr(F.col("embedding")).alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("ce"),
+        _norm_expr(F.col("embedding")).alias("cn"),
+    )
+    cos = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot_expr(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
+        )
+    )
+    old = _topk_by_cosine(cos, k)
+    assert ann_topk_fast(emb, k=k, n_queries=n_queries).sameSemantics(old)
