@@ -447,6 +447,17 @@ def ivf_topk(
     sixth-decimal rounding-boundary exposure — the cross-engine-checked
     registry entry uses this; the default double fold remains the
     production scoring path.
+
+    Choosing ``nprobe`` (measured at 200k vectors / n_list=64 / k=10,
+    scripts/bench_ann_quality.py, BENCH_NOTES rounds 10-11): recall
+    depends on how clustered the corpus actually is. On a corpus WITH
+    real cluster structure (64-center mixture, the regime IVF is built
+    for) recall@10 is 0.97 at nprobe=1 and 1.0 from nprobe=2 — probe
+    ~2-4 lists. On a weakly-clustered corpus (sign-mask rotations)
+    recall rises near-linearly, 0.12@1 -> 0.92@32 — budget
+    nprobe >= n_list/2 or use the stored layout's cheap probes to
+    afford it (~4-5x lower latency per probe ladder point than
+    in-memory re-assignment at this scale).
     """
     if centroids is None:
         centroids = ivf_fit(emb, n_list=n_list, n_iters=n_iters)
