@@ -304,13 +304,12 @@ def _bucket_pairs(
     sweep). The cross-bucket ``distinct`` is unavoidable in either
     formulation.
 
-    Width management is SIZE-SPLIT (see :func:`_expand_pairs_adaptive`):
-    buckets of <= _SMALL_BUCKET members expand inside the AQE-coalesced
-    reduce stage — their pair volume per input byte is bounded by
-    construction, so coalescing can never serialize an explosion —
-    while bigger buckets route through a width-pinned round-robin
-    exchange that AQE cannot coalesce. At small scale the big branch
-    is empty and the operator runs at nopin speed (an unconditional
+    Width management (see :func:`_expand_pairs_adaptive`): every
+    surviving (>= 2 member) bucket routes through ONE width-pinned
+    round-robin exchange that AQE cannot coalesce, so an expansion can
+    never be serialized into a byte-coalesced task. At small scale the
+    pinned exchange carries only the few collision buckets (an
+    unconditional
     pre-groupBy pin measured +0.3 s on the sf0.1 bench — pure task
     overhead); at fingerprint saturation the heavy buckets still get
     one task each at full width.
@@ -341,17 +340,6 @@ def _bucket_pairs(
     )
 
 
-# Buckets at or under this size expand inside the AQE-coalesced stage:
-# <= n*(n-1)/2 = 120 pairs per member array, so the pair volume of any
-# coalesced task is bounded by a constant multiple of its input bytes —
-# AQE's byte-based coalescing stays safe BY CONSTRUCTION however many
-# small buckets exist. Above it, one bucket's expansion is big enough
-# that input bytes no longer predict output work, so those rows are
-# pinned to full width (round-robin: few rows spread evenly, no hash
-# clumping).
-_SMALL_BUCKET = 16
-
-
 def _expand_pairs_adaptive(aggd: DataFrame, arr: str) -> DataFrame:
     """One row per unordered in-bucket pair, as element columns (x, y),
     from an aggregated frame carrying a sorted member array ``arr``
@@ -361,19 +349,22 @@ def _expand_pairs_adaptive(aggd: DataFrame, arr: str) -> DataFrame:
     explode, bounding peak per-row memory at one member's remaining
     slice (a single flatten(transform(...)) materializes the whole
     n^2/2 pair set as ONE array value — measured OOMing a 12g heap at
-    sf1 fingerprint saturation). Width is size-split: small buckets
-    stay in the AQE-coalesced stage (their pair volume per input byte
-    is bounded — see _SMALL_BUCKET), big buckets go through an
-    explicit width-pinned round-robin exchange AQE cannot coalesce.
-    The two branches share the aggregation's shuffle exchange (map
-    runs once; the cheap reduce runs per branch); at small scale the
-    big branch is empty and costs only its empty stages.
+    sf1 fingerprint saturation). ALL surviving buckets route through
+    one width-pinned round-robin exchange AQE cannot coalesce, so no
+    bucket's expansion ever lands in a byte-coalesced task. Round 11
+    size-split this into an AQE-coalesced small branch plus a pinned
+    big branch sharing the aggregation exchange — but the shared map
+    meant BOTH branch reduces re-fetched the full bucket shuffle
+    (singleton buckets, the vast majority, were fetched twice and then
+    filtered), and the union doubled the final collect_list merge.
+    The single pinned branch fetches the aggregation once and
+    re-shuffles only >= 2-member buckets (round-12 A/B, one session
+    interleaved min-of-7: minhash_lsh_pairs 1.068 -> 0.920 s,
+    simhash_near_dups 2.203 -> 1.610 s, minhash_near_dups flat).
     """
     width = int(aggd.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    small = aggd.where(F.size(arr) <= _SMALL_BUCKET)
-    big = aggd.where(F.size(arr) > _SMALL_BUCKET).repartition(width)
     return (
-        small.unionByName(big)
+        aggd.repartition(width)
         .select(arr, F.posexplode(arr).alias("i", "x"))
         .select(
             "x",
@@ -586,9 +577,9 @@ def simhash_near_dups(
     # sort_array orders by doc_id (first struct field), so
     # doc_a < doc_b by construction. Expansion shape and width policy
     # come from _expand_pairs_adaptive (staged memory-bounded
-    # generators; size-split AQE-coalesced vs width-pinned — the
-    # single-flatten form OOM'd a 12g heap on the saturated sf1
-    # fingerprint space: 50k docs in 32 bits -> ~3,000-member blocks).
+    # generators behind one width-pinned exchange — the single-flatten
+    # form OOM'd a 12g heap on the saturated sf1 fingerprint space:
+    # 50k docs in 32 bits -> ~3,000-member blocks).
     if max_bucket is not None:
         keyed = _cap_buckets(keyed, ["block_id", "block_val"], max_bucket)
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")

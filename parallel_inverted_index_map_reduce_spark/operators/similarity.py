@@ -751,9 +751,8 @@ def _grouped_pairs_cosine(enriched: DataFrame, key: str) -> DataFrame:
     at one member's remaining slice instead of the group's whole pair
     set — pair structs here carry FULL embeddings (~0.5 KB each at
     dim 64), so a single flatten of a 3,000-member group would
-    materialize ~2 GB as one array value — and the size-split keeps
-    small groups in the AQE-coalesced stage while groups past
-    _SMALL_BUCKET go through a width-pinned exchange."""
+    materialize ~2 GB as one array value — and every surviving group
+    goes through one width-pinned exchange AQE cannot coalesce."""
     from .dedup import _expand_pairs_adaptive
 
     aggd = (

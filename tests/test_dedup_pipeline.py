@@ -161,19 +161,17 @@ SELECT doc_id FROM bx"""
 
 def test_expand_pairs_adaptive_branches_and_completeness(spark):
     """_expand_pairs_adaptive must emit exactly the unordered pair set
-    of every bucket regardless of which side of the _SMALL_BUCKET
-    size-split the bucket lands on, and the physical plan must carry
-    the width-pinned exchange ONLY on the big branch (the small branch
-    staying AQE-managed is the whole point of the split)."""
+    of every bucket at any bucket size, and the physical plan must
+    carry exactly one width-pinned round-robin exchange (the pin that
+    keeps a bucket's expansion out of AQE's byte-coalesced tasks)."""
     from itertools import combinations
 
     from parallel_inverted_index_map_reduce_spark.operators.dedup import (
-        _SMALL_BUCKET,
         _expand_pairs_adaptive,
     )
 
-    # bucket sizes straddling the threshold: 2, threshold, threshold+1, 40
-    sizes = [2, _SMALL_BUCKET, _SMALL_BUCKET + 1, 40]
+    # bucket sizes spanning tiny through expansion-heavy
+    sizes = [2, 16, 17, 40]
     rows, want = [], set()
     base = 0
     for b, n in enumerate(sizes):
@@ -192,7 +190,7 @@ def test_expand_pairs_adaptive_branches_and_completeness(spark):
     assert got == want
 
     plan = _expand_pairs_adaptive(aggd, "ids")._jdf.queryExecution().toString()
-    # exactly one user repartition exchange: the big branch's
+    # exactly one user repartition exchange: the width pin
     assert plan.count("REPARTITION_BY_NUM") == 1
 
 
