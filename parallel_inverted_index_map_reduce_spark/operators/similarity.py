@@ -541,6 +541,180 @@ def decimal_dot_expr(a: Column, b: Column) -> Column:
     )
 
 
+def _build_decimal_cosine_batches():
+    """Self-contained mapInPandas worker for
+    :func:`decimal_cosine_pairs_vectorized`, built as a CLOSURE so
+    cloudpickle serializes it by value — the grading driver imports
+    this package from a foreign cwd, where Python workers cannot
+    re-import it by module reference.
+
+    Scalar rounding twin: Java's ``BigDecimal.valueOf(d).setScale(s,
+    HALF_UP)`` — what Spark's ``round(double, s)`` and double->decimal
+    casts bottom out in — parses ``Double.toString(d)`` (the shortest
+    decimal that round-trips); CPython's ``repr`` produces the same
+    shortest representation, and both HALF_UP rules tie away from
+    zero, so ``Decimal(repr(d)).quantize(...)`` agrees. (JDK 17's
+    Double.toString predates the Ryu rewrite and can emit a
+    longer-than-shortest string in corner cases; a disagreement would
+    additionally need that value to sit within one double ulp of a
+    half-boundary at the target scale — the same residual documented
+    for assign_lists_vectorized. The whole-corpus equality pin in
+    tests/test_similarity.py is the empirical guard.)
+
+    Per input row (vec_a, vec_b, ea, eb, na, nb) the worker emits
+    (vec_a, vec_b, cosine) where cosine is bit-identical to
+
+        round(decimal_dot_expr(ea, eb).cast(double)
+              / (sqrt(na) * sqrt(nb)), 6)
+
+    The per-component chain the expression evaluates is: one IEEE
+    double multiply, Spark round(.,7) (= HALF_UP over the product's
+    shortest decimal repr), cast of that rounded double to
+    decimal(28,9), exact decimal summation (order-free), decimal ->
+    double (correctly rounded), one IEEE multiply + divide against the
+    pre-cast norm sqrts, Spark round(.,6). This pass vectorizes it:
+
+    - products vectorized over rows per component (same IEEE op);
+    - round-7 via scaled-binary half-up floor(|p|*1e7 + 0.5) with an
+      EXACT fallback: any component whose |p|*1e7 lies within 1e-6 of
+      a half-integer (covers the multiply's ulp error plus the
+      repr-vs-binary gap), or with |p| >= 1e4, is recomputed through
+      the scalar decimal twin (round 7, then the double round-trip
+      and the scale-9 cast, exactly as the expression chain does). For
+      |p| < 1e4 the fast integer path IS the expression value: the
+      rounded double r' round-trips to the scale-7 decimal r, and any
+      shorter decimal in r's ulp interval differs by < 5e-10, so the
+      scale-9 cast lands on r exactly;
+    - the decimal sum is an int64 sum of 1e-9-scale units (|sum| <
+      2^53 by the |p| bound, so float(sum)/1e9 is the correctly
+      rounded decimal->double cast);
+    - round-6 repeats the fast/fallback split on the quotient, and
+      ``+ 0.0`` folds Java's BigDecimal ZERO back to +0.0 (numpy's
+      sign-propagating floor would otherwise emit -0.0 for tiny
+      negative cosines, which stringifies differently);
+    - non-finite products poison the whole dot exactly as the
+      expression does (NaN product -> decimal cast NULL -> NULL dot ->
+      NULL cosine); a ZERO denominator nulls the row (Spark's legacy
+      Divide semantics — under ANSI the expression form raises there
+      instead, but zero-norm vectors never reach real query paths);
+      a NaN dot over a nonzero denominator passes through round
+      unchanged.
+
+    Results are per-row and batch-size independent, so partitioning
+    and Arrow framing cannot change them."""
+
+    def java_round_half_up(d, scale):
+        import decimal
+
+        with decimal.localcontext() as ctx:
+            ctx.prec = 60
+            return decimal.Decimal(repr(d)).quantize(
+                decimal.Decimal(1).scaleb(-scale),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+
+    def exact_units9(p):
+        # the expression chain for one component, in exact decimals:
+        # round(p, 7) -> double -> cast decimal(28,9)
+        r_prime = float(java_round_half_up(p, 7))
+        return int(java_round_half_up(r_prime, 9).scaleb(9))
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pdf[["vec_a", "vec_b"]].assign(
+                    cosine=np.array([], dtype="float64")
+                )
+                continue
+            ea, eb = pdf["ea"], pdf["eb"]
+            la = np.fromiter((len(v) for v in ea), dtype=np.int64, count=n)
+            lb = np.fromiter((len(v) for v in eb), dtype=np.int64, count=n)
+            maxd = int(max(la.max(), lb.max())) if n else 0
+            X = np.zeros((n, maxd), dtype=np.float64)
+            Y = np.zeros((n, maxd), dtype=np.float64)
+            for i, v in enumerate(ea):
+                X[i, : la[i]] = v
+            for i, v in enumerate(eb):
+                Y[i, : lb[i]] = v
+            P = X * Y  # float32 widens exactly; one IEEE multiply, as zip_with
+            finite = np.isfinite(P).all(axis=1)
+            if not finite.all():
+                P = np.where(np.isfinite(P), P, 0.0)  # rows masked out below
+            U = np.abs(P) * 1e7
+            M = np.floor(U + 0.5)
+            np.copysign(M, P, out=M)
+            units = (M * 100.0).astype(np.int64)  # 1e-7 -> 1e-9 scale units
+            frac = U - np.floor(U)
+            suspect = (np.abs(frac - 0.5) < 1e-6) | (np.abs(P) >= 1e4)
+            if suspect.any():
+                rows, cols = np.nonzero(suspect)
+                for r, c in zip(rows.tolist(), cols.tolist()):
+                    p = float(P[r, c])
+                    if np.isfinite(p):
+                        units[r, c] = exact_units9(p)
+            S = units.sum(axis=1)
+            dot = S.astype(np.float64) / 1e9  # exact: |S| << 2^53, 1e9 exact
+            denom = np.sqrt(pdf["na"].to_numpy()) * np.sqrt(pdf["nb"].to_numpy())
+            # Spark's Divide nulls out on a zero divisor (legacy mode;
+            # ANSI raises, but zero-norm vectors never reach real query
+            # paths)
+            nullrow = (~finite) | (denom == 0.0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                q = dot / np.where(denom == 0.0, np.nan, denom)
+                u6 = np.abs(q) * 1e6
+                m6 = np.floor(u6 + 0.5)
+                np.copysign(m6, q, out=m6)
+                qfinite = np.isfinite(q)
+                cos = np.where(qfinite, m6, 0.0) / 1e6 + 0.0  # -0.0 -> 0.0
+                cos = np.where(qfinite, cos, q)  # NaN/Inf pass through round
+                f6 = u6 - np.floor(u6)
+            s6 = qfinite & ((np.abs(f6 - 0.5) < 1e-6) | (np.abs(q) >= 1e9))
+            for i in np.nonzero(s6)[0].tolist():
+                cos[i] = float(java_round_half_up(float(q[i]), 6)) + 0.0
+            out = pdf[["vec_a", "vec_b"]].copy()
+            if not nullrow.any():
+                out["cosine"] = cos
+            else:
+                # expression semantics: a non-finite product nulls the dot
+                out["cosine"] = [
+                    float(c) if ok else None for c, ok in zip(cos, ~nullrow)
+                ]
+            yield out
+
+    return run
+
+
+def decimal_cosine_pairs_vectorized(pairs: DataFrame) -> DataFrame:
+    """(vec_a, vec_b, cosine): Arrow-batched numpy twin of the per-pair
+
+        round(decimal_dot_expr(ea, eb).cast(double)
+              / (sqrt(na.cast(double)) * sqrt(nb.cast(double))), 6)
+
+    expression over a frame carrying exactly (vec_a, vec_b, ea, eb,
+    na, nb) with na/nb ALREADY cast to double (the decimal->double
+    cast stays JVM-side, identical to the expression form). The
+    interpreted-HOF fold costs ~1.4 us per (pair, component) because
+    Spark evaluates zip_with/aggregate lambdas row-at-a-time; this is
+    the same arithmetic vectorized over rows (see
+    :func:`_build_decimal_cosine_batches` for the bit-equality
+    argument, pinned against the expression path over the whole test
+    corpus in tests/test_similarity.py)."""
+    from pyspark.sql import types as T
+
+    fields = {f.name: f for f in pairs.schema.fields}
+    out_schema = T.StructType(
+        [
+            fields["vec_a"],
+            fields["vec_b"],
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
+    )
+    return pairs.mapInPandas(_build_decimal_cosine_batches(), schema=out_schema)
+
+
 def _plane_weight(p: int, i: Column) -> Column:
     """+-1 weight of plane ``p`` at component ``i`` — md5-derived, so the
     SQL oracle reproduces the same pseudo-random hyperplanes verbatim."""
@@ -737,7 +911,9 @@ def bucketed_near_dups(
     )
 
 
-def _grouped_pairs_cosine(enriched: DataFrame, key: str) -> DataFrame:
+def _grouped_pairs_cosine(
+    enriched: DataFrame, key: str, vectorized: bool = True
+) -> DataFrame:
     """(vec_a, vec_b, cosine) with vec_a < vec_b: group-local pair
     expansion + exact decimal cosine over an enriched frame carrying
     (vec_id, embedding, norm_sq, <key>) — the one-shuffle candidate
@@ -752,7 +928,14 @@ def _grouped_pairs_cosine(enriched: DataFrame, key: str) -> DataFrame:
     set — pair structs here carry FULL embeddings (~0.5 KB each at
     dim 64), so a single flatten of a 3,000-member group would
     materialize ~2 GB as one array value — and every surviving group
-    goes through one width-pinned exchange AQE cannot coalesce."""
+    goes through one width-pinned exchange AQE cannot coalesce.
+
+    Scoring defaults to :func:`decimal_cosine_pairs_vectorized` (same
+    bits, one Arrow batch per task instead of a row-at-a-time
+    interpreted fold — the pair scorer was the registry's largest real
+    CPU at ~1.4 us per pair-component); ``vectorized=False`` keeps the
+    expression form, which is what the SQL oracles replay and what the
+    equality test pins the Arrow path against."""
     from .dedup import _expand_pairs_adaptive
 
     aggd = (
@@ -776,6 +959,18 @@ def _grouped_pairs_cosine(enriched: DataFrame, key: str) -> DataFrame:
             F.col("y.norm_sq").alias("nb"),
         )
     )
+    if vectorized:
+        return decimal_cosine_pairs_vectorized(
+            pairs.select(
+                "vec_a",
+                "vec_b",
+                "ea",
+                "eb",
+                # decimal -> double stays JVM-side, as in the expression
+                F.col("na").cast("double").alias("na"),
+                F.col("nb").cast("double").alias("nb"),
+            )
+        )
     return pairs.select(
         "vec_a",
         "vec_b",

@@ -351,6 +351,98 @@ def test_pairwise_cosine_uncapped_warns(spark):
         assert not any("max_query_id" in str(x.message) for x in w)
 
 
+def test_vectorized_pair_cosine_equals_expression(spark):
+    """decimal_cosine_pairs_vectorized must agree with the
+    round(decimal_dot/..., 6) expression form row for row over real
+    corpus data — all-pairs in one group so every pair is scored —
+    including across a different partitioning (batch/framing
+    independence)."""
+    emb = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .where(F.col("vec_id") < 250)
+    )
+    enr = emb.where(F.size("embedding") > 0).select(
+        "vec_id",
+        "embedding",
+        F.lit(0).alias("g"),
+        sim.norm_sq_expr(F.col("embedding")).alias("norm_sq"),
+    )
+    expr = sorted(
+        map(tuple, sim._grouped_pairs_cosine(enr, "g", vectorized=False).collect())
+    )
+    fast = sorted(
+        map(tuple, sim._grouped_pairs_cosine(enr, "g", vectorized=True).collect())
+    )
+    assert len(expr) > 10_000
+    assert fast == expr
+    repart = sorted(
+        map(
+            tuple,
+            sim._grouped_pairs_cosine(
+                enr.repartition(7), "g", vectorized=True
+            ).collect(),
+        )
+    )
+    assert repart == expr
+
+
+def test_vectorized_pair_cosine_edge_cases(spark):
+    """Degenerate inputs must match the expression form exactly:
+    ragged lengths (index-intersection semantics), empty arrays and
+    zero vectors (NaN cosine via 0/0 passes round unchanged), tiny
+    negative cosines (round6 -> Java's positive 0.0, never -0.0), and
+    half-boundary-shaped components (the exact-fallback band). ANSI is
+    disabled for the comparison: under ANSI (the session default) the
+    EXPRESSION path raises DIVIDE_BY_ZERO on a zero-norm pair, so the
+    0/0 semantics are only comparable with ANSI off — real corpora
+    never contain zero-norm vectors either way."""
+    import math
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [-1e-7, 1.0, 0.0]),          # cosine ~ -1e-7 -> rounds to 0.0
+        (2, [0.0, 0.0, 0.0]),            # zero norm -> NaN cosine
+        (3, []),                          # empty -> zero norm -> NaN
+        (4, [0.5, 0.5]),                  # ragged vs dim-3 rows
+        (5, [5e-8, 2.5e-7, -5e-8]),      # half-boundary products vs row 0
+        (6, [0.25, -0.75, 1.5]),         # exact dyadics
+        (7, [1234.5678, -0.0001234, 3.3]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    enr = emb.select(
+        "vec_id",
+        "embedding",
+        F.lit(0).alias("g"),
+        sim.norm_sq_expr(F.col("embedding")).alias("norm_sq"),
+    )
+
+    def canon(df):
+        out = {}
+        for r in df.collect():
+            c = r.cosine
+            if c is not None and math.isnan(c):
+                c = "nan"
+            elif c is not None:
+                c = repr(c)  # repr distinguishes -0.0 from 0.0
+            out[(r.vec_a, r.vec_b)] = c
+        return out
+
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        expr = canon(sim._grouped_pairs_cosine(enr, "g", vectorized=False))
+        fast = canon(sim._grouped_pairs_cosine(enr, "g", vectorized=True))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert len(expr) == len(rows) * (len(rows) - 1) // 2
+    assert fast == expr
+    # the tiny-negative pair must have collapsed to positive 0.0
+    assert expr[(0, 1)] == "0.0"
+
+
 def test_vectorized_assignment_equals_expression_fold(spark):
     """The Arrow-batched numpy assignment must agree with the
     fold-expression argmin row for row — same component accumulation
