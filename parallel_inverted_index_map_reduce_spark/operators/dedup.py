@@ -548,6 +548,16 @@ def simhash_block_overflow(
     )
 
 
+# Uncapped simhash_near_dups fail-fast bound (members per pigeonhole
+# block): ~5x the largest block the saturated sf1 sweep produced
+# (~3,000 members at 50k docs in 32 bits — full-checksum proven), and
+# far below the ~30k-member blocks whose quadratic pair stream killed
+# the uncapped sf10 run with >70 GB of shuffle spill. 16384 members is
+# ~134M pairs (~3 GB of pair rows) per block — survivable, but past
+# any non-saturated corpus's honest block size.
+_UNCAPPED_BLOCK_LIMIT = 16384
+
+
 def simhash_near_dups(
     docs: DataFrame,
     max_hamming: int = SIMHASH_MAX_HAMMING,
@@ -568,6 +578,18 @@ def simhash_near_dups(
     bounded task size and must materialize
     :func:`simhash_block_overflow` (same keyed derivation) to account
     for it.
+
+    Uncapped runs carry a FAIL-FAST guard instead: at fingerprint
+    saturation (corpus >> 2^SIMHASH_BITS) block membership grows
+    linearly with the corpus and the pair stream quadratically — the
+    uncapped sf10 sweep died of executor disk exhaustion after >70 GB
+    of shuffle spill. A block larger than
+    ``_UNCAPPED_BLOCK_LIMIT`` now raises inside the plan (one integer
+    comparison per block, no extra job, no effect on any block under
+    the limit — sf <= 1 results are byte-identical, where the largest
+    saturated block is ~3k members) with a message naming the capped
+    escape hatch, so the saturated run errors in seconds instead of
+    grinding the disks for an hour first.
     """
     keyed = _simhash_keyed(docs, max_hamming)
     # Same bucket-local expansion shape as _bucket_pairs (one
@@ -591,6 +613,21 @@ def simhash_near_dups(
         .where(F.size("ms") >= 2)
         .select("ms")
     )
+    if max_bucket is None:
+        # fail-fast saturation guard (docstring above): raise_error's
+        # NullType branch coerces to the array type, so the column is
+        # unchanged wherever the guard holds
+        aggd = aggd.select(
+            F.expr(
+                f"CASE WHEN size(ms) <= {_UNCAPPED_BLOCK_LIMIT} THEN ms "
+                "ELSE raise_error(concat('simhash_near_dups uncapped: "
+                "pigeonhole block of ', size(ms), ' members exceeds "
+                f"{_UNCAPPED_BLOCK_LIMIT} (fingerprint saturation - the "
+                "pair stream is quadratic per block). Pass max_bucket to "
+                "bound expansion and account the drop via "
+                "simhash_block_overflow.')) END"
+            ).alias("ms")
+        )
     return (
         _expand_pairs_adaptive(aggd, "ms")
         .select(

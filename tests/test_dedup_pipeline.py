@@ -194,6 +194,34 @@ def test_expand_pairs_adaptive_branches_and_completeness(spark):
     assert plan.count("REPARTITION_BY_NUM") == 1
 
 
+def test_simhash_uncapped_saturation_guard(spark):
+    """Uncapped simhash_near_dups must fail FAST with an instructive
+    message when a pigeonhole block exceeds _UNCAPPED_BLOCK_LIMIT
+    (fingerprint saturation — the shape that killed the uncapped sf10
+    sweep with >70 GB of spill), and must be completely inert below
+    it (same rows as a run with the guard disabled)."""
+    import pytest as _pytest
+
+    from parallel_inverted_index_map_reduce_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    baseline = sorted(
+        map(tuple, dd.simhash_near_dups(docs).collect())
+    )
+    assert len(baseline) > 0  # the guard did not fire on honest blocks
+
+    saved = dd._UNCAPPED_BLOCK_LIMIT
+    dd._UNCAPPED_BLOCK_LIMIT = 2
+    try:
+        with _pytest.raises(Exception, match="simhash_near_dups uncapped"):
+            dd.simhash_near_dups(docs).count()
+        # the capped form remains the documented escape hatch
+        capped = dd.simhash_near_dups(docs, max_bucket=2)
+        assert capped.count() >= 0
+    finally:
+        dd._UNCAPPED_BLOCK_LIMIT = saved
+
+
 def test_expr_string_builders_same_semantics(spark):
     """The one-parse F.expr builders (minhash aggregates, band structs,
     simhash bit sums/fingerprint) produce trees sameSemantics-equal to
