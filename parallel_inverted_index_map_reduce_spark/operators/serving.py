@@ -1337,7 +1337,6 @@ def ann_from_frames(
         _dot_expr,
         _norm_expr,
         _topk_by_cosine,
-        decimal_dot_expr,
         norm_sq_expr,
     )
 
@@ -1404,25 +1403,22 @@ def ann_from_frames(
         F.col("embedding").alias("ce"),
         norm(F.col("embedding")).alias("cn"),
     )
+    joined = (
+        F.broadcast(q)
+        .join(cand, "list_id")
+        .where(F.col("vec_a") != F.col("vec_b"))
+    )
     if decimal_scores:
-        score = F.round(
-            decimal_dot_expr(F.col("qe"), F.col("ce")).cast("double")
-            / (
-                F.sqrt(F.col("qn").cast("double"))
-                * F.sqrt(F.col("cn").cast("double"))
-            ),
-            6,
-        )
+        # Arrow-batched twin of the decimal-cosine expression —
+        # bit-identical (similarity.decimal_cosine_pairs_vectorized)
+        from .similarity import decimal_cosine_joined_vectorized
+
+        cos = decimal_cosine_joined_vectorized(joined)
     else:
         score = F.round(
             _dot_expr(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
         )
-    cos = (
-        F.broadcast(q)
-        .join(cand, "list_id")
-        .where(F.col("vec_a") != F.col("vec_b"))
-        .select("vec_a", "vec_b", score.alias("cosine"))
-    )
+        cos = joined.select("vec_a", "vec_b", score.alias("cosine"))
     return _topk_by_cosine(cos, k)
 
 

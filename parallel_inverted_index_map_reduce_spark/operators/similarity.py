@@ -81,23 +81,16 @@ def pairwise_cosine(emb: DataFrame, max_query_id: int | None = None) -> DataFram
     c = emb.where(F.size("embedding") > 0).select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("ce"),
-        norm_sq_expr(F.col("embedding")).alias("nb"),
+        norm_sq_expr(F.col("embedding")).alias("cn"),
     )
-    return (
+    # scoring via the Arrow-batched twin of the decimal-cosine
+    # expression (bit-identical — see decimal_cosine_pairs_vectorized);
+    # the interpreted fold cost ~90 s for the 5 x 200k-pair exact arm
+    # at 10x scale
+    return decimal_cosine_joined_vectorized(
         q.crossJoin(c)
         .where(F.col("vec_a") != F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                decimal_dot_expr(F.col("qe"), F.col("ce")).cast("double")
-                / (
-                    F.sqrt(F.col("na").cast("double"))
-                    * F.sqrt(F.col("nb").cast("double"))
-                ),
-                6,
-            ).alias("cosine"),
-        )
+        .withColumnRenamed("na", "qn")
     )
 
 
@@ -480,25 +473,21 @@ def ivf_topk(
         )
         .select("vec_a", "qe", "qn", F.explode("probes").alias("list_id"))
     )
+    joined = (
+        F.broadcast(q)
+        .join(assigned, "list_id")
+        .where(F.col("vec_a") != F.col("vec_b"))
+    )
     if decimal_scores:
-        score = F.round(
-            decimal_dot_expr(F.col("qe"), F.col("ce")).cast("double")
-            / (
-                F.sqrt(F.col("qn").cast("double"))
-                * F.sqrt(F.col("cn").cast("double"))
-            ),
-            6,
-        )
+        # Arrow-batched twin of the decimal-cosine expression —
+        # bit-identical (decimal_cosine_pairs_vectorized); the
+        # interpreted fold was ~89 s on the full-probe arm at 10x scale
+        cos = decimal_cosine_joined_vectorized(joined)
     else:
         score = F.round(
             _dot_expr(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
         )
-    cos = (
-        F.broadcast(q)
-        .join(assigned, "list_id")
-        .where(F.col("vec_a") != F.col("vec_b"))
-        .select("vec_a", "vec_b", score.alias("cosine"))
-    )
+        cos = joined.select("vec_a", "vec_b", score.alias("cosine"))
     return _topk_by_cosine(cos, k)
 
 
@@ -713,6 +702,29 @@ def decimal_cosine_pairs_vectorized(pairs: DataFrame) -> DataFrame:
         ]
     )
     return pairs.mapInPandas(_build_decimal_cosine_batches(), schema=out_schema)
+
+
+def decimal_cosine_joined_vectorized(joined: DataFrame) -> DataFrame:
+    """(vec_a, vec_b, cosine) from a joined candidate frame carrying
+    (vec_a, qe, qn) x (vec_b, ce, cn) with DECIMAL norm_sq columns —
+    the query-side/candidate-side naming used by the broadcast-join
+    scorers (pairwise_cosine, ivf_topk decimal path, serving
+    ann_from_frames). Same bits as the expression
+
+        round(decimal_dot_expr(qe, ce).cast(double)
+              / (sqrt(qn.cast(double)) * sqrt(cn.cast(double))), 6)
+
+    via :func:`decimal_cosine_pairs_vectorized`."""
+    return decimal_cosine_pairs_vectorized(
+        joined.select(
+            "vec_a",
+            "vec_b",
+            F.col("qe").alias("ea"),
+            F.col("ce").alias("eb"),
+            F.col("qn").cast("double").alias("na"),
+            F.col("cn").cast("double").alias("nb"),
+        )
+    )
 
 
 def _plane_weight(p: int, i: Column) -> Column:
