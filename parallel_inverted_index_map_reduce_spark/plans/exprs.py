@@ -26,6 +26,14 @@ row-by-row on sf0.1, 600k rows):
 Internally the math stays decimal(38,8) for sums and decimal(18,6) for
 averages — exact, deterministic under any partitioning; only the final
 projection is a string.
+
+String-input contract: every builder here that accepts ``Column | str``
+treats the STRING as a Spark-SQL *expression* interpolated verbatim
+into one ``F.expr`` parse (the one-parse hot path) — it is NOT a column
+name. Identifiers that need quoting must arrive pre-backticked, and the
+string form is for TRUSTED INTERNAL call sites only (registry query
+builders passing literal expression text); never route user-supplied
+strings through it.
 """
 
 from __future__ import annotations

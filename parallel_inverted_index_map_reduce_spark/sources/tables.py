@@ -47,20 +47,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the fresh-read path every call, exactly as before.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = None
+    state = None
     cache = getattr(spark, "_graft_table_cache", None)
     if os.path.isfile(path):
         st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
+        state = (st.st_mtime_ns, st.st_size)
         if cache is None:
             cache = {}
             spark._graft_table_cache = cache  # type: ignore[attr-defined]
-        hit = cache.get(key)
-        if hit is not None:
-            return hit
+        # keyed by path with the file state in the VALUE: a rewrite
+        # REPLACES the entry instead of accumulating stale plans (long
+        # sessions that rewrite fixtures repeatedly would otherwise
+        # grow the cache — and pin superseded JVM plans — unboundedly)
+        hit = cache.get(path)
+        if hit is not None and hit[0] == state:
+            return hit[1]
     df = _read_table(spark, path, name)
-    if key is not None:
-        cache[key] = df  # type: ignore[index]
+    if state is not None:
+        cache[path] = (state, df)  # type: ignore[index]
     return df
 
 

@@ -100,50 +100,42 @@ def main() -> None:
     job_stages: dict[int, list[int]] = {}
     stage_info: dict[int, dict] = {}   # stage id -> metrics
     import itertools
-    lines = itertools.chain.from_iterable(open(p) for p in log_files)
-    if True:
-        for line in lines:
-            ev = json.loads(line)
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                desc = (ev.get("Properties") or {}).get("spark.job.description", "")
-                if desc.startswith("q:"):
-                    name = desc.split(":")[1]
-                    jid = ev["Job ID"]
-                    jobs[jid] = name
-                    job_stages[jid] = [s["Stage ID"] for s in ev["Stage Infos"]]
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sid = si["Stage ID"]
-                sub = si.get("Submission Time")
-                comp = si.get("Completion Time")
-                # TaskEnd events precede StageCompleted: merge, don't replace
-                st = stage_info.setdefault(
-                    sid,
-                    {"wall_ms": 0, "n_tasks": 0, "task_ms": 0, "sh_read": 0, "sh_write": 0, "input": 0},
+
+    _EMPTY = {"wall_ms": 0, "n_tasks": 0, "task_ms": 0, "sh_read": 0, "sh_write": 0, "input": 0}
+    for line in itertools.chain.from_iterable(open(p) for p in log_files):
+        ev = json.loads(line)
+        e = ev.get("Event")
+        if e == "SparkListenerJobStart":
+            desc = (ev.get("Properties") or {}).get("spark.job.description", "")
+            if desc.startswith("q:"):
+                name = desc.split(":")[1]
+                jid = ev["Job ID"]
+                jobs[jid] = name
+                job_stages[jid] = [s["Stage ID"] for s in ev["Stage Infos"]]
+        elif e == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            sid = si["Stage ID"]
+            sub = si.get("Submission Time")
+            comp = si.get("Completion Time")
+            # TaskEnd events precede StageCompleted: merge, don't replace
+            st = stage_info.setdefault(sid, dict(_EMPTY))
+            st["wall_ms"] = (comp - sub) if sub and comp else 0
+            st["n_tasks"] = si.get("Number of Tasks", 0)
+        elif e == "SparkListenerTaskEnd":
+            # task end can precede stage completed; buffer lazily
+            sid = ev["Stage ID"]
+            tm = ev.get("Task Metrics") or {}
+            if tm:
+                st = stage_info.setdefault(sid, dict(_EMPTY))
+                st["task_ms"] += tm.get("Executor Run Time", 0)
+                sr = tm.get("Shuffle Read Metrics") or {}
+                st["sh_read"] += sr.get("Remote Bytes Read", 0) + sr.get(
+                    "Local Bytes Read", 0
                 )
-                st["wall_ms"] = (comp - sub) if sub and comp else 0
-                st["n_tasks"] = si.get("Number of Tasks", 0)
-            elif e == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                tm = ev.get("Task Metrics") or {}
-                if sid in stage_info and tm:
-                    st = stage_info[sid]
-                    st["task_ms"] += tm.get("Executor Run Time", 0)
-                    st["sh_read"] += (tm.get("Shuffle Read Metrics") or {}).get("Remote Bytes Read", 0) + (
-                        tm.get("Shuffle Read Metrics") or {}
-                    ).get("Local Bytes Read", 0)
-                    st["sh_write"] += (tm.get("Shuffle Write Metrics") or {}).get("Shuffle Bytes Written", 0)
-                    st["input"] += (tm.get("Input Metrics") or {}).get("Bytes Read", 0)
-                elif sid not in stage_info and tm:
-                    # task end can precede stage completed; buffer lazily
-                    st = stage_info.setdefault(sid, {"wall_ms": 0, "n_tasks": 0, "task_ms": 0, "sh_read": 0, "sh_write": 0, "input": 0})
-                    st["task_ms"] += tm.get("Executor Run Time", 0)
-                    st["sh_read"] += (tm.get("Shuffle Read Metrics") or {}).get("Remote Bytes Read", 0) + (
-                        tm.get("Shuffle Read Metrics") or {}
-                    ).get("Local Bytes Read", 0)
-                    st["sh_write"] += (tm.get("Shuffle Write Metrics") or {}).get("Shuffle Bytes Written", 0)
-                    st["input"] += (tm.get("Input Metrics") or {}).get("Bytes Read", 0)
+                st["sh_write"] += (tm.get("Shuffle Write Metrics") or {}).get(
+                    "Shuffle Bytes Written", 0
+                )
+                st["input"] += (tm.get("Input Metrics") or {}).get("Bytes Read", 0)
 
     agg: dict[str, dict] = {}
     for jid, name in jobs.items():
@@ -172,7 +164,11 @@ def main() -> None:
             f"{a.get('tasks', 0):6d} {a.get('task_ms', 0) / 1000:7.1f} "
             f"{a.get('sh_write', 0) / 1e6:7.1f} {a.get('sh_read', 0) / 1e6:7.1f} {a.get('input', 0) / 1e6:6.1f}"
         )
-    print(f"\n(event log: {log_files}; stage metrics summed over {reps} timed reps)")
+    print(
+        f"\n(event log: {log_files}; stage metrics summed over {reps} timed "
+        "reps; stages reused across queries via shuffle/exchange reuse are "
+        "attributed wholly to the FIRST query whose job listed them)"
+    )
 
 
 if __name__ == "__main__":

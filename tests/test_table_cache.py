@@ -40,6 +40,12 @@ def test_load_table_rewrite_invalidates(spark, tmp_path):
     assert second is not first
     assert second.count() == 1
     assert n_first != 1
+    # the rewrite REPLACED the entry (path-keyed): exactly one cache
+    # slot per path, so repeated rewrites cannot grow the cache or pin
+    # superseded JVM plans for the session's lifetime
+    cache = spark._graft_table_cache
+    assert sum(1 for k in cache if k == dst) == 1
+    assert cache[dst][1] is second
 
 
 def test_load_table_directory_layout_not_memoized(spark, tmp_path):
